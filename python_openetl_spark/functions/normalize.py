@@ -1,0 +1,101 @@
+"""Type normalization — the reference's only "transform".
+
+Reference semantics (`/root/reference/pyopenetl/operations.py:120-128`):
+``convert_column_types`` coerces every column whose name contains the
+substring ``"_at"`` with ``pd.to_datetime(errors="coerce")`` (unparseable
+→ NULL), then lets pandas infer nullable dtypes. We reproduce the
+*intent* — timestamp normalization of designated columns with
+NULL-on-failure coercion — using suffix matching by default (the
+reference's substring match would also hit e.g. ``flat_attribute``;
+callers can opt into the permissive mode).
+
+Also carries the reference's Postgres→engine type map
+(`operations.py:243-259`) re-targeted at Spark types, fixing the
+reference's tstz→TSTZRANGE bug (`operations.py:256`) by mapping scalar
+``timestamp with time zone`` to TimestampType.
+
+All of this is executor-side column expressions — `to_timestamp` is
+already NULL-on-failure, identical to the pandas coerce semantics, and
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Postgres type name → Spark type. Reference dict:
+#: /root/reference/pyopenetl/operations.py:243-259 (15 entries).
+PG_TO_SPARK: dict[str, T.DataType] = {
+    "bigint": T.LongType(),
+    "integer": T.IntegerType(),
+    "smallint": T.ShortType(),
+    "double precision": T.DoubleType(),
+    "numeric": T.DecimalType(38, 18),
+    "boolean": T.BooleanType(),
+    "character varying": T.StringType(),
+    "text": T.StringType(),
+    "date": T.DateType(),
+    "timestamp without time zone": T.TimestampNTZType(),
+    # reference maps this to TSTZRANGE (a bug); scalar intent is timestamp
+    "timestamp with time zone": T.TimestampType(),
+    "ARRAY": T.ArrayType(T.StringType()),
+    "jsonb": T.StringType(),  # semi-structured; query via from_json/get_json_object
+    "inet": T.StringType(),
+    "bytea": T.BinaryType(),
+}
+
+
+def timestamp_columns(df: DataFrame, suffix: str = "_at", substring: bool = False) -> list[str]:
+    """Columns designated for timestamp coercion by naming convention."""
+    if substring:
+        return [c for c in df.columns if suffix in c]
+    return [c for c in df.columns if c.endswith(suffix)]
+
+
+def coerce_timestamp(col: Column) -> Column:
+    """NULL-on-failure timestamp coercion (pandas ``errors="coerce"`` parity)."""
+    return F.to_timestamp(col)
+
+
+def normalize_timestamps(df: DataFrame, suffix: str = "_at", substring: bool = False) -> DataFrame:
+    """Coerce ``*_at`` columns to timestamps, NULL on unparseable values.
+
+    Spark-native restatement of ``BaseWriter.convert_column_types``
+    (`/root/reference/pyopenetl/operations.py:120-128`). A single
+    projection — no shuffle, fully codegen'd.
+    """
+    targets = set(timestamp_columns(df, suffix, substring))
+    if not targets:
+        return df
+    return df.select(
+        *[
+            coerce_timestamp(F.col(c)).alias(c) if c in targets else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def schema_from_pg(columns: dict[str, str]) -> T.StructType:
+    """Build a Spark schema from ``{column: postgres_type_name}``.
+
+    Engine-side analogue of ``get_postgres_table_schema``'s type dict
+    (`/root/reference/pyopenetl/operations.py:233-287`). Unknown type
+    names fall back to StringType (the reference raises KeyError; we
+    degrade since Spark can always carry text).
+    """
+    return T.StructType(
+        [T.StructField(name, PG_TO_SPARK.get(pg, T.StringType()), True) for name, pg in columns.items()]
+    )
+
+
+def apply_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Cast matching columns of ``df`` to the authoritative schema's types."""
+    by_name = {f.name: f.dataType for f in schema.fields}
+    return df.select(
+        *[
+            F.col(c).cast(by_name[c]).alias(c) if c in by_name else F.col(c)
+            for c in df.columns
+        ]
+    )

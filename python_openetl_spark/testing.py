@@ -1,0 +1,85 @@
+"""Differential-testing helpers: Spark result vs DuckDB oracle.
+
+Mirrors the driver's correctness gate (row-count + column set +
+order-insensitive value comparison, columns sorted by name) so every
+``queries()`` / ``oracle_sql()`` pair is validated locally before the
+driver ever sees it. Floats are compared with a small relative
+tolerance; everything else must match exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+from typing import Any
+
+import pandas as pd
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def _sort_key(row: tuple) -> tuple:
+    key = []
+    for v in row:
+        if v is None:
+            key.append((0, ""))
+        elif isinstance(v, (int, float)):
+            key.append((1, f"{float(v):+.10e}"))
+        elif isinstance(v, (_dt.date, _dt.datetime)):
+            key.append((2, v.isoformat()))
+        else:
+            key.append((3, str(v)))
+    return tuple(key)
+
+
+def normalize_frame(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=_sort_key)
+    return cols, rows
+
+
+def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y, rel, abs_) for x, y in zip(a, b))
+    if isinstance(a, bool) or isinstance(b, bool):
+        return bool(a) == bool(b)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        fa, fb = float(a), float(b)
+        if math.isinf(fa) or math.isinf(fb):
+            return fa == fb
+        return math.isclose(fa, fb, rel_tol=rel, abs_tol=abs_)
+    if isinstance(a, _dt.datetime) and isinstance(b, _dt.datetime):
+        return a.replace(tzinfo=None) == b.replace(tzinfo=None)
+    return a == b
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    """Raise AssertionError with a readable diff if results differ."""
+    scols, srows = normalize_frame(spark_pdf)
+    ocols, orows = normalize_frame(oracle_pdf)
+    assert scols == ocols, f"{name}: column mismatch spark={scols} oracle={ocols}"
+    assert len(srows) == len(orows), (
+        f"{name}: row count mismatch spark={len(srows)} oracle={len(orows)}\n"
+        f"spark head: {srows[:3]}\noracle head: {orows[:3]}"
+    )
+    for i, (sr, orow) in enumerate(zip(srows, orows)):
+        if not _cells_equal(sr, orow):
+            raise AssertionError(
+                f"{name}: first differing row #{i} (cols {scols}):\n  spark : {sr}\n  oracle: {orow}"
+            )
