@@ -1,0 +1,39 @@
+"""The engine's declared query workload.
+
+Each submodule exposes ``QUERIES: dict[str, Callable[(spark, sf_dir), DataFrame]]``
+and ``ORACLE: dict[str, str]`` (DuckDB-ANSI SQL over the fixture views).
+``__spark_entry__`` aggregates them for the driver's correctness gate;
+``tests/`` run the same pairs differentially.
+
+Design rule: every aggregate that sums floating-point data is cast to
+DECIMAL *before* SUM on both engines (exact, order-independent — the sum
+is reproducible no matter how Spark partitions it) and cast back to
+DOUBLE after. Averages are computed as decimal-sum / count. Verified
+bit-exact against DuckDB at sf0.01.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_openetl_spark.workload import incremental, llm, relational, streaming_batch
+
+_MODULES = (relational, incremental, llm, streaming_batch)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        assert not overlap, f"duplicate query names: {overlap}"
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out
