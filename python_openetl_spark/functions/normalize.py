@@ -55,8 +55,13 @@ def timestamp_columns(df: DataFrame, suffix: str = "_at", substring: bool = Fals
 
 
 def coerce_timestamp(col: Column) -> Column:
-    """NULL-on-failure timestamp coercion (pandas ``errors="coerce"`` parity)."""
-    return F.to_timestamp(col)
+    """NULL-on-failure timestamp coercion (pandas ``errors="coerce"`` parity).
+
+    ``try_to_timestamp``, not ``to_timestamp``: under Spark 4's default
+    ANSI mode the latter *throws* on malformed input, while the
+    reference's ``pd.to_datetime(errors="coerce")`` yields NULL.
+    """
+    return F.try_to_timestamp(col)
 
 
 def normalize_timestamps(df: DataFrame, suffix: str = "_at", substring: bool = False) -> DataFrame:

@@ -1,0 +1,127 @@
+"""Incremental-maintenance operators: MERGE upsert, delete propagation,
+conflict-checked append, snapshot seed.
+
+Reference semantics being reproduced (Spark-first, not translated):
+
+- **Upsert** (`/root/reference/pyopenetl/operations.py:688-730`): staging
+  table + ``INSERT ... ON CONFLICT (pk) DO UPDATE SET <all non-pk cols>``.
+  Here: dedup the delta by pk (Postgres applies conflicting rows in
+  statement order — we keep the latest explicitly), left-anti join the
+  target against the delta, union the delta back. One shuffle on the pk;
+  AQE broadcasts the anti-join when the delta is small.
+- **Delete propagation** (`operations.py:552-599`): the reference ships
+  *every id of both tables to the client* and diffs Python sets — its
+  scalability cliff. Here it is a distributed left-anti join on the key,
+  which scales to any table size and lets Catalyst pick
+  broadcast/shuffle-hash/sort-merge per AQE statistics.
+- **Conflict-checked insert** (`safe_insert`, `operations.py:751-791`):
+  raises on pk conflict instead of upserting → left-semi join to detect
+  conflicts, then append.
+- **Seed** (`seed_table`, `operations.py:404-474`): drop + chunked COPY
+  + deferred index build → a single declarative overwrite write; the
+  "index replication" step (`operations.py:476-484`) maps to write-layout
+  options (partitioning/bucketing/sorting), see :func:`snapshot_seed`.
+
+All functions are pure DataFrame → DataFrame (no writes); the
+write/commit side lives in plans.pipelines so these compose with any
+sink (parquet dir, catalog table, foreachBatch streaming sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class PrimaryKeyConflict(Exception):
+    """Raised by safe_append when incoming rows collide with existing pks
+    (parity with the reference's IntegrityError re-raise,
+    /root/reference/pyopenetl/operations.py:786-789)."""
+
+
+def dedupe_latest(delta: DataFrame, pk: str | list[str], order_col: str) -> DataFrame:
+    """Keep the latest row per pk, ordered by ``order_col`` descending.
+
+    Postgres ON CONFLICT applies duplicate-pk delta rows sequentially so
+    the last write wins; a set-oriented MERGE must make that explicit
+    (SURVEY §7 hard-parts register). Ties broken arbitrarily-but-
+    deterministically by the remaining columns' order via row_number.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        delta.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    delta: DataFrame,
+    pk: str | list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """MERGE: whenMatched → replace all non-pk columns, whenNotMatched →
+    insert (exact ON CONFLICT DO UPDATE semantics,
+    /root/reference/pyopenetl/operations.py:713-724).
+
+    Implementation: ``target ANTI⋈ delta ∪ delta``. The anti-join
+    shuffles both sides on the pk once; with a small delta AQE converts
+    it to a broadcast anti-join, so cost ≈ one pass over the target —
+    the same asymptotics as an index-assisted MERGE, but distributed.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    if order_col is not None:
+        delta = dedupe_latest(delta, keys, order_col)
+    delta = delta.select(*target.columns)  # positional/naming hygiene
+    return target.join(delta, on=keys, how="left_anti").unionByName(delta)
+
+
+def propagate_deletes(
+    target: DataFrame, source: DataFrame, pk: str | list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Rows of ``target`` whose pk vanished from ``source`` are deleted.
+
+    Returns ``(kept, deleted_keys)``. Distributed restatement of the
+    reference's client-side set difference + DELETE WHERE id IN (...)
+    (/root/reference/pyopenetl/operations.py:552-599, including the R6
+    IN-list — which an anti-join subsumes at any cardinality).
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    source_keys = source.select(*keys)
+    deleted_keys = target.select(*keys).join(source_keys, on=keys, how="left_anti")
+    kept = target.join(source_keys, on=keys, how="left_semi")
+    return kept, deleted_keys
+
+
+def conflicting_keys(target: DataFrame, rows: DataFrame, pk: str | list[str]) -> DataFrame:
+    """Pks of ``rows`` already present in ``target`` (left-semi join)."""
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    return rows.select(*keys).join(target.select(*keys), on=keys, how="left_semi").distinct()
+
+
+def safe_append(target: DataFrame, rows: DataFrame, pk: str | list[str]) -> DataFrame:
+    """Append with pk-conflict detection: raise PrimaryKeyConflict if any
+    incoming pk exists (parity with safe_insert's IntegrityError,
+    /root/reference/pyopenetl/operations.py:751-791); else target ∪ rows.
+
+    The conflict probe collects only the *conflicting keys* (bounded by
+    the incoming batch size), never the tables.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    conflicts = conflicting_keys(target, rows, keys).limit(21).collect()
+    if conflicts:
+        sample = [tuple(r) for r in conflicts[:20]]
+        raise PrimaryKeyConflict(f"pk conflict on {keys}: {sample}" + (" ..." if len(conflicts) > 20 else ""))
+    return target.unionByName(rows.select(*target.columns))
+
+
+def temporal_delta(df: DataFrame, ts_col: str, anchor, hours: int) -> DataFrame:
+    """R5 incremental-read predicate: rows touched in the last N hours
+    (/root/reference/pyopenetl/operations.py:539-540). ``anchor`` is an
+    explicit timestamp (the reference's NOW()) so runs are reproducible;
+    the filter pushes down to the scan."""
+    anchor_col = F.lit(anchor).cast("timestamp")
+    return df.filter(F.col(ts_col) >= anchor_col - F.expr(f"INTERVAL {int(hours)} HOURS"))

@@ -1,0 +1,206 @@
+"""Pipeline verbs — the engine's equivalents of the reference's three
+entry points (SURVEY §3): seed (snapshot replication), upsert-sync
+(incremental maintenance), and flat-file ingestion.
+
+Each verb composes the pure operators in ``operators.merge`` with an
+atomic parquet write. Where the reference hand-manages chunk loops,
+cursors, staging tables, and GC (`/root/reference/pyopenetl/operations.py:
+404-474,688-730`), the Spark restatement is a declarative read →
+transform → atomic overwrite: partitioning replaces chunking, the write
+commit protocol replaces transactions, and write-layout options replace
+the post-load index replication (`operations.py:461-484`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tarfile
+import tempfile
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_openetl_spark.functions.normalize import normalize_timestamps
+from python_openetl_spark.operators.merge import (
+    merge_upsert,
+    propagate_deletes,
+    temporal_delta,
+)
+
+
+@dataclass
+class SyncMetrics:
+    """Run report, mirroring the reference's JSON summary
+    (/root/reference/pyopenetl/operations.py:601-609)."""
+
+    rows_added: int
+    rows_deleted: int
+    execution_duration: float
+    execution_date: str
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__)
+
+
+class ParquetTable:
+    """A parquet-directory table with atomic overwrite.
+
+    Plain parquet has no transactional MERGE, so mutation = rewrite +
+    swap: write the new version to a staging dir, move the old aside,
+    rename staging into place (POSIX rename is atomic per path). On an
+    object store you'd swap this class for a Delta/Iceberg table and
+    keep every operator unchanged — they are pure DataFrame functions.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.exists(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        # Write fully (materializes the plan — safe even when df reads
+        # from self.path, since staging != source), then swap.
+        writer.parquet(staging)
+        backup = f"{self.path}.bak-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, backup)
+        try:
+            os.rename(staging, self.path)
+        except Exception:
+            if os.path.exists(backup):  # roll back
+                os.rename(backup, self.path)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+
+    def drop(self) -> None:
+        """DROP TABLE IF EXISTS parity (/root/reference/pyopenetl/operations.py:357-366)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+def seed(
+    df: DataFrame,
+    dest: str | ParquetTable,
+    *,
+    normalize: bool = True,
+    partition_by: list[str] | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> ParquetTable:
+    """Snapshot replication (C1, /root/reference/pyopenetl/operations.py:404-474).
+
+    drop → normalize (*_at timestamp coercion) → atomic overwrite. The
+    reference's post-load index replication becomes write layout:
+    ``partition_by`` → partition pruning, ``sort_within_partitions`` →
+    parquet min/max row-group skipping. At 100 TB choose the partition
+    column to match the dominant filter (e.g. event date).
+    """
+    table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
+    out = normalize_timestamps(df) if normalize else df
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+    table.overwrite(out, partition_by=partition_by)
+    return table
+
+
+def upsert_sync(
+    spark: SparkSession,
+    source: DataFrame,
+    dest: str | ParquetTable,
+    *,
+    pk: str = "id",
+    ts_col: str = "updated_at",
+    anchor=None,
+    data_interval_hours: int = 1,
+    propagate: bool = True,
+) -> SyncMetrics:
+    """Incremental maintenance (C2, /root/reference/pyopenetl/operations.py:515-609):
+    delta read (R5) → MERGE upsert (R8) → delete propagation (R9) →
+    metrics (R15). Skips the merge when the delta is empty (parity with
+    `operations.py:703-705`).
+
+    ``anchor`` fixes the reference's NOW() for reproducibility; pass
+    None to use the current wall clock.
+    """
+    t0 = time.time()
+    table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
+    target = table.read(spark)
+
+    if anchor is None:
+        anchor = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
+    delta = temporal_delta(source, ts_col, anchor, data_interval_hours)
+    n_delta = delta.count()
+
+    merged = merge_upsert(target, delta, pk, order_col=ts_col) if n_delta else target
+
+    rows_deleted = 0
+    if propagate:
+        merged, deleted_keys = propagate_deletes(merged, source, pk)
+        rows_deleted = deleted_keys.count()
+
+    if n_delta or rows_deleted:
+        table.overwrite(merged)
+
+    # rows_added = upserted delta rows, matching the reference's report
+    # (rows_added: df.shape[0], /root/reference/pyopenetl/operations.py:601-609)
+    return SyncMetrics(
+        rows_added=n_delta,
+        rows_deleted=rows_deleted,
+        execution_duration=round(time.time() - t0, 3),
+        execution_date=time.strftime("%Y-%m-%d"),
+    )
+
+
+def derive_table_name(member_name: str, prefix: str = "cb_") -> str:
+    """`f"cb_{name.split('.')[0]}"` — the reference's tarball-member →
+    table-name rule (/root/reference/pyopenetl/operations.py:662-672)."""
+    base = os.path.basename(member_name)
+    return f"{prefix}{base.split('.')[0]}"
+
+
+def ingest_tarball(
+    spark: SparkSession,
+    tar_path: str,
+    dest_dir: str,
+    *,
+    allowlist: set[str] | None = None,
+    prefix: str = "cb_",
+    normalize: bool = True,
+) -> dict[str, ParquetTable]:
+    """Flat-file ingestion (C3, /root/reference/pyopenetl/operations.py:634-686):
+    untar (driver-side — Spark has no tar reader) → per-member
+    ``spark.read.csv`` with header+schema inference → seed each table.
+
+    The per-member loads are independent Spark jobs; on a cluster the
+    CSVs are splittable so each member still reads in parallel.
+    Remote URLs: fetch to a local temp file first (the reference streams
+    the HTTP body the same way, `operations.py:645-652`).
+    """
+    out: dict[str, ParquetTable] = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        with tarfile.open(tar_path) as tf:
+            tf.extractall(tmp, filter="data")
+        for root, _dirs, files in os.walk(tmp):
+            for fname in sorted(files):
+                if not fname.endswith(".csv"):
+                    continue
+                tname = derive_table_name(fname, prefix)
+                if allowlist is not None and tname not in allowlist:
+                    continue
+                df = (
+                    spark.read.option("header", True)
+                    .option("inferSchema", True)
+                    .csv(os.path.join(root, fname))
+                )
+                out[tname] = seed(df, os.path.join(dest_dir, tname), normalize=normalize)
+    return out

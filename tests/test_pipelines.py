@@ -1,0 +1,144 @@
+"""End-to-end pipeline tests: seed → mutate → upsert-sync convergence
+(the reference's C1/C2 contract), tarball ingestion (C3), safe_append.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.io import load_table
+from python_openetl_spark.operators.merge import PrimaryKeyConflict, safe_append
+from python_openetl_spark.plans.pipelines import (
+    ParquetTable,
+    derive_table_name,
+    ingest_tarball,
+    seed,
+    upsert_sync,
+)
+from tests.conftest import SF_DIR
+
+
+def _events_as_source(spark):
+    """events with an `updated_at` column (exercises *_at normalization)."""
+    ev = load_table(spark, SF_DIR, "events")
+    return ev.withColumn("updated_at", F.col("ts")).drop("ts")
+
+
+def test_seed_snapshot_equality(spark, tmp_path):
+    src = _events_as_source(spark)
+    table = seed(src, str(tmp_path / "events_tbl"))
+    got = table.read(spark)
+    assert got.count() == src.count()
+    assert set(got.columns) == set(src.columns)
+    # re-seed is idempotent (drop+overwrite)
+    table2 = seed(src, str(tmp_path / "events_tbl"))
+    assert table2.read(spark).count() == src.count()
+
+
+def test_seed_partitioned_layout(spark, tmp_path):
+    src = _events_as_source(spark).withColumn("day", F.date_format("updated_at", "yyyy-MM-dd"))
+    table = seed(src, str(tmp_path / "events_part"), partition_by=["day"])
+    # partition pruning: directory-per-day layout exists
+    days = [d for d in os.listdir(table.path) if d.startswith("day=")]
+    assert len(days) == 30
+    pruned = table.read(spark).filter(F.col("day") == days[0].split("=")[1])
+    assert 0 < pruned.count() < src.count()
+
+
+def test_upsert_sync_convergence(spark, tmp_path):
+    """seed → mutate source (update/insert/delete) → sync → dest == source."""
+    src = _events_as_source(spark)
+    dest = seed(src, str(tmp_path / "sync_tbl"))
+
+    anchor = "2024-02-05 00:00:00"
+    mutated = (
+        src.filter(F.col("event_id") % 7 != 0)  # deletes
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 3 == 0, F.col("value") + 500.0).otherwise(F.col("value")),
+        )
+        .withColumn(
+            "updated_at",
+            F.when(F.col("event_id") % 3 == 0, F.lit(anchor).cast("timestamp")).otherwise(
+                F.col("updated_at")
+            ),
+        )
+    )
+    new_rows = spark.createDataFrame(
+        [(10_001, 99, "signup", 1.0, "{}", anchor)],
+        "event_id long, user_id long, event_type string, value double, props string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    mutated = mutated.unionByName(new_rows.select(*mutated.columns))
+
+    metrics = upsert_sync(
+        spark, mutated, dest, pk="event_id", ts_col="updated_at",
+        anchor=anchor, data_interval_hours=24,
+    )
+    got = dest.read(spark)
+    assert got.count() == mutated.count()
+    assert metrics.rows_deleted == src.count() - src.filter(F.col("event_id") % 7 != 0).count()
+    assert metrics.rows_added > 0
+    # converged: every updated row carries the new value
+    joined = got.alias("g").join(mutated.alias("m"), "event_id")
+    diff = joined.filter(F.col("g.value") != F.col("m.value")).count()
+    assert diff == 0
+    assert '"rows_deleted"' in metrics.to_json()
+
+
+def test_upsert_sync_empty_delta_short_circuit(spark, tmp_path):
+    """Empty delta skips the merge (parity with operations.py:703-705)."""
+    src = _events_as_source(spark)
+    dest = seed(src, str(tmp_path / "noop_tbl"))
+    metrics = upsert_sync(
+        spark, src, dest, pk="event_id", ts_col="updated_at",
+        anchor="2030-01-01 00:00:00", data_interval_hours=1,
+    )
+    assert metrics.rows_added == 0 and metrics.rows_deleted == 0
+    assert dest.read(spark).count() == src.count()
+
+
+def test_safe_append_conflict_raises(spark):
+    target = load_table(spark, SF_DIR, "nation")
+    dup = target.limit(1)
+    with pytest.raises(PrimaryKeyConflict):
+        safe_append(target, dup, "n_nationkey")
+    fresh = dup.withColumn("n_nationkey", F.col("n_nationkey") + 1000)
+    appended = safe_append(target, fresh, "n_nationkey")
+    assert appended.count() == target.count() + 1
+
+
+def test_derive_table_name():
+    # f"cb_{name.split('.')[0]}" rule (operations.py:671)
+    assert derive_table_name("organizations.csv") == "cb_organizations"
+    assert derive_table_name("path/to/funding_rounds.csv.gz") == "cb_funding_rounds"
+
+
+def test_ingest_tarball(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    for name, rows in {
+        "organizations": [("id", "name", "founded_at"), (1, "acme", "2020-01-02 03:04:05"), (2, "beta", "not-a-date")],
+        "people": [("id", "name"), (1, "ada")],
+        "ignored": [("id",), (1,)],
+    }.items():
+        with open(raw / f"{name}.csv", "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+    tar_path = tmp_path / "bulk.tar.gz"
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for name in ("organizations", "people", "ignored"):
+            tf.add(raw / f"{name}.csv", arcname=f"{name}.csv")
+
+    tables = ingest_tarball(
+        spark, str(tar_path), str(tmp_path / "out"),
+        allowlist={"cb_organizations", "cb_people"},
+    )
+    assert set(tables) == {"cb_organizations", "cb_people"}
+    orgs = tables["cb_organizations"].read(spark).orderBy("id").collect()
+    assert len(orgs) == 2
+    # *_at column was timestamp-coerced; unparseable → NULL (R11)
+    assert orgs[0]["founded_at"] is not None and orgs[1]["founded_at"] is None
