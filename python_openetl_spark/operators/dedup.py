@@ -1,0 +1,223 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (BASELINE.json north star), all expressed as DataFrame
+dataflows that shuffle on *hash keys* — never on raw text — so the
+heavy exchange payload is a few dozen bytes per row regardless of
+document size:
+
+- exact dedup: fingerprint (md5 of normalized text) → groupBy → keep min id
+- MinHash + LSH near-dedup: shingle → minhash signature → band keys →
+  bucket self-join (candidates) → exact Jaccard verify
+- SimHash: 60-bit sign-aggregated token hash → banded hamming candidates
+- n-gram Jaccard: exact set-overlap join (the verifier, usable standalone)
+- embedding cosine near-dup: see operators/similarity.py
+
+Scale notes (100 TB): every self-join here is preceded by an explode on
+a *bounded* key set (bands or shingles). Hot shingles that appear in
+huge numbers of docs create quadratic bucket joins, so
+``ngram_jaccard_pairs`` takes ``max_shingle_docs`` (stop-shingle cap,
+the standard trick); LSH bucket joins are naturally bounded by band
+collision probability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_openetl_spark.functions.text import (
+    fingerprint,
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+    token_hash60,
+    tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact (normalized) dedup groups: one row per distinct content,
+    keeping the smallest id. Single shuffle on the 16-byte fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated dataset itself (smallest-id winner per group)."""
+    keepers = exact_dedup(df, text_col, id_col).select(F.col("keeper_id").alias(id_col))
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), shingles(tokens(text_col), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (a < b) via MinHash-LSH banding.
+
+    shingle → 16-hash MinHash signature → 4 bands of 4 rows → explode
+    band keys → self-join per (band, key). Probability a pair with
+    Jaccard j collides ≥ 1 band: 1-(1-j^4)^4 (the standard S-curve).
+    The join key is (band_index, 16-byte hash) — small and uniform, so
+    the shuffle is balanced even when documents are skewed in size.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = _doc_shingles(df, text_col, id_col, shingle_n).select(
+        "doc",
+        lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), num_bands, rows_per_band).alias(
+            "bands"
+        ),
+    )
+    exploded = sigs.select("doc", F.posexplode("bands").alias("band", "key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (a < b, jaccard ≥ threshold).
+
+    distinct-shingle explode → co-occurrence self-join → |A∩B| counts →
+    jaccard = common / (|A| + |B| - common). ``max_shingle_docs`` drops
+    shingles shared by more than N docs before the join (stop-shingle
+    cap — bounds the quadratic bucket blowup at scale; None = exact).
+    """
+    sh = (
+        _doc_shingles(df, text_col, id_col, shingle_n)
+        .select("doc", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_docs is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_docs)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """Per-document 60-bit SimHash (sign-aggregated token hashes).
+
+    explode tokens → 60-bit hash per token → per-bit ±1 majority vote →
+    reassemble integer. One shuffle (groupBy doc); the 60 per-bit sums
+    are map-side-combined columns, not rows.
+    """
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    h = token_hash60(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("doc").agg(*votes)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col("doc").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 60 bits into 4 bands of 15; any pair
+    within hamming 3 must agree exactly on ≥ 1 band → per-band equi-join
+    finds all of them (no recall loss), then verify with bit_count(xor).
+    """
+    band_bits = bits // num_bands
+    sh = simhash(df, text_col, id_col, bits)
+    banded = sh.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(2**band_bits - 1))
+                        .alias("key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

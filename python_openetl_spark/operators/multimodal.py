@@ -1,0 +1,110 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``BinaryType`` columns
+with a metadata struct (modality, mime, width/height/duration, ...).
+The Spark-side plumbing — schema, Arrow batch shape, partition-friendly
+mapInPandas kernels — is real and tested; the actual codec calls are
+STUBBED (this container ships no image/audio libraries): decode raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decoder so the dataflow can be exercised end-to-end.
+
+At 100 TB: binary payloads dominate row size, so the kernels are
+``mapInPandas`` (streaming Arrow batches, nothing pinned on the driver)
+and every metadata-only operation projects the payload column away
+first — column pruning keeps the scan from ever touching the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Metadata struct carried alongside every binary payload.
+MEDIA_META_SCHEMA = (
+    "modality string, mime string, width int, height int, duration_ms int"
+)
+
+
+def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap byte-level metadata (no decode): length + content hash."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.length(p)).withColumn(
+        "content_sha256", F.sha2(p, 256)
+    )
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder: derives stable
+    pseudo-dimensions and a 4-byte 'thumbnail' from the content hash."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "channels": 3,
+        "thumbnail": h[:4],
+    }
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Decode binary payloads into (width, height, channels, thumbnail).
+
+    Arrow-batched mapInPandas: each executor task streams batches of
+    payload bytes through the decode kernel — the shape a real
+    PIL/ffmpeg kernel would use. Real decoding is stubbed in this
+    environment; pass ``fake=True`` for the deterministic fake.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image/audio codecs are not available in this environment; "
+            "pass fake=True to run the deterministic fake decoder"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "channels": [d["channels"] for d in decoded],
+                    "thumbnail": [d["thumbnail"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"{id_col} long, width int, height int, channels int, thumbnail binary"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    every_n_bytes: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Frame-sampling stub (video → rows of frame payloads): emits one
+    row per sampled offset. Demonstrates the 1→N expansion shape
+    (posexplode of a computed offsets array) used by real frame
+    extraction."""
+    if not fake:
+        raise NotImplementedError(
+            "video codecs are not available in this environment; pass fake=True"
+        )
+    p = F.col(payload_col)
+    offsets = F.sequence(F.lit(0), F.greatest(F.length(p) - 1, F.lit(0)), F.lit(every_n_bytes))
+    return df.select(
+        id_col, F.posexplode(offsets).alias("frame_idx", "byte_offset")
+    )

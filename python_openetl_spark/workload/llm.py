@@ -1,4 +1,351 @@
-"""Placeholder — filled in by later milestone."""
+"""LLM-data-pipeline operators as oracle-checkable queries
+(SURVEY §2.3 "LLM-data ops"; BASELINE.json north-star extensions).
 
-QUERIES = {}
-ORACLE = {}
+Dedup / near-dup semantics need duplicates to demonstrate, and the
+fixture `documents` table has none — so the near-dup queries run over
+``documents ∪ mutated twins`` (each doc re-appears with id+100000 and
+one appended token). Every twin pair is then a deterministic near-dup
+the operator must find. The DuckDB oracles re-state the full pipelines
+(shingling, MinHash banding, SimHash bit votes) in SQL; the shared hash
+scheme (md5 hex) makes the two engines agree exactly.
+
+Float note: cosine values are bit-identical across engines because both
+sides fold the dot product sequentially in DOUBLE (verified in
+tests/test_similarity.py); Jaccard is an exact int/int division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.functions.text import LANG_STOPWORDS
+from python_openetl_spark.operators import dedup, similarity, textops
+from python_openetl_spark.workload.util import t
+
+# ---------------------------------------------------------------- documents --
+
+_TWIN_OFFSET = 100_000
+
+
+def _docs_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.select(
+        (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return d.unionByName(twins)
+
+
+_TWINS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_TWIN_OFFSET} AS doc_id, text || ' zzz' AS text FROM documents
+"""
+
+# Shared tokenizer/shingler in DuckDB SQL (mirrors functions/text.py).
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SHINGLES_SQL = """
+  CASE WHEN len(toks) >= 3
+       THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       ELSE [] END
+"""
+
+
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over normalized fingerprints (twins differ by
+    one token → remain distinct; identity duplicates collapse)."""
+    docs = _docs_with_twins(spark, sf_dir)
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def d02_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.text_stats(t(spark, sf_dir, "documents"))
+
+
+def d03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.language_id(t(spark, sf_dir, "documents"))
+
+
+def d04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.quality(t(spark, sf_dir, "documents"))
+
+
+def d05_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.fingerprints(t(spark, sf_dir, "documents"))
+
+
+def d06_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        _docs_with_twins(spark, sf_dir), "text", "doc_id",
+        shingle_n=3, num_hashes=16, num_bands=4,
+    )
+
+
+def d07_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_twins(spark, sf_dir), "text", "doc_id",
+        shingle_n=3, threshold=0.5,
+    )
+
+
+def d08_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def d09_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_candidates(
+        _docs_with_twins(spark, sf_dir), "text", "doc_id",
+        max_hamming=3, num_bands=4,
+    )
+
+
+# --------------------------------------------------------------- embeddings --
+
+_QUERY_IDS = (1, 5, 9)
+
+
+def x01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def x02_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs_exact(t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def x03_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy brute-force top-k (scale path). No SQL oracle — fp
+    reduction order differs from sequential folds; equivalence to x01
+    is asserted in tests/test_similarity.py instead."""
+    emb = t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return similarity.cosine_topk_arrow(emb, qpdf, k=5)
+
+
+def x04_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-pairs (approximate scale path; recall vs the
+    exact x02 is asserted in tests). No SQL oracle by design."""
+    return similarity.lsh_cosine_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=6
+    )
+
+
+# --------------------------------------------------------------- multimodal --
+
+def mm01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: materialize a binary payload
+    (utf-8 bytes of text — stand-in for image/audio blobs), compute
+    byte length + content hash. Decode/feature-extract stubs live in
+    operators/multimodal.py."""
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+    )
+
+
+QUERIES = {
+    "d01_exact_dedup": d01_exact_dedup,
+    "d02_text_stats": d02_text_stats,
+    "d03_language_id": d03_language_id,
+    "d04_quality_score": d04_quality_score,
+    "d05_fingerprint": d05_fingerprint,
+    "d06_minhash_lsh_candidates": d06_minhash_lsh_candidates,
+    "d07_ngram_jaccard_pairs": d07_ngram_jaccard_pairs,
+    "d08_simhash": d08_simhash,
+    "d09_simhash_near_pairs": d09_simhash_near_pairs,
+    "x01_cosine_topk": x01_cosine_topk,
+    "x02_cosine_pairs_exact": x02_cosine_pairs_exact,
+    "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
+    "x04_lsh_cosine_pairs": x04_lsh_cosine_pairs,
+    "mm01_binary_payload_stats": mm01_binary_payload_stats,
+}
+
+
+# ------------------------------------------------------------------ oracles --
+
+def _minhash_sig_sql(num_hashes: int = 16) -> str:
+    mins = ",\n      ".join(
+        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))" for s in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+def _band_rows_sql(num_bands: int = 4, rows_per_band: int = 4) -> str:
+    """UNION ALL of one row per band: (doc, band, key)."""
+    parts = [
+        f"SELECT doc_id AS doc, {b} AS band, "
+        f"md5(array_to_string(list_slice(sig, {b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ',')) AS key "
+        f"FROM sigs"
+        for b in range(num_bands)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _simhash_sql(source_sql: str, bits: int = 60) -> str:
+    """DuckDB SimHash: explode tokens, 60-bit md5-derived hash, per-bit
+    ±1 vote, reassemble. Mirrors operators/dedup.simhash exactly."""
+    votes = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(bits)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)" for j in range(bits))
+    return f"""
+      WITH src AS ({source_sql}),
+      tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM src
+      ),
+      hashed AS (
+        SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::UBIGINT)::BIGINT AS h FROM tok
+      ),
+      votes AS (
+        SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+      )
+      SELECT doc_id, {assemble} AS simhash FROM votes
+    """
+
+
+_LANG_CASES = []
+for _lang, _words in LANG_STOPWORDS.items():
+    _inlist = ", ".join(f"'{w}'" for w in _words)
+    _LANG_CASES.append((_lang, f"len(list_filter(toks, x -> x IN ({_inlist})))"))
+_HITS_SQL = ",\n      ".join(f"{expr} AS hits_{lang}" for lang, expr in _LANG_CASES)
+_BEST_SQL = "GREATEST(" + ", ".join(f"hits_{lang}" for lang, _ in _LANG_CASES) + ")"
+_PICK_SQL = " ".join(
+    f"WHEN hits_{lang} = best THEN '{lang}'" for lang, _ in _LANG_CASES
+)
+
+ORACLE = {
+    "d01_exact_dedup": f"""
+        WITH docs AS ({_TWINS_SQL})
+        SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        FROM docs GROUP BY 1
+    """,
+    "d02_text_stats": f"""
+        WITH tk AS (SELECT doc_id, length(text) AS n_chars, lower(text) AS lt,
+                           {_TOKS_SQL} AS toks FROM documents)
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_unique_tokens,
+               len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+        FROM tk
+    """,
+    "d03_language_id": f"""
+        WITH tk AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+        hits AS (SELECT doc_id, text, {_HITS_SQL} FROM tk),
+        best AS (SELECT *, {_BEST_SQL} AS best FROM hits)
+        SELECT doc_id,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN best = 0 THEN 'und'
+                    {_PICK_SQL}
+                    ELSE 'und' END AS detected_lang
+        FROM best
+    """,
+    "d04_quality_score": f"""
+        WITH tk AS (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS DOUBLE) AS n_tok,
+                 CAST(length(text) AS DOUBLE) AS n_char,
+                 CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) AS n_punct,
+                 CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE) AS en_stop
+          FROM tk
+        )
+        SELECT doc_id,
+               0.4 * LEAST(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - (CASE WHEN n_char > 0 THEN n_punct / n_char ELSE 0.0 END))
+             + 0.3 * LEAST((CASE WHEN n_tok > 0 THEN en_stop / n_tok ELSE 0.0 END) * 5.0, 1.0) AS quality
+        FROM m
+    """,
+    "d05_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "d06_minhash_lsh_candidates": f"""
+        WITH docs AS ({_TWINS_SQL}),
+        tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+        shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
+        shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
+        sigs AS (SELECT doc_id, {_minhash_sig_sql(16)} AS sig FROM shf),
+        bands AS ({_band_rows_sql(4, 4)})
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    """,
+    "d07_ngram_jaccard_pairs": f"""
+        WITH docs AS ({_TWINS_SQL}),
+        tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+        shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
+        shf AS (SELECT doc_id AS doc, sh FROM shx WHERE len(sh) > 0),
+        ex AS (SELECT DISTINCT doc, unnest(sh) AS shingle FROM shf),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
+        common AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    """,
+    "d08_simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
+    "d09_simhash_near_pairs": f"""
+        WITH sim AS ({_simhash_sql(_TWINS_SQL)}),
+        banded AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id AS doc, simhash, {i} AS band, (simhash >> {i * 15}) & 32767 AS key FROM sim"
+            for i in range(4)
+          )}
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)::UBIGINT) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+        ) WHERE hamming <= 3
+    """,
+    "x01_cosine_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN {tuple(_QUERY_IDS)}),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+          FROM c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "x02_cosine_pairs_exact": """
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+        FROM c a JOIN c b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+    "mm01_binary_payload_stats": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS content_sha256
+        FROM documents
+    """,
+}

@@ -1,0 +1,94 @@
+"""Semantic tests for the LLM-data operators beyond the oracle gate:
+near-dup recall on planted twins, arrow-vs-expression top-k agreement,
+LSH recall vs exact pairs, multimodal stub plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.io import load_table
+from python_openetl_spark.operators import dedup, multimodal, similarity
+from python_openetl_spark.workload.llm import _QUERY_IDS, _docs_with_twins
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_collapses_planted_duplicates(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    dup = docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
+    groups = dedup.exact_dedup(docs.unionByName(dup), "text", "doc_id")
+    assert groups.filter(F.col("n_copies") == 2).count() == 50
+    kept = dedup.exact_dedup_keep(docs.unionByName(dup), "text", "doc_id")
+    assert kept.count() == 50
+    assert kept.filter(F.col("doc_id") >= 500_000).count() == 0  # min-id wins
+
+
+def test_minhash_lsh_finds_twins(spark):
+    docs = _docs_with_twins(spark, SF_DIR)
+    pairs = dedup.minhash_lsh_candidates(docs).toPandas()
+    twin_pairs = {(a, b) for a, b in zip(pairs.doc_a, pairs.doc_b) if b == a + 100_000}
+    n_docs = docs.count() // 2
+    # twins share nearly all shingles → banding should catch almost all
+    assert len(twin_pairs) >= 0.9 * n_docs
+
+
+def test_ngram_jaccard_twin_scores(spark):
+    docs = _docs_with_twins(spark, SF_DIR)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    twins = pairs[pairs.doc_b == pairs.doc_a + 100_000]
+    assert len(twins) > 400  # most of the 500 docs
+    assert (twins.jaccard > 0.5).all()
+
+
+def test_simhash_twins_close(spark):
+    docs = _docs_with_twins(spark, SF_DIR)
+    pairs = dedup.simhash_candidates(docs, max_hamming=3).toPandas()
+    assert ((pairs.doc_b - pairs.doc_a) == 100_000).any()
+    assert (pairs.hamming <= 3).all()
+
+
+def test_arrow_topk_matches_expression_topk(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    arrow = similarity.cosine_topk_arrow(emb, queries.toPandas(), k=5).toPandas()
+    key = lambda p: sorted(zip(p.query_id, p["rank"], p.vec_id))
+    assert key(exact) == key(arrow)
+    # cosine values agree to float64 reduction-order tolerance
+    e = exact.sort_values(["query_id", "rank"]).cos_sim.to_numpy()
+    a = arrow.sort_values(["query_id", "rank"]).cos_sim.to_numpy()
+    assert (abs(e - a) < 1e-9).all()
+
+
+def test_lsh_pairs_subset_of_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = similarity.cosine_pairs_exact(emb, threshold=0.4).toPandas()
+    approx = similarity.lsh_cosine_pairs(
+        emb, threshold=0.4, num_planes=3, num_tables=8
+    ).toPandas()
+    exact_set = set(zip(exact.id_a, exact.id_b))
+    approx_set = set(zip(approx.id_a, approx.id_b))
+    assert approx_set <= exact_set  # no false positives (cosine verified)
+    if exact_set:
+        # p=1-acos(0.4)/pi≈0.63 → table hit 0.25 → 8 tables ≈ 0.9 expected
+        assert len(approx_set) / len(exact_set) >= 0.5
+
+
+def test_multimodal_decode_stub(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(payloads).collect()
+    decoded = multimodal.decode_images(payloads, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(64 <= r["width"] <= 255 and r["channels"] == 3 for r in rows)
+    # deterministic: same payload → same fake dimensions
+    again = {r["doc_id"]: (r["width"], r["height"]) for r in decoded.collect()}
+    assert all(again[r["doc_id"]] == (r["width"], r["height"]) for r in rows)
+    meta = multimodal.attach_payload_metadata(payloads)
+    assert meta.filter(F.col("n_bytes") <= 0).count() == 0
+    frames = multimodal.sample_frames(payloads, fake=True)
+    assert frames.count() >= 20
