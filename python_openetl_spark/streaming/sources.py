@@ -1,0 +1,58 @@
+"""Streaming sources for tests/demos: replay a batch table as a
+file-based stream.
+
+Structured Streaming's file source treats each new file in a directory
+as a micro-batch increment; replaying the fixture ``events`` table as N
+chunk files (optionally out of event-time order) exercises watermarks,
+late data, and stateful windows exactly like a live stream, while
+staying deterministic. ``maxFilesPerTrigger=1`` + ``availableNow``
+yields one micro-batch per chunk and a clean shutdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stage_replay_dir(
+    df: DataFrame,
+    path: str,
+    *,
+    chunks: int = 4,
+    order_col: str = "event_id",
+    shuffle_time_order: bool = True,
+) -> str:
+    """Write ``df`` as ``chunks`` parquet files to ``path``.
+
+    With ``shuffle_time_order`` the chunking key is a hash of the order
+    column rather than event time, so every micro-batch contains a mix
+    of old and new timestamps — the out-of-order arrival pattern that
+    watermark logic must handle (SURVEY §5 test strategy #4).
+    """
+    os.makedirs(path, exist_ok=True)
+    chunk = (
+        F.crc32(F.col(order_col).cast("string")) % chunks
+        if shuffle_time_order
+        else F.ntile(chunks).over(Window.orderBy(order_col)) - 1
+    )
+    staged = df.withColumn("__chunk", chunk)
+    for i in range(chunks):
+        staged.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, f"chunk={i}"))
+    return path
+
+
+def read_file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over a staged replay directory, one file per
+    micro-batch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
