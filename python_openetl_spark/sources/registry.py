@@ -1,0 +1,84 @@
+"""Pluggable source registry: one ``read(spark, spec)`` entry point.
+
+A source spec is ``{"format": ..., **options}``; formats registered
+here cover the reference's complete source surface (SURVEY §2.1
+S1-S8) plus the engine's native parquet tables. BigQuery (S7,
+`/root/reference/pyopenetl/connections.py:177-212`) requires the
+spark-bigquery-connector jar, which is not shipped in this
+environment — the handler is registered but import-gated, raising a
+clear error with the production config (parity with how the reference
+gates on google-cloud deps).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_openetl_spark.sources import files, jdbc
+
+
+class SourceError(Exception):
+    pass
+
+
+def _read_parquet(spark: SparkSession, spec: dict) -> DataFrame:
+    return files.read_parquet(spark, spec["path"])
+
+
+def _read_csv(spark: SparkSession, spec: dict) -> DataFrame:
+    path = files.fetch_to_local(spec["path"]) if spec.get("remote") else spec["path"]
+    return files.read_csv(spark, path, header=spec.get("header", True), infer=spec.get("infer", True))
+
+
+def _read_json(spark: SparkSession, spec: dict) -> DataFrame:
+    return files.read_json(spark, spec["path"])
+
+
+def _read_jdbc(spark: SparkSession, spec: dict) -> DataFrame:
+    source = jdbc.JdbcSource(
+        url=spec["url"],
+        user=spec.get("user"),
+        password=spec.get("password"),
+        driver=spec.get("driver", "org.postgresql.Driver"),
+    )
+    if "query" in spec:
+        return jdbc.read_query(spark, source, spec["query"])
+    return jdbc.read_table(
+        spark,
+        source,
+        spec["table"],
+        partition_column=spec.get("partition_column"),
+        lower_bound=spec.get("lower_bound"),
+        upper_bound=spec.get("upper_bound"),
+        num_partitions=spec.get("num_partitions", jdbc.DEFAULT_NUM_PARTITIONS),
+    )
+
+
+def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
+    reader = spark.read.format("bigquery")
+    try:
+        return reader.option("table", spec["table"]).load()
+    except Exception as e:  # connector jar absent in this environment
+        raise SourceError(
+            "BigQuery source requires the spark-bigquery-connector jar "
+            "(spark.jars.packages=com.google.cloud.spark:spark-bigquery-with-dependencies...); "
+            f"underlying error: {e}"
+        ) from e
+
+
+READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
+    "parquet": _read_parquet,
+    "csv": _read_csv,
+    "json": _read_json,
+    "jdbc": _read_jdbc,
+    "bigquery": _read_bigquery,
+}
+
+
+def read(spark: SparkSession, spec: dict) -> DataFrame:
+    fmt = spec.get("format")
+    if fmt not in READERS:
+        raise SourceError(f"unknown source format {fmt!r}; known: {sorted(READERS)}")
+    return READERS[fmt](spark, spec)

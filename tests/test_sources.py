@@ -1,0 +1,74 @@
+"""Source layer tests: CSV/JSON/parquet readers, remote-CSV seeding
+(file:// path), JDBC option building (no live DB — plan-level checks),
+index→layout hint mapping, registry dispatch."""
+
+from __future__ import annotations
+
+import csv as csvmod
+
+import pytest
+
+from python_openetl_spark.sources import files, jdbc, registry
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "people.csv"
+    with open(p, "w", newline="") as f:
+        w = csvmod.writer(f)
+        w.writerows([("id", "name", "signed_up_at"), (1, "ada", "2024-01-02 03:04:05"), (2, "bob", "bogus")])
+    return str(p)
+
+
+def test_read_csv_infers_schema(spark, csv_file):
+    df = files.read_csv(spark, csv_file)
+    assert df.count() == 2
+    assert dict(df.dtypes)["id"] == "int"
+
+
+def test_seed_from_remote_csv_file_url(spark, csv_file, tmp_path):
+    got = files.seed_from_remote_csv(
+        spark, f"file://{csv_file}", str(tmp_path / "seeded")
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["signed_up_at"] is not None  # parsed
+    assert rows[2]["signed_up_at"] is None  # coerced NULL (R11)
+
+
+def test_registry_dispatch(spark, csv_file):
+    assert registry.read(spark, {"format": "csv", "path": csv_file}).count() == 2
+    assert (
+        registry.read(spark, {"format": "parquet", "path": f"{SF_DIR}/nation.parquet"}).count() == 25
+    )
+    with pytest.raises(registry.SourceError, match="unknown source format"):
+        registry.read(spark, {"format": "nope"})
+    with pytest.raises(registry.SourceError, match="BigQuery"):
+        registry.read(spark, {"format": "bigquery", "table": "proj.ds.t"})
+
+
+def test_jdbc_scan_options(spark):
+    src = jdbc.JdbcSource(url="jdbc:postgresql://h:5432/db", user="u", password="p")
+    reader = jdbc.configure_table_scan(
+        spark.read, src, "orders",
+        partition_column="o_orderkey", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=64,
+    )
+    opts = reader._jreader.toString()  # smoke only: options applied without error
+    assert reader is not None and opts is not None
+
+
+def test_information_schema_sql():
+    q = jdbc.information_schema_query("orders")
+    assert "information_schema.columns" in q and "table_name = 'orders'" in q
+    q2 = jdbc.pg_indexes_query("orders", schema="s")
+    assert "pg_indexes" in q2 and "ORDER BY tablename, indexname" in q2
+
+
+def test_index_layout_hints():
+    ddls = [
+        'CREATE UNIQUE INDEX orders_pkey ON public.orders USING btree (id)',
+        'CREATE INDEX idx_date ON public.orders USING btree (o_orderdate, o_custkey)',
+    ]
+    hints = jdbc.index_layout_hints(ddls, pk="id")
+    assert hints["sort_within_partitions"] == ["o_orderdate", "o_custkey"]
