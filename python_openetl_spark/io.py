@@ -77,8 +77,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _nano_timestamp_columns(path):
         field = df.schema[col] if col in df.columns else None
         if field is not None and isinstance(field.dataType, T.LongType):
-            # epoch nanos → micros (truncating, matches DuckDB's ns→µs cast)
-            df = df.withColumn(col, F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long")))
+            # epoch nanos → micros. Integer `div`, NOT floor(x/1000): the
+            # double division loses precision at epoch-nano magnitude
+            # (2^53 < 1.7e18), which showed up as ±1µs vs DuckDB's cast.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

@@ -304,6 +304,129 @@ def q19_theta_join_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all subtotal combinations + grand total.
+    grouping() flags disambiguate real NULL keys from subtotal rows."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("price"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+def q21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: (status, priority) + (status) + () — the
+    general form behind rollup/cube, via the DataFrame API."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+    )
+
+
+def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, decimal-summed value per day.
+    The value list is explicit, so Spark skips the extra distinct-scan
+    job and the plan is a single partial-agg → shuffle → final-agg."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(dsum("value", 2))
+    )
+
+
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) of
+    order value per market segment; rounded so both engines' linear
+    interpolation compares stably."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(pct.getItem(0), 4).alias("p25"),
+            F.round(pct.getItem(1), 4).alias("p50"),
+            F.round(pct.getItem(2), 4).alias("p75"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+def q24_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent click at or
+    before it (operators/asof.py — union-merge shape: one shuffle on
+    user_id, per-key sort, running last(); no quadratic range join)."""
+    from python_openetl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(purchases, clicks, on="ts", by="user_id", seq_col="click_event_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_event_id").alias("click_event_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("asof_ts"))).alias("lag_micros"),
+    )
+
+
+def q25_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral 1→N expansion: posexplode of the tokenized document text
+    (the generator/flat-map shape; runs inside codegen, no UDF)."""
+    from python_openetl_spark.functions.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+
+
+def q26_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst decorrelates it into an
+    aggregate + join): orders above 2x their customer's average."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+          FROM v_orders i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def q27_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function coverage (R5/R11 generalized): truncation,
+    field extraction, interval arithmetic, date difference."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("week_start"),
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM-dd").alias("month_start"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.datediff(F.lit("2024-06-01").cast("date"), F.to_date("ts")).alias("days_to_jun1"),
+        F.date_format(F.col("ts") + F.expr("INTERVAL 90 MINUTES"), "yyyy-MM-dd HH:mm:ss").alias("plus90m"),
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -325,6 +448,14 @@ QUERIES = {
     "q17_having": q17_having,
     "q18_exists_subquery": q18_exists_subquery,
     "q19_theta_join_ranges": q19_theta_join_ranges,
+    "q20_cube": q20_cube,
+    "q21_grouping_sets": q21_grouping_sets,
+    "q22_pivot": q22_pivot,
+    "q23_percentiles": q23_percentiles,
+    "q24_asof_join": q24_asof_join,
+    "q25_lateral_explode": q25_lateral_explode,
+    "q26_scalar_subquery": q26_scalar_subquery,
+    "q27_date_functions": q27_date_functions,
 }
 
 ORACLE = {
@@ -478,5 +609,84 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band
+    """,
+    "q20_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) AS price,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q21_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    "q22_pivot": """
+        SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(24,2)) END) AS DOUBLE) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(24,2)) END) AS DOUBLE) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(24,2)) END) AS DOUBLE) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(24,2)) END) AS DOUBLE) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(24,2)) END) AS DOUBLE) AS view
+        FROM events GROUP BY 1
+    """,
+    "q23_percentiles": """
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+               ROUND(MIN(o_totalprice), 4) AS lo,
+               ROUND(MAX(o_totalprice), 4) AS hi
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "q24_asof_join": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT event_id, user_id, click_event_id, lag_micros FROM (
+          SELECT p.event_id, p.user_id, c.click_event_id,
+                 epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC NULLS LAST, c.click_event_id DESC NULLS LAST) AS rn
+          FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        ) WHERE rn = 1
+    """,
+    "q25_lateral_explode": """
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents
+        )
+        SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                                       i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+          FROM tk
+        )
+    """,
+    "q26_scalar_subquery": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)
+          FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+    """,
+    "q27_date_functions": """
+        SELECT event_id,
+               STRFTIME(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               STRFTIME(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+               CAST(year(ts) AS INT) AS yr,
+               CAST(month(ts) AS INT) AS mo,
+               CAST(dayofweek(ts) AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS INT) AS days_to_jun1,
+               STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m
+        FROM events
     """,
 }
