@@ -18,9 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from python_openetl_spark.workload import incremental, llm, relational, streaming_batch
+from python_openetl_spark.workload import incremental, llm, relational, streaming_batch, udf_surface
 
-_MODULES = (relational, incremental, llm, streaming_batch)
+_MODULES = (relational, incremental, llm, streaming_batch, udf_surface)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

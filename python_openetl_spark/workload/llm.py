@@ -154,6 +154,40 @@ def mm01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode plumbing end-to-end: binary payload → Arrow
+    batches → (width, height, channels, thumbnail). The deterministic
+    fake decoder derives dimensions from the content sha256, which DuckDB
+    reproduces with hex-substring arithmetic — so the whole decode
+    dataflow is value-hash oracle-checked, codec stub and all."""
+    from python_openetl_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    decoded = multimodal.decode_images(d, fake=True)
+    return decoded.select(
+        "doc_id", "width", "height", "channels",
+        F.lower(F.hex("thumbnail")).alias("thumb_hex"),
+    )
+
+
+def mm03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling 1→N expansion (video stub): one row per sampled
+    byte offset, via a computed-sequence posexplode."""
+    from python_openetl_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = multimodal.sample_frames(d, fake=True, every_n_bytes=64)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
 QUERIES = {
     "d01_exact_dedup": d01_exact_dedup,
     "d02_text_stats": d02_text_stats,
@@ -169,6 +203,8 @@ QUERIES = {
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
     "x04_lsh_cosine_pairs": x04_lsh_cosine_pairs,
     "mm01_binary_payload_stats": mm01_binary_payload_stats,
+    "mm02_image_decode": mm02_image_decode,
+    "mm03_frame_sample": mm03_frame_sample,
 }
 
 
@@ -347,5 +383,24 @@ ORACLE = {
                octet_length(encode(text)) AS n_bytes,
                sha256(text) AS content_sha256
         FROM documents
+    """,
+    "mm02_image_decode": """
+        WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents)
+        SELECT doc_id,
+               64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS width,
+               64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS height,
+               3 AS channels,
+               substr(hx, 1, 8) AS thumb_hex
+        FROM h
+    """,
+    "mm03_frame_sample": """
+        WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        o AS (SELECT doc_id, range(0, greatest(n - 1, 0) + 1, 64) AS offs FROM t)
+        SELECT doc_id, u.idx AS frame_idx, u.off AS byte_offset FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(offs) + 1),
+                                       i -> {'idx': (i - 1)::INT, 'off': offs[i]})) AS u
+          FROM o
+        )
     """,
 }

@@ -1,0 +1,119 @@
+"""UDF surface (SURVEY §2.3 last row): the engine's extension points,
+replacing the reference's "write raw SQL" escape hatch
+(`/root/reference/pyopenetl/operations.py:214-231`, execute_raw_sql).
+
+Three tiers, fastest → slowest, each demonstrated as an
+oracle-checkable query:
+
+- u01: **Arrow-batched scalar pandas_udf** — numpy over Arrow columns,
+  ~10-100x a row-at-a-time UDF; the right tier when built-in functions
+  can't express the math.
+- u02: **grouped-map applyInPandas** — whole-group pandas kernels
+  (normalization, per-group model scoring); one shuffle on the group
+  key, each group materialized as a pandas frame (groups must fit an
+  executor — fine for bounded-cardinality keys, NOT for power-law keys).
+- u03: **row-at-a-time Python UDF** — the slow path, kept for parity
+  and documented as such; serialization per row, never in a hot loop.
+
+Float policy: numpy/pandas use pairwise/BLAS summation while DuckDB
+folds sequentially, so double results are rounded (6 decimals) on both
+sides before comparison — rounding is part of the query contract here,
+not a test-side fudge.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from python_openetl_spark.workload.util import t
+
+
+def l2_norm_udf():
+    """Arrow-batched L2 norm over array<float> (float64 accumulate).
+    Built lazily — UDF registration needs an active SparkSession."""
+
+    @F.pandas_udf(DoubleType())
+    def _l2_norm(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(np.sqrt((mat * mat).sum(axis=1)))
+
+    return _l2_norm
+
+
+def u01_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(l2_norm_udf()(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+def u02_apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score via grouped-map applyInPandas (sample
+    stddev, ddof=1 — matching stddev_samp)."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - mu) / sd if sd and not math.isnan(sd) else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": z.round(6)}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, z double"
+    )
+
+
+def priority_rank_udf():
+    """Row-at-a-time parse of '1-URGENT' → 1 (slow-path tier demo)."""
+
+    @F.udf(IntegerType())
+    def _priority_rank(p):
+        if p is None:
+            return None
+        head = p.split("-", 1)[0]
+        return int(head) if head.isdigit() else None
+
+    return _priority_rank
+
+
+def u03_python_udf_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", priority_rank_udf()(F.col("o_orderpriority")).alias("prio_rank"))
+    )
+
+
+QUERIES = {
+    "u01_pandas_udf_norm": u01_pandas_udf_norm,
+    "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
+    "u03_python_udf_priority": u03_python_udf_priority,
+}
+
+ORACLE = {
+    "u01_pandas_udf_norm": """
+        SELECT vec_id, label,
+               ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+        FROM embeddings
+    """,
+    "u02_apply_in_pandas_zscore": """
+        SELECT event_id, event_type,
+               ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                     / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS z
+        FROM events
+    """,
+    "u03_python_udf_priority": """
+        SELECT o_orderkey,
+               CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_rank
+        FROM orders
+    """,
+}
