@@ -180,6 +180,91 @@ def lsh_cosine_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    1. pick ``nlist`` centroids deterministically (xxhash64-ordered
+       sample of the corpus — at real scale you'd refine with a few
+       k-means sweeps, same dataflow);
+    2. one corpus scan assigns every vector to its nearest centroid
+       (Arrow-batched numpy argmax — the cell id is 4 bytes per row);
+    3. each query probes only its ``nprobe`` nearest cells: the
+       (query, cell) pairs broadcast-join against the assigned corpus,
+       so the exact rerank touches ~``nprobe/nlist`` of the data
+       instead of all of it.
+
+    At 100 TB the assigned corpus is written partitioned/bucketed by
+    ``cell``, making step 3 a partition-pruned scan — the classic IVF
+    index, expressed as plain columnar layout + equi-join. Recall vs
+    exact search is tunable with nprobe (see tests/test_similarity.py).
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )
+    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+    qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
+    qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe = np.argsort(-(qnorm @ cnorm.T), axis=1)[:, :nprobe]
+    pairs = [(int(q), int(c)) for q, row in zip(qids, probe) for c in row]
+    probe_df = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, queries_pdf[vec_col])],
+        f"{query_id_col} long, __qv array<float>",
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def cosine_pairs_exact(
     corpus: DataFrame,
     *,

@@ -138,6 +138,19 @@ def x04_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-quantized approximate top-k (the ANN scale path: probe
+    nprobe/nlist of the corpus). Recall vs exact x01 is asserted in
+    tests; no SQL oracle by design (rows-only check)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return similarity.ivf_topk(emb, qpdf, k=5, nlist=16, nprobe=4)
+
+
 # --------------------------------------------------------------- multimodal --
 
 def mm01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,6 +215,7 @@ QUERIES = {
     "x02_cosine_pairs_exact": x02_cosine_pairs_exact,
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
     "x04_lsh_cosine_pairs": x04_lsh_cosine_pairs,
+    "x05_ivf_topk": x05_ivf_topk,
     "mm01_binary_payload_stats": mm01_binary_payload_stats,
     "mm02_image_decode": mm02_image_decode,
     "mm03_frame_sample": mm03_frame_sample,

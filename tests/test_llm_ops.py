@@ -76,6 +76,26 @@ def test_lsh_pairs_subset_of_exact(spark):
         assert len(approx_set) / len(exact_set) >= 0.5
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(emb, queries.toPandas(), k=5, nlist=16, nprobe=4).toPandas()
+    # per-query recall@5 vs the exact result
+    recalls = []
+    for qid in _QUERY_IDS:
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # probing all cells makes it exact
+    full = similarity.ivf_topk(emb, queries.toPandas(), k=5, nlist=16, nprobe=16).toPandas()
+    for qid in _QUERY_IDS:
+        assert set(full[full.query_id == qid].vec_id) == set(exact[exact.query_id == qid].vec_id)
+
+
 def test_multimodal_decode_stub(spark):
     docs = load_table(spark, SF_DIR, "documents").limit(20)
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
