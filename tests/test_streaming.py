@@ -58,6 +58,33 @@ def test_streaming_dedup_drops_replayed_keys(spark, tmp_path):
     assert got["c"] == got["d"] == ev.count()
 
 
+def test_stateful_running_totals(spark, tmp_path):
+    from python_openetl_spark.streaming.stateful import running_user_totals
+
+    ev = _events(spark).select("event_id", "user_id", "ts", "value")
+    stream = _replay_stream(spark, tmp_path, ev, chunks=3)
+    totals = running_user_totals(stream)
+    _run_to_completion(totals, "update", tmp_path, "stateful")
+    emitted = spark.sql("SELECT * FROM stateful").toPandas()
+    # state emits a row per (batch, key); final value = row with max n_events
+    final = emitted.sort_values("n_events").groupby("user_id").last()
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    final = final.sort_index()
+    assert (final.n_events == want.n_events).all()
+    assert (abs(final.total_value - want.total_value) < 1e-6).all()
+    assert (final.last_ts == want.last_ts).all()
+
+
 def test_foreachbatch_upsert_sink(spark, tmp_path):
     ev = _events(spark).select("event_id", "ts", "value")
     stream = _replay_stream(spark, tmp_path, ev, chunks=3)
