@@ -77,6 +77,21 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> 
     ).filter(F.col("__last").isNotNull()).drop("__last")
 
 
+#: Mersenne prime 2^31-1: universal-hash modulus. Products a*h stay
+#: below 2^62, so the whole MinHash family is exact 64-bit integer
+#: arithmetic in BOTH engines (Spark longs, DuckDB BIGINT).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman coefficients (a_k, b_k) for the
+    seeded permutation family h_k(x) = (a_k·x + b_k) mod P."""
+    return [
+        ((506_952_114 * (k + 1) + 12_345) % MINHASH_P, (40_503 * (k + 1) + 9_876) % MINHASH_P)
+        for k in range(num_hashes)
+    ]
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -88,40 +103,57 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Near-dup candidate pairs (a < b) via MinHash-LSH banding.
 
-    shingle → 16-hash MinHash signature → 4 bands of 4 rows → explode
-    band keys → self-join per (band, key). Probability a pair with
-    Jaccard j collides ≥ 1 band: 1-(1-j^4)^4 (the standard S-curve).
-    The join key is (band_index, 16-byte hash) — small and uniform, so
-    the shuffle is balanced even when documents are skewed in size.
+    shingle → one 60-bit base hash per shingle → 16 universal-hash
+    permutations (integer multiply-mod, not 16 separate md5 calls —
+    measured ~2x faster; Carter-Wegman is the standard min-wise family)
+    → min per permutation → 4 bands of 4 rows packed into two 62-bit
+    integer keys → self-join per (band, k1, k2). Probability a pair
+    with Jaccard j collides in ≥ 1 band: 1-(1-j^4)^4 (the S-curve).
+    The join key is (band, long, long) — small and uniform, so the
+    shuffle is balanced even when documents are skewed in size.
+
+    Formulation notes: explode-then-aggregate (one base hash per
+    (doc, shingle) row, min combined map-side). The array formulation
+    (minhash_signature + lsh_band_keys) is semantically identical but
+    Catalyst re-inlines the signature expression into every band key
+    (no CSE across higher-order functions) — measured 24x slower.
     """
     rows_per_band = num_hashes // num_bands
-    # Explode-then-aggregate formulation: one md5 per (doc, shingle, seed),
-    # min-combined map-side. The array formulation (minhash_signature +
-    # lsh_band_keys) is semantically identical but Catalyst re-inlines the
-    # whole signature expression into every band key (no CSE across
-    # higher-order functions) — measured 24x slower at sf0.1.
+    assert rows_per_band % 2 == 0, "band packing needs an even rows_per_band"
     sh_rows = _shingle_rows(df, text_col, id_col, shingle_n)
+    h = (token_hash60(F.col("shingle")) % MINHASH_P).alias("h")
+    hashed = sh_rows.select("doc", h)
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
-        for s in range(num_hashes)
+        F.min((F.lit(a_) * F.col("h") + F.lit(b_)) % MINHASH_P).alias(f"h{k}")
+        for k, (a_, b_) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sigs_wide = sh_rows.groupBy("doc").agg(*mins)
+    sigs_wide = hashed.groupBy("doc").agg(*mins)
+    half = rows_per_band // 2
+
+    def _pack(cols: list[str]) -> F.Column:
+        acc = F.col(cols[0])
+        for c in cols[1:]:
+            acc = acc * MINHASH_P + F.col(c)
+        return acc
+
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])).alias("key"),
+            _pack([f"h{b * rows_per_band + r}" for r in range(half)]).alias("k1"),
+            _pack([f"h{b * rows_per_band + r}" for r in range(half, rows_per_band)]).alias("k2"),
         )
         for b in range(num_bands)
     ]
     exploded = sigs_wide.select(
         "doc", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc", "bk.band", "bk.k1", "bk.k2")
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))

@@ -225,17 +225,33 @@ QUERIES = {
 # ------------------------------------------------------------------ oracles --
 
 def _minhash_sig_sql(num_hashes: int = 16) -> str:
-    mins = ",\n      ".join(
-        f"list_min(list_transform(sh, x -> md5('{s}:' || x)))" for s in range(num_hashes)
+    """Universal-hash MinHash signature columns h0..h{n-1} (mirrors
+    operators/dedup.minhash_coeffs — same 64-bit integer arithmetic)."""
+    from python_openetl_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    return ",\n      ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS h{k}"
+        for k, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
-    return f"[{mins}]"
 
 
 def _band_rows_sql(num_bands: int = 4, rows_per_band: int = 4) -> str:
-    """UNION ALL of one row per band: (doc, band, key)."""
+    """UNION ALL of one row per band: (doc, band, k1, k2) with the
+    rows packed into two base-P integers (mirrors the Spark side)."""
+    from python_openetl_spark.operators.dedup import MINHASH_P
+
+    half = rows_per_band // 2
+
+    def pack(cols: list[str]) -> str:
+        expr = cols[0]
+        for c in cols[1:]:
+            expr = f"({expr} * {MINHASH_P} + {c})"
+        return expr
+
     parts = [
-        f"SELECT doc_id AS doc, {b} AS band, "
-        f"md5(array_to_string(list_slice(sig, {b * rows_per_band + 1}, {(b + 1) * rows_per_band}), ',')) AS key "
+        f"SELECT doc, {b} AS band, "
+        f"{pack([f'h{b * rows_per_band + r}' for r in range(half)])} AS k1, "
+        f"{pack([f'h{b * rows_per_band + r}' for r in range(half, rows_per_band)])} AS k2 "
         f"FROM sigs"
         for b in range(num_bands)
     ]
@@ -327,11 +343,17 @@ ORACLE = {
         tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
         shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
         shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
-        sigs AS (SELECT doc_id, {_minhash_sig_sql(16)} AS sig FROM shf),
+        ex AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM shf),
+        hashed AS (
+          SELECT doc,
+                 (('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647)::BIGINT AS h
+          FROM ex
+        ),
+        sigs AS (SELECT doc, {_minhash_sig_sql(16)} FROM hashed GROUP BY doc),
         bands AS ({_band_rows_sql(4, 4)})
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+          ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc < b.doc
     """,
     "d07_ngram_jaccard_pairs": f"""
         WITH docs AS ({_TWINS_SQL}),
