@@ -427,6 +427,20 @@ def q27_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation (the 100 TB tier of q08/q23):
+    HyperLogLog++ distinct counts and quantile-sketch percentiles — one
+    pass, bounded memory, mergeable across partitions. No SQL oracle
+    (sketch internals are engine-specific); error bounds vs the exact
+    q08/q23 answers are asserted in tests/test_workload_semantics.py."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10_000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -456,6 +470,7 @@ QUERIES = {
     "q25_lateral_explode": q25_lateral_explode,
     "q26_scalar_subquery": q26_scalar_subquery,
     "q27_date_functions": q27_date_functions,
+    "q28_approx_aggs": q28_approx_aggs,
 }
 
 ORACLE = {
