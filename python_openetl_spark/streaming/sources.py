@@ -56,3 +56,15 @@ def read_file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+def read_rate_stream(
+    spark: SparkSession, *, rows_per_second: int = 100, num_partitions: int | None = None
+) -> DataFrame:
+    """Built-in rate source (columns: timestamp, value) — the
+    load-generator counterpart to the file replay source, for throughput
+    tests and demos of continuously-running queries."""
+    reader = spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second))
+    if num_partitions is not None:
+        reader = reader.option("numPartitions", str(num_partitions))
+    return reader.load()

@@ -167,6 +167,27 @@ def mm01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d10_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% hash sample (operators/sampling.py): membership
+    by content hash — reproducible under any partitioning or engine,
+    stable as the dataset grows (train/test hygiene)."""
+    from python_openetl_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_sample(d, "doc_id", 0.2)
+
+
+def d11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified rates: downsample the dominant language,
+    keep rare ones — the standard training-mix rebalancing shape."""
+    from python_openetl_spark.operators.sampling import stratified_hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.5}
+    )
+
+
 def mm02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing end-to-end: binary payload → Arrow
     batches → (width, height, channels, thumbnail). The deterministic
@@ -211,6 +232,8 @@ QUERIES = {
     "d07_ngram_jaccard_pairs": d07_ngram_jaccard_pairs,
     "d08_simhash": d08_simhash,
     "d09_simhash_near_pairs": d09_simhash_near_pairs,
+    "d10_hash_sample": d10_hash_sample,
+    "d11_stratified_sample": d11_stratified_sample,
     "x01_cosine_topk": x01_cosine_topk,
     "x02_cosine_pairs_exact": x02_cosine_pairs_exact,
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
@@ -389,6 +412,23 @@ ORACLE = {
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
         ) WHERE hamming <= 3
+    """,
+    "d10_hash_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5(':' || doc_id::VARCHAR), 1, 15))::UBIGINT % 10000 < 2000
+    """,
+    "d11_stratified_sample": """
+        WITH b AS (
+          SELECT doc_id, lang,
+                 (('0x' || substr(md5(':' || doc_id::VARCHAR), 1, 15))::UBIGINT % 10000)::BIGINT AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang FROM b
+        WHERE (lang = 'en' AND bucket < 2500)
+           OR (lang = 'de' AND bucket < 10000)
+           OR (lang = 'fr' AND bucket < 10000)
+           OR (lang = 'es' AND bucket < 5000)
+           OR (lang = 'zh' AND bucket < 5000)
     """,
     "x01_cosine_topk": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -441,6 +441,23 @@ def q28_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via clamped floor arithmetic (identical
+    double expressions on both engines — no width_bucket dependency).
+    One partial-agg shuffle on ≤ n_buckets keys."""
+    o = t(spark, sf_dir, "orders")
+    lo, hi, nb = 0.0, 500_000.0, 10
+    w = (hi - lo) / nb
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -471,6 +488,7 @@ QUERIES = {
     "q26_scalar_subquery": q26_scalar_subquery,
     "q27_date_functions": q27_date_functions,
     "q28_approx_aggs": q28_approx_aggs,
+    "q29_histogram": q29_histogram,
 }
 
 ORACLE = {
@@ -703,5 +721,12 @@ ORACLE = {
                CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS INT) AS days_to_jun1,
                STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m
         FROM events
+    """,
+    "q29_histogram": """
+        SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0), 0), 9) AS INT) AS bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1
     """,
 }
