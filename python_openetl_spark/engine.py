@@ -1,0 +1,130 @@
+"""The engine facade — the one-import public API (SURVEY §7).
+
+A user of the reference library drives three pipeline classes
+(`/root/reference/pyopenetl/pipelines.py:45-127`: Seed, Update,
+CrunchbaseFlatfile) plus raw-SQL escape hatches. Here the same surface
+is one object::
+
+    from python_openetl_spark import Engine
+
+    eng = Engine()                       # or Engine(spark) to bring your own
+    ds = eng.read({"format": "parquet", "path": ".../lineitem.parquet"})
+    ds.filter(...).select(...)           # Dataset wraps DataFrame, same verbs
+    eng.sql("SELECT ... FROM lineitem")  # SQL path over registered views
+
+    eng.seed(ds, "/tables/lineitem")               # C1 snapshot
+    eng.upsert_sync(src_df, "/tables/t", pk="id")  # C2 incremental
+    eng.ingest_tarball("dump.tar.gz", "/tables")   # C3 flat files
+    eng.safe_append(target, rows, pk="id")         # K6
+
+`Dataset` is a thin, transparent wrapper: every unknown attribute
+forwards to the underlying DataFrame (so the whole DataFrame API is the
+operator surface — SURVEY §2.3 row 1), plus the engine's own operators
+(dedup/similarity/sampling/asof/...) mounted as methods. `.df` exposes
+the raw DataFrame at any point; nothing is hidden.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_openetl_spark.plans.pipelines import (
+    ParquetTable,
+    SyncMetrics,
+    ingest_tarball,
+    seed,
+    upsert_sync,
+)
+from python_openetl_spark.session import get_spark, tune_session
+from python_openetl_spark.sources import registry
+
+
+class Dataset:
+    """A DataFrame plus the engine's operator surface.
+
+    Transparent: any DataFrame attribute/method works and returns
+    Datasets where it would return DataFrames.
+    """
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def __getattr__(self, name: str) -> Any:
+        attr = getattr(self.df, name)
+        if callable(attr):
+            def wrapped(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                return Dataset(out) if isinstance(out, DataFrame) else out
+
+            return wrapped
+        return Dataset(attr) if isinstance(attr, DataFrame) else attr
+
+    # --- engine operators mounted as methods --------------------------------
+    def exact_dedup_keep(self, text_col: str = "text", id_col: str = "doc_id") -> "Dataset":
+        from python_openetl_spark.operators.dedup import exact_dedup_keep
+
+        return Dataset(exact_dedup_keep(self.df, text_col, id_col))
+
+    def minhash_candidates(self, text_col: str = "text", id_col: str = "doc_id", **kw) -> "Dataset":
+        from python_openetl_spark.operators.dedup import minhash_lsh_candidates
+
+        return Dataset(minhash_lsh_candidates(self.df, text_col, id_col, **kw))
+
+    def hash_sample(self, key_col: str, fraction: float, **kw) -> "Dataset":
+        from python_openetl_spark.operators.sampling import hash_sample
+
+        return Dataset(hash_sample(self.df, key_col, fraction, **kw))
+
+    def asof_join(self, right: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.asof import asof_join
+
+        r = right.df if isinstance(right, Dataset) else right
+        return Dataset(asof_join(self.df, r, **kw))
+
+    def normalize_timestamps(self, **kw) -> "Dataset":
+        from python_openetl_spark.functions.normalize import normalize_timestamps
+
+        return Dataset(normalize_timestamps(self.df, **kw))
+
+
+class Engine:
+    """Session + sources + pipeline verbs in one handle."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = tune_session(spark) if spark is not None else get_spark()
+
+    # --- sources (S1-S8 via the registry) -----------------------------------
+    def read(self, spec: dict) -> Dataset:
+        return Dataset(registry.read(self.spark, spec))
+
+    def table(self, sf_dir: str, name: str) -> Dataset:
+        from python_openetl_spark.io import load_table
+
+        return Dataset(load_table(self.spark, sf_dir, name))
+
+    def sql(self, query: str) -> Dataset:
+        """The raw-SQL surface (K4) — parameterize via temp views."""
+        return Dataset(self.spark.sql(query))
+
+    # --- pipeline verbs (C1-C3, K6) -----------------------------------------
+    def seed(self, source: Dataset | DataFrame, dest: str, **kw) -> ParquetTable:
+        df = source.df if isinstance(source, Dataset) else source
+        return seed(df, dest, **kw)
+
+    def upsert_sync(self, source: Dataset | DataFrame, dest: str, **kw) -> SyncMetrics:
+        df = source.df if isinstance(source, Dataset) else source
+        return upsert_sync(self.spark, df, dest, **kw)
+
+    def ingest_tarball(self, tar_path: str, dest_dir: str, **kw) -> dict[str, ParquetTable]:
+        return ingest_tarball(self.spark, tar_path, dest_dir, **kw)
+
+    def safe_append(
+        self, target: Dataset | DataFrame, rows: Dataset | DataFrame, pk: str = "id"
+    ) -> Dataset:
+        from python_openetl_spark.operators.merge import safe_append
+
+        t = target.df if isinstance(target, Dataset) else target
+        r = rows.df if isinstance(rows, Dataset) else rows
+        return Dataset(safe_append(t, r, pk))

@@ -45,7 +45,10 @@ def exact_dedup(
 
 
 def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """The deduplicated dataset itself (smallest-id winner per group)."""
+    """The deduplicated dataset itself (smallest-id winner per group).
+
+    Assumes ``id_col`` is unique per row (the semi-join on keeper ids
+    cannot separate rows that share an id); pre-assign ids otherwise."""
     keepers = exact_dedup(df, text_col, id_col).select(F.col("keeper_id").alias(id_col))
     return df.join(keepers, on=id_col, how="left_semi")
 

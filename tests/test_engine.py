@@ -1,0 +1,56 @@
+"""Engine facade: source dispatch, Dataset transparency, pipeline verbs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.engine import Dataset, Engine
+from python_openetl_spark.operators.merge import PrimaryKeyConflict
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def eng(spark):
+    return Engine(spark)
+
+
+def test_read_and_dataset_transparency(eng):
+    ds = eng.read({"format": "parquet", "path": f"{SF_DIR}/nation.parquet"})
+    assert isinstance(ds, Dataset)
+    # DataFrame verbs chain and stay wrapped
+    out = ds.filter(F.col("n_regionkey") == 0).select("n_name").orderBy("n_name")
+    assert isinstance(out, Dataset)
+    assert out.count() == 5
+    # non-DataFrame returns pass through
+    assert isinstance(ds.columns, list)
+
+
+def test_sql_path(eng):
+    eng.table(SF_DIR, "nation").createOrReplaceTempView("e_nation")
+    assert eng.sql("SELECT count(*) c FROM e_nation").collect()[0]["c"] == 25
+
+
+def test_seed_and_upsert_verbs(eng, spark, tmp_path):
+    src = eng.table(SF_DIR, "events").limit(100).withColumnRenamed("event_id", "id")
+    src = src.withColumn("updated_at", F.col("ts"))
+    table = eng.seed(src, str(tmp_path / "t"))
+    assert table.read(spark).count() == 100
+    metrics = eng.upsert_sync(src, str(tmp_path / "t"), pk="id", ts_col="updated_at",
+                              anchor="2099-01-01 00:00:00", data_interval_hours=1)
+    assert metrics.rows_deleted == 0  # converged
+
+
+def test_operator_methods_and_safe_append(eng, spark):
+    docs = eng.table(SF_DIR, "documents")
+    sampled = docs.hash_sample("doc_id", 0.5)
+    assert 0 < sampled.count() < docs.count()
+    twins = docs.df.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    dupes = docs.unionByName(twins)
+    assert dupes.exact_dedup_keep().count() == docs.count()
+
+    target = spark.createDataFrame([(1, "a")], "id long, v string")
+    fresh = spark.createDataFrame([(2, "b")], "id long, v string")
+    assert eng.safe_append(target, fresh, pk="id").count() == 2
+    with pytest.raises(PrimaryKeyConflict):
+        eng.safe_append(target, target, pk="id")
