@@ -458,6 +458,65 @@ def q29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nation pairs by year.
+    Six-table join — supplier-side AND customer-side nation lookups (the
+    same dim broadcast twice under different aliases); Catalyst orders
+    the join tree, both nation/customer/supplier dims broadcast, the
+    lineitem⋈orders fact join is the only shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly revenue —
+    conditional decimal sum over total decimal sum (exact ratio
+    numerator/denominator, double division only at the end)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = vol.cast("decimal(24,6)")
+    target = F.when(F.col("n_name") == "NATION_3", dec).otherwise(
+        F.lit(0).cast("decimal(24,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(target).cast("double") / F.sum(dec).cast("double")).alias("mkt_share"),
+            F.sum(dec).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -489,6 +548,8 @@ QUERIES = {
     "q27_date_functions": q27_date_functions,
     "q28_approx_aggs": q28_approx_aggs,
     "q29_histogram": q29_histogram,
+    "q30_volume_shipping": q30_volume_shipping,
+    "q31_market_share": q31_market_share,
 }
 
 ORACLE = {
@@ -727,6 +788,35 @@ ORACLE = {
                COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total
         FROM orders
+        GROUP BY 1
+    """,
+    "q30_volume_shipping": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q31_market_share": """
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                             THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))
+                             ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
         GROUP BY 1
     """,
 }
