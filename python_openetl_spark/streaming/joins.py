@@ -1,0 +1,52 @@
+"""Streaming joins: stream-static enrichment and stream-stream
+interval joins with watermark-bounded state.
+
+- Stream-static: each micro-batch broadcast-joins the static dim —
+  no state, the streaming analogue of the engine's broadcast dim joins.
+- Stream-stream: both sides buffered in the state store; the event-time
+  range condition + watermarks bound how long either side waits, so
+  state size is O(rate × window), independent of stream lifetime. This
+  is the continuous version of the batch as-of/interval join
+  (operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_with_static(
+    stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Per-micro-batch broadcast join against a static dimension."""
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``(left_ts - max_delay,
+    left_ts]`` for the same key.
+
+    Both inputs MUST carry distinct timestamp column names. Watermarks
+    on both sides plus the two-sided time bound let Spark evict buffered
+    rows once they can no longer match — bounded state, late data
+    dropped per watermark.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[by] == r[by])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] > l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop(r[by])

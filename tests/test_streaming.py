@@ -85,6 +85,54 @@ def test_stateful_running_totals(spark, tmp_path):
     assert (final.last_ts == want.last_ts).all()
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    from python_openetl_spark.streaming.joins import enrich_with_static
+
+    ev = _events(spark).select("event_id", "ts", "event_type")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = _replay_stream(spark, tmp_path, ev, chunks=3)
+    enriched = enrich_with_static(stream, dim, "event_type")
+    _run_to_completion(enriched, "append", tmp_path, "enriched")
+    got = spark.sql("SELECT count(*) c, count(weight) w FROM enriched").collect()[0]
+    assert got["c"] == ev.count() and got["w"] == ev.count()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from python_openetl_spark.streaming.joins import interval_join
+
+    ev = _events(spark)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("r_ts")
+    )
+    ls = _replay_stream(spark, tmp_path / "l", purchases, chunks=2)
+    rs = _replay_stream(spark, tmp_path / "r", clicks, chunks=2).withColumnRenamed(
+        "event_id", "click_id"
+    )
+    clicks = clicks.withColumnRenamed("event_id", "click_id")
+    joined = interval_join(
+        ls, rs, by="user_id", left_ts="ts", right_ts="r_ts",
+        max_delay="1 hour", watermark="30 days",
+    )
+    _run_to_completion(joined, "append", tmp_path, "sjoin")
+    got = spark.sql("SELECT count(*) c FROM sjoin").collect()[0]["c"]
+    # batch equivalent of the same interval condition
+    want = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.r_ts") <= F.col("p.ts"))
+            & (F.col("c.r_ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .count()
+    )
+    assert got == want and want > 0
+
+
 def test_foreachbatch_upsert_sink(spark, tmp_path):
     ev = _events(spark).select("event_id", "ts", "value")
     stream = _replay_stream(spark, tmp_path, ev, chunks=3)
