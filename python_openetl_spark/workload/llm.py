@@ -188,6 +188,30 @@ def d11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs_with_twins(spark, sf_dir), "text", "doc_id", shingle_n=3, threshold=0.5
+    )
+
+
+def d12_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to duplicate clusters: iterative
+    large-star/small-star connected components (operators/cluster.py)
+    vs DuckDB's recursive-CTE transitive closure."""
+    from python_openetl_spark.operators.cluster import connected_components
+
+    return connected_components(_jaccard_pairs(spark, sf_dir))
+
+
+def d13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: corpus minus every clustered
+    doc except each cluster's min-id member (singletons untouched)."""
+    from python_openetl_spark.operators.cluster import canonicalize_corpus
+
+    docs = _docs_with_twins(spark, sf_dir)
+    return canonicalize_corpus(docs, _jaccard_pairs(spark, sf_dir), "doc_id")
+
+
 def mm02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing end-to-end: binary payload → Arrow
     batches → (width, height, channels, thumbnail). The deterministic
@@ -234,6 +258,8 @@ QUERIES = {
     "d09_simhash_near_pairs": d09_simhash_near_pairs,
     "d10_hash_sample": d10_hash_sample,
     "d11_stratified_sample": d11_stratified_sample,
+    "d12_dup_clusters": d12_dup_clusters,
+    "d13_canonical_corpus": d13_canonical_corpus,
     "x01_cosine_topk": x01_cosine_topk,
     "x02_cosine_pairs_exact": x02_cosine_pairs_exact,
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
@@ -302,6 +328,46 @@ def _simhash_sql(source_sql: str, bits: int = 60) -> str:
       SELECT doc_id, {assemble} AS simhash FROM votes
     """
 
+
+#: Exact n-gram Jaccard near-dup pairs over the twinned corpus (the d07
+#: oracle), shared verbatim by the d12/d13 cluster-resolution oracles.
+_JACCARD_PAIRS_SQL = f"""
+        WITH docs AS ({_TWINS_SQL}),
+        tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+        shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
+        shf AS (SELECT doc_id AS doc, sh FROM shx WHERE len(sh) > 0),
+        ex AS (SELECT DISTINCT doc, unnest(sh) AS shingle FROM shf),
+        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
+        common AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+"""
+
+#: Transitive closure of the near-dup graph → (id, min-reachable-id).
+#: DuckDB's recursive CTE is the SQL-side fixpoint that mirrors the
+#: engine's iterative large-star/small-star operator.
+_COMPONENTS_SQL = f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u
+        )
+        SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
 
 _LANG_CASES = []
 for _lang, _words in LANG_STOPWORDS.items():
@@ -378,24 +444,14 @@ ORACLE = {
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc < b.doc
     """,
-    "d07_ngram_jaccard_pairs": f"""
-        WITH docs AS ({_TWINS_SQL}),
-        tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
-        shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
-        shf AS (SELECT doc_id AS doc, sh FROM shx WHERE len(sh) > 0),
-        ex AS (SELECT DISTINCT doc, unnest(sh) AS shingle FROM shf),
-        sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
-        common AS (
-          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
-          GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
-        FROM common
-        JOIN sizes sa ON sa.doc = doc_a
-        JOIN sizes sb ON sb.doc = doc_b
-        WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+    "d07_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+    "d12_dup_clusters": _COMPONENTS_SQL,
+    "d13_canonical_corpus": f"""
+        WITH comp AS ({_COMPONENTS_SQL}),
+        docs AS ({_TWINS_SQL})
+        SELECT d.doc_id, d.text
+        FROM docs d LEFT JOIN comp ON d.doc_id = comp.id
+        WHERE comp.id IS NULL OR comp.id = comp.cluster_id
     """,
     "d08_simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
     "d09_simhash_near_pairs": f"""
