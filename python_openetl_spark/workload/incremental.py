@@ -88,12 +88,75 @@ def m05_temporal_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_T0 = "1998-06-01 00:00:00"
+_T1 = "2001-06-01 00:00:00"
+
+
+def _scd_delta(spark, sf_dir) -> DataFrame:
+    """Changed rows (doubled price) + brand-new rows (_delta) + an
+    unchanged echo slice that must merge as a no-op (pks % 7, strictly
+    before the overlap so no pk appears twice in the delta)."""
+    o = t(spark, sf_dir, "orders")
+    echo = o.filter(
+        (F.col("o_orderdate") < F.lit(_OVERLAP).cast("timestamp_ntz"))
+        & (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    return _delta(spark, sf_dir).unionByName(echo)
+
+
+def m06_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving type-2 merge: changed pks close their current
+    version and open a new one; unchanged echo rows are no-ops; new pks
+    insert open. Timestamps surfaced as epoch micros."""
+    from python_openetl_spark.operators.scd import scd2_init, scd2_merge
+
+    history = scd2_init(_target(spark, sf_dir), _T0)
+    out = scd2_merge(history, _scd_delta(spark, sf_dir), "o_orderkey", _T1)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def m07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance: fold the post-cutoff delta's
+    partial aggregates into the pre-cutoff rollup; equals a full
+    recompute over all orders (the oracle) at the cost of the delta."""
+    from python_openetl_spark.operators.rollup import incremental_rollup, partial_aggs
+
+    spec = {"o_orderkey": ["count"], "o_totalprice": ["sum", "max"]}
+    dec = lambda df: df.withColumn(  # noqa: E731 — decimal sums, order-independent
+        "o_totalprice", F.col("o_totalprice").cast("decimal(24,6)")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    base = dec(o.filter(F.col("o_orderdate") < cutoff))
+    delta_rows = dec(o.filter(F.col("o_orderdate") >= cutoff))
+    rollup = partial_aggs(base, ["o_custkey"], spec)
+    merged = incremental_rollup(rollup, delta_rows, ["o_custkey"], spec)
+    return merged.select(
+        "o_custkey",
+        F.col("count_o_orderkey").alias("n_orders"),
+        F.col("sum_o_totalprice").cast("double").alias("total_price"),
+        F.col("max_o_totalprice").cast("double").alias("max_price"),
+    )
+
+
 QUERIES = {
     "m01_merge_upsert": m01_merge_upsert,
     "m02_delta_dedup_latest": m02_delta_dedup_latest,
     "m03_propagate_deletes": m03_propagate_deletes,
     "m04_safe_append_conflicts": m04_safe_append_conflicts,
     "m05_temporal_delta": m05_temporal_delta,
+    "m06_scd2_merge": m06_scd2_merge,
+    "m07_incremental_rollup": m07_incremental_rollup,
 }
 
 _TARGET_SQL = f"""
@@ -135,5 +198,42 @@ ORACLE = {
     "m05_temporal_delta": """
         SELECT event_id, user_id, value FROM events
         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 72 HOURS
+    """,
+    "m06_scd2_merge": f"""
+        WITH target AS ({_TARGET_SQL}),
+        delta0 AS ({_DELTA_SQL}),
+        echo AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '{_OVERLAP}' AND o_orderkey % 7 = 0
+        ),
+        delta AS (SELECT * FROM delta0 UNION ALL SELECT * FROM echo),
+        changes AS (
+          SELECT d.* FROM delta d LEFT JOIN target t ON d.o_orderkey = t.o_orderkey
+          WHERE t.o_orderkey IS NULL
+             OR d.o_custkey IS DISTINCT FROM t.o_custkey
+             OR d.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+             OR d.o_totalprice IS DISTINCT FROM t.o_totalprice
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               epoch_us(valid_from) AS valid_from_us,
+               epoch_us(valid_to) AS valid_to_us, is_current
+        FROM (
+          SELECT t.*, TIMESTAMP '{_T0}' AS valid_from,
+                 TIMESTAMP '{_T1}' AS valid_to, FALSE AS is_current
+          FROM target t WHERE o_orderkey IN (SELECT o_orderkey FROM changes)
+          UNION ALL
+          SELECT t.*, TIMESTAMP '{_T0}', NULL, TRUE
+          FROM target t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+          UNION ALL
+          SELECT c.*, TIMESTAMP '{_T1}', NULL, TRUE FROM changes c
+        )
+    """,
+    "m07_incremental_rollup": """
+        SELECT o_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_price,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS max_price
+        FROM orders GROUP BY o_custkey
     """,
 }
