@@ -88,6 +88,41 @@ class ParquetTable:
         """DROP TABLE IF EXISTS parity (/root/reference/pyopenetl/operations.py:357-366)."""
         shutil.rmtree(self.path, ignore_errors=True)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        num_files: int | None = None,
+        target_rows_per_file: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Rewrite the table into ``num_files`` files (or sized by
+        ``target_rows_per_file``), atomically. Returns the file count.
+
+        The small-files problem is the chronic failure mode of
+        incremental pipelines (every merge_upsert/foreachBatch commit
+        adds files; scans then drown in per-file open costs). With
+        ``sort_by``, rows are range-partitioned and sorted within files,
+        so parquet row-group min/max statistics prune scans on those
+        columns — the Spark analogue of the reference's rebuild-indexes-
+        after-load step (/root/reference/pyopenetl/operations.py:461-471).
+        """
+        df = self.read(spark)
+        if num_files is None:
+            rows = df.count()
+            per = max(1, int(target_rows_per_file or 1_000_000))
+            num_files = max(1, -(-rows // per))
+        if sort_by:
+            out = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            out = df.repartition(num_files)
+        self.overwrite(out)
+        return sum(
+            1
+            for name in os.listdir(self.path)
+            if name.endswith(".parquet")
+        )
+
 
 def seed(
     df: DataFrame,

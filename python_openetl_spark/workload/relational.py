@@ -517,6 +517,33 @@ def q31_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profile.py): every column's null /
+    distinct / numeric-range stats from one aggregation pass."""
+    from python_openetl_spark.operators.profile import profile
+
+    return profile(t(spark, sf_dir, "customer"))
+
+
+def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q19 range join through the *shuffle* path
+    (operators/rangejoin.py): bin-quantized equi-join + exact re-check —
+    the plan that survives when both sides are too big to broadcast."""
+    from python_openetl_spark.operators.rangejoin import binned_interval_join
+
+    bands = spark.createDataFrame(
+        [(0.0, 100_000.0, "low"), (100_000.0, 300_000.0, "mid"), (300_000.0, 600_000.0, "high")],
+        "lo double, hi double, band string",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = binned_interval_join(
+        o, bands, "o_totalprice", "lo", "hi", bin_width=50_000.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total")
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -550,7 +577,27 @@ QUERIES = {
     "q29_histogram": q29_histogram,
     "q30_volume_shipping": q30_volume_shipping,
     "q31_market_share": q31_market_share,
+    "q32_profile": q32_profile,
+    "q33_binned_range_join": q33_binned_range_join,
 }
+
+_PROFILE_COLS = (
+    ("c_custkey", True),
+    ("c_name", False),
+    ("c_nationkey", True),
+    ("c_acctbal", True),
+    ("c_mktsegment", False),
+)
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+        COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+        COUNT(DISTINCT {c}) AS n_distinct,
+        {f'CAST(MIN({c}) AS DOUBLE)' if num else 'NULL::DOUBLE'} AS min_value,
+        {f'CAST(MAX({c}) AS DOUBLE)' if num else 'NULL::DOUBLE'} AS max_value
+        FROM customer"""
+    for c, num in _PROFILE_COLS
+)
 
 ORACLE = {
     "q00_full_scan": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -803,6 +850,17 @@ ORACLE = {
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
+    """,
+    "q32_profile": _PROFILE_SQL,
+    "q33_binned_range_join": """
+        WITH bands(lo, hi, band) AS (
+          VALUES (0.0, 100000.0, 'low'), (100000.0, 300000.0, 'mid'),
+                 (300000.0, 600000.0, 'high')
+        )
+        SELECT band, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
     """,
     "q31_market_share": """
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
