@@ -88,6 +88,39 @@ class Dataset:
 
         return Dataset(normalize_timestamps(self.df, **kw))
 
+    def dedup_clusters(self, src_col: str = "doc_a", dst_col: str = "doc_b", **kw) -> "Dataset":
+        """Resolve near-dup *pairs* (this Dataset) into duplicate clusters."""
+        from python_openetl_spark.operators.cluster import connected_components
+
+        return Dataset(connected_components(self.df, src_col, dst_col, **kw))
+
+    def canonicalize(self, pairs: "Dataset | DataFrame", id_col: str = "doc_id", **kw) -> "Dataset":
+        """Drop every clustered duplicate except each cluster's min-id row."""
+        from python_openetl_spark.operators.cluster import canonicalize_corpus
+
+        p = pairs.df if isinstance(pairs, Dataset) else pairs
+        return Dataset(canonicalize_corpus(self.df, p, id_col, **kw))
+
+    def scd2_merge(self, delta: "Dataset | DataFrame", pk, as_of, **kw) -> "Dataset":
+        from python_openetl_spark.operators.scd import scd2_merge
+
+        d = delta.df if isinstance(delta, Dataset) else delta
+        return Dataset(scd2_merge(self.df, d, pk, as_of, **kw))
+
+    def profile(self, cols: list[str] | None = None, **kw) -> "Dataset":
+        from python_openetl_spark.operators.profile import profile
+
+        return Dataset(profile(self.df, cols, **kw))
+
+    def range_join(
+        self, intervals: "Dataset | DataFrame", point_col: str,
+        start_col: str, end_col: str, **kw,
+    ) -> "Dataset":
+        from python_openetl_spark.operators.rangejoin import binned_interval_join
+
+        iv = intervals.df if isinstance(intervals, Dataset) else intervals
+        return Dataset(binned_interval_join(self.df, iv, point_col, start_col, end_col, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

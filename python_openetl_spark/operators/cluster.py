@@ -112,6 +112,13 @@ def connected_components(
 
     edges = edges.localCheckpoint(eager=True)
     prev = _sig(edges)
+    # right-size the loop: the edge set is tiny relative to the corpus
+    # (16 bytes/row), so run the iterations at ~1M edges per task instead
+    # of inheriting the corpus-sized partitioning — AQE coalesces the
+    # reduce sides, this trims the map sides (narrow, no shuffle).
+    want = max(1, min(edges.rdd.getNumPartitions(), prev[0] // 1_000_000 + 1))
+    if want < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(want)
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _sig(edges)

@@ -179,20 +179,31 @@ def ngram_jaccard_pairs(
     jaccard = common / (|A| + |B| - common). ``max_shingle_docs`` drops
     shingles shared by more than N docs before the join (stop-shingle
     cap — bounds the quadratic bucket blowup at scale; None = exact).
+
+    The distinct/join/groupBy chain runs on the shingles' 60-bit md5
+    hashes, not the strings — every exchange carries (long, long) rows
+    instead of ~30-byte text (the same fixed-width-shuffle-key rule as
+    the LSH operators), and the DuckDB oracle reproduces the identical
+    hash so the result stays value-checkable. A 60-bit collision inside
+    one document would need ~2^30 distinct shingles per doc to matter.
     """
-    sh = _shingle_rows(df, text_col, id_col, shingle_n).distinct()
+    sh = (
+        _shingle_rows(df, text_col, id_col, shingle_n)
+        .select("doc", token_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_docs is not None:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df_"))
             .filter(F.col("df_") <= max_shingle_docs)
-            .select("shingle")
+            .select("h")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(rare, "h", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -336,11 +336,16 @@ _JACCARD_PAIRS_SQL = f"""
         tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
         shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
         shf AS (SELECT doc_id AS doc, sh FROM shx WHERE len(sh) > 0),
-        ex AS (SELECT DISTINCT doc, unnest(sh) AS shingle FROM shf),
+        exs AS (SELECT doc, unnest(sh) AS shingle FROM shf),
+        ex AS (
+          SELECT DISTINCT doc,
+                 (('0x' || substr(md5(shingle), 1, 15))::UBIGINT)::BIGINT AS h
+          FROM exs
+        ),
         sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
         common AS (
           SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
-          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc < b.doc
+          FROM ex a JOIN ex b ON a.h = b.h AND a.doc < b.doc
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,

@@ -54,3 +54,26 @@ def test_operator_methods_and_safe_append(eng, spark):
     assert eng.safe_append(target, fresh, pk="id").count() == 2
     with pytest.raises(PrimaryKeyConflict):
         eng.safe_append(target, target, pk="id")
+
+
+def test_new_operator_methods(eng, spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    comps = Dataset(pairs).dedup_clusters()
+    assert {tuple(r) for r in comps.collect()} == {(1, 1), (2, 1), (3, 1)}
+
+    docs = spark.createDataFrame([(i, "x") for i in range(5)], "doc_id long, text string")
+    assert Dataset(docs).canonicalize(pairs).count() == 3
+
+    prof = Dataset(docs).profile()
+    assert {r["col_name"] for r in prof.collect()} == {"doc_id", "text"}
+
+    points = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    ivs = spark.createDataFrame([(0.0, 10.0, "a")], "lo double, hi double, nm string")
+    rj = Dataset(points).range_join(ivs, "x", "lo", "hi", bin_width=5.0)
+    assert rj.count() == 1
+
+    from python_openetl_spark.operators.scd import scd2_init
+    hist = Dataset(scd2_init(docs, "2024-01-01 00:00:00"))
+    delta = spark.createDataFrame([(0, "changed")], "doc_id long, text string")
+    merged = hist.scd2_merge(delta, "doc_id", "2024-02-01 00:00:00")
+    assert merged.count() == 6  # one closed + one opened version
