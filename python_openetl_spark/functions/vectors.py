@@ -56,3 +56,37 @@ def hyperplane_bucket(v: Column, planes: list[list[float]]) -> Column:
         bit = (dot(v, p) >= 0).cast("long")
         bucket = F.shiftleft(bucket, 1) + bit
     return bucket
+
+
+def l2_normalize(v: Column) -> Column:
+    """Unit-normalize an embedding (zero vectors pass through as-is).
+
+    Normalizing at ingest turns every cosine downstream into a plain
+    dot product — one multiply-add per dimension instead of three
+    aggregates per pair, the standard trick for similarity at scale.
+    """
+    n = norm(v)
+    return F.when(n == 0.0, _as_double(v)).otherwise(
+        F.transform(_as_double(v), lambda x: x / n)
+    )
+
+
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale, q) with
+    ``x ≈ scale * q``, q ∈ [-127, 127].
+
+    4x smaller embeddings = 4x less shuffle/storage for ANN at 100 TB;
+    scoring dequantizes on the fly (``dequantize_int8``) or works in
+    int8 domain with one final rescale. Deterministic round-half-up via
+    floor(x + 0.5), reproducible across engines.
+    """
+    vd = _as_double(v)
+    amax = F.array_max(F.transform(vd, F.abs))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    q = F.transform(vd, lambda x: F.floor(x / scale + 0.5).cast("tinyint"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qv: Column) -> Column:
+    """Inverse of quantize_int8: array<double> ≈ the original vector."""
+    return F.transform(qv["q"], lambda x: x.cast("double") * qv["scale"])

@@ -56,6 +56,21 @@ def _read_jdbc(spark: SparkSession, spec: dict) -> DataFrame:
     )
 
 
+def _read_orc(spark: SparkSession, spec: dict) -> DataFrame:
+    return spark.read.orc(spec["path"])
+
+
+def _read_avro(spark: SparkSession, spec: dict) -> DataFrame:
+    try:
+        return spark.read.format("avro").load(spec["path"])
+    except Exception as e:  # spark-avro module not on the classpath
+        raise SourceError(
+            "Avro source requires the spark-avro module "
+            "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark version>); "
+            f"underlying error: {e}"
+        ) from e
+
+
 def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
     reader = spark.read.format("bigquery")
     try:
@@ -72,6 +87,8 @@ READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "parquet": _read_parquet,
     "csv": _read_csv,
     "json": _read_json,
+    "orc": _read_orc,
+    "avro": _read_avro,
     "jdbc": _read_jdbc,
     "bigquery": _read_bigquery,
 }

@@ -151,6 +151,30 @@ def x05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, qpdf, k=5, nlist=16, nprobe=4)
 
 
+def x06_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization round-trip (functions/vectors.py):
+    per-vector symmetric scale + the max dequantization error — the 4x
+    shuffle/storage shrink for ANN at scale, value-checked against the
+    identical floor-arithmetic in DuckDB."""
+    from python_openetl_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    emb = t(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        quantize_int8(F.col("embedding")).alias("qv"),
+    )
+    return staged.select(
+        "vec_id",
+        F.col("qv.scale").alias("scale"),
+        F.array_max(
+            F.zip_with(
+                F.col("v"), dequantize_int8(F.col("qv")), lambda a, b: F.abs(a - b)
+            )
+        ).alias("max_err"),
+    )
+
+
 # --------------------------------------------------------------- multimodal --
 
 def mm01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +289,7 @@ QUERIES = {
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
     "x04_lsh_cosine_pairs": x04_lsh_cosine_pairs,
     "x05_ivf_topk": x05_ivf_topk,
+    "x06_quantize_embeddings": x06_quantize_embeddings,
     "mm01_binary_payload_stats": mm01_binary_payload_stats,
     "mm02_image_decode": mm02_image_decode,
     "mm03_frame_sample": mm03_frame_sample,
@@ -514,6 +539,25 @@ ORACLE = {
         FROM c a JOIN c b ON a.vec_id < b.vec_id
         WHERE list_dot_product(a.v, b.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+    "x06_quantize_embeddings": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS amax
+                FROM e)
+        ),
+        q AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(x / scale + 0.5)) AS qq
+          FROM s
+        )
+        SELECT vec_id, scale,
+               list_max(list_transform(range(1, len(v) + 1),
+                        i -> abs(v[i] - qq[i] * scale))) AS max_err
+        FROM q
     """,
     "mm01_binary_payload_stats": """
         SELECT doc_id,

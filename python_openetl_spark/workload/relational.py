@@ -544,6 +544,80 @@ def q33_binned_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over ALL customers —
+    the filter lives in the left join's ON clause (not a WHERE), so
+    zero-order customers survive into the c_count=0 bucket."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q35_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per finished order, the supplier holding the
+    strictly-latest ship date among multi-supplier orders — correlated
+    EXISTS (another supplier shipped on this order) and NOT EXISTS (any
+    other supplier shipped later), as semi/anti joins that shuffle on
+    the order key once each."""
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = t(spark, sf_dir, "lineitem").alias("l1")
+    l2 = t(spark, sf_dir, "lineitem").alias("l2")
+    l3 = t(spark, sf_dir, "lineitem").alias("l3")
+    cand = (
+        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q36_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers per segment —
+    scalar aggregate subquery (exact decimal average) as the threshold,
+    anti join against orders, then a grouped rollup."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    positive = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = positive.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(24,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("a")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    inactive = rich.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.withColumn("segment_bucket", F.col("c_custkey") % 7)
+        .groupBy("segment_bucket")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -579,6 +653,9 @@ QUERIES = {
     "q31_market_share": q31_market_share,
     "q32_profile": q32_profile,
     "q33_binned_range_join": q33_binned_range_join,
+    "q34_custdist": q34_custdist,
+    "q35_waiting_supplier": q35_waiting_supplier,
+    "q36_global_sales_opportunity": q36_global_sales_opportunity,
 }
 
 _PROFILE_COLS = (
@@ -850,6 +927,39 @@ ORACLE = {
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
+    """,
+    "q34_custdist": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "q35_waiting_supplier": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+    """,
+    "q36_global_sales_opportunity": """
+        SELECT c_custkey % 7 AS segment_bucket, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) / COUNT(c_acctbal)
+            FROM customer WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_custkey % 7
     """,
     "q32_profile": _PROFILE_SQL,
     "q33_binned_range_join": """

@@ -47,6 +47,14 @@ def test_registry_dispatch(spark, csv_file):
         registry.read(spark, {"format": "bigquery", "table": "proj.ds.t"})
 
 
+def test_registry_orc_roundtrip_and_avro_gate(spark, tmp_path):
+    path = str(tmp_path / "orc_tbl")
+    spark.range(50).withColumnRenamed("id", "k").write.orc(path)
+    assert registry.read(spark, {"format": "orc", "path": path}).count() == 50
+    with pytest.raises(registry.SourceError, match="Avro"):
+        registry.read(spark, {"format": "avro", "path": path})
+
+
 def test_jdbc_scan_options(spark):
     src = jdbc.JdbcSource(url="jdbc:postgresql://h:5432/db", user="u", password="p")
     reader = jdbc.configure_table_scan(
