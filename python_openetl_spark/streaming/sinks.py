@@ -20,6 +20,62 @@ from python_openetl_spark.operators.merge import merge_upsert
 from python_openetl_spark.plans.pipelines import ParquetTable
 
 
+class Scd2Sink:
+    """``writeStream.foreachBatch(Scd2Sink(table, pk, ts_col))`` —
+    streaming history-preserving dimension maintenance.
+
+    Each micro-batch is an SCD2 delta: changed keys close their current
+    version and open a new one stamped with the batch's max event time
+    (so versions carry *data* time, not processing time). Replay-safe
+    the same way as UpsertSink: a batch-id marker makes re-delivered
+    micro-batches no-ops, and scd2_merge itself ignores no-change rows.
+    """
+
+    def __init__(self, table: ParquetTable, pk: str, ts_col: str):
+        self.table = table
+        self.pk = pk
+        self.ts_col = ts_col
+
+    @property
+    def _marker_path(self) -> str:
+        return self.table.path + ".last_batch"
+
+    def _last_batch(self) -> int:
+        try:
+            with open(self._marker_path) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from python_openetl_spark.operators.scd import scd2_init, scd2_merge
+
+        if batch_id <= self._last_batch():
+            return
+        row = batch_df.agg(F.max(self.ts_col).alias("m")).collect()[0]
+        if row["m"] is None:
+            return  # empty micro-batch
+        as_of = row["m"]
+        # several events per key in one micro-batch: latest state wins
+        from python_openetl_spark.operators.merge import dedupe_latest
+
+        delta = dedupe_latest(batch_df, self.pk, self.ts_col).drop(self.ts_col)
+        spark = batch_df.sparkSession
+        if self.table.exists():
+            merged = scd2_merge(
+                self.table.read(spark), delta, self.pk, as_of, order_col=None
+            )
+        else:
+            merged = scd2_init(delta, as_of)
+        self.table.overwrite(merged)
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self._marker_path)
+
+
 class UpsertSink:
     """``writeStream.foreachBatch(UpsertSink(table, pk, order_col))``."""
 

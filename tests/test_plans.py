@@ -42,3 +42,29 @@ def test_star_join_broadcasts_dims(spark):
     plan = _plan(q04_revenue_by_nation(spark, SF_DIR))
     # customer, nation, region all broadcast; only the fact-fact join shuffles
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark):
+    from python_openetl_spark.workload.relational import q33_binned_range_join
+
+    plan = _plan(q33_binned_range_join(spark, SF_DIR))
+    # the whole point of binning: a hash equi-join on __bin with the
+    # exact range predicate as a residual — never a nested loop/cartesian
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_profile_is_single_aggregate_pass(spark):
+    from python_openetl_spark.workload.relational import q32_profile
+
+    plan = _plan(q32_profile(spark, SF_DIR))
+    # one scan of the table feeds every per-column stat
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_scd2_merge_single_pk_shuffle_broadcasts_small_delta(spark):
+    from python_openetl_spark.workload.incremental import m06_scd2_merge
+
+    plan = _plan(m06_scd2_merge(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

@@ -152,3 +152,40 @@ def test_foreachbatch_upsert_sink(spark, tmp_path):
     sink(ev.limit(5).withColumn("value", F.lit(-1.0)), batch_id=0)
     assert table.read(spark).count() == before
     assert table.read(spark).filter(F.col("value") == -1.0).count() == 0
+
+
+def test_foreachbatch_scd2_sink_builds_history(spark, tmp_path):
+    from python_openetl_spark.streaming.sinks import Scd2Sink
+
+    table = ParquetTable(str(tmp_path / "scd_tbl"))
+    sink = Scd2Sink(table, pk="user_id", ts_col="ts")
+    # per-user latest event_type as the tracked attribute, replayed in
+    # time order so later chunks carry genuine attribute changes
+    ev = (
+        _events(spark)
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("user_id") < 50)
+    )
+    path = stage_replay_dir(
+        ev, str(tmp_path / "scd_replay"), chunks=3,
+        order_col="ts", shuffle_time_order=False,
+    )
+    stream = read_file_stream(spark, path, ev.schema)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hist = table.read(spark)
+    users = ev.select("user_id").distinct().count()
+    # exactly one open version per user; closed history is consistent
+    cur = hist.filter("is_current")
+    assert cur.count() == users
+    assert hist.filter("NOT is_current AND valid_to IS NULL").count() == 0
+    assert hist.count() >= users
+    # replaying an old batch id is a no-op
+    before = hist.count()
+    sink(ev.withColumn("event_type", F.lit("bogus")), batch_id=0)
+    assert table.read(spark).count() == before
