@@ -118,6 +118,48 @@ def safe_append(target: DataFrame, rows: DataFrame, pk: str | list[str]) -> Data
     return target.unionByName(rows.select(*target.columns))
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, pk: str | list[str]
+) -> DataFrame:
+    """Change-data-capture feed from two snapshots: the new snapshot's
+    rows tagged ``change_type`` ∈ {I, U, D} (inserted / updated /
+    deleted keys; unchanged rows are omitted). Deleted keys carry the
+    OLD row's values.
+
+    This is the reference's whole update pipeline (delta upsert +
+    delete propagation, /root/reference/pyopenetl/operations.py:515-599)
+    inverted into a *produced* artifact: feed the I/U rows to
+    merge_upsert and the D keys to propagate_deletes, or publish the
+    feed itself (the Debezium-style contract). One full-outer join on
+    the pk — a single co-partitioned shuffle of both snapshots; change
+    detection is a null-safe column compare, no second pass.
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    vals = [c for c in new.columns if c not in keys]
+    differs = F.lit(False)
+    for c in vals:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+    # explicit presence markers: an all-NULL value row is still present
+    o_marked = old.select(*keys, F.lit(True).alias("__in_old"),
+                          *[F.col(c).alias(f"__old_{c}") for c in vals])
+    n_marked = new.select(*keys, F.lit(True).alias("__in_new"), *vals)
+    j = n_marked.join(o_marked, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    out_vals = [
+        F.when(F.col("__in_new").isNull(), F.col(f"__old_{c}")).otherwise(F.col(c)).alias(c)
+        for c in vals
+    ]
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, *out_vals, "change_type")
+    )
+
+
 def temporal_delta(df: DataFrame, ts_col: str, anchor, hours: int) -> DataFrame:
     """R5 incremental-read predicate: rows touched in the last N hours
     (/root/reference/pyopenetl/operations.py:539-540). ``anchor`` is an

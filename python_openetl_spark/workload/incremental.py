@@ -149,6 +149,29 @@ def m07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed between two snapshots (operators.merge.snapshot_diff):
+    pre-cutoff orders = old, overlap-modified + post-cutoff = new →
+    I/U/D rows from one full-outer pk join."""
+    from python_openetl_spark.operators.merge import snapshot_diff
+
+    old = _target(spark, sf_dir)
+    o = t(spark, sf_dir, "orders")
+    # new snapshot: keep pks % 3 != 0 (the rest "deleted"), double the
+    # price on pks % 5 == 0 ("updated"), plus all post-cutoff rows ("inserted")
+    kept = old.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserted = o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = kept.unionByName(inserted)
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 QUERIES = {
     "m01_merge_upsert": m01_merge_upsert,
     "m02_delta_dedup_latest": m02_delta_dedup_latest,
@@ -157,6 +180,7 @@ QUERIES = {
     "m05_temporal_delta": m05_temporal_delta,
     "m06_scd2_merge": m06_scd2_merge,
     "m07_incremental_rollup": m07_incremental_rollup,
+    "m08_snapshot_diff": m08_snapshot_diff,
 }
 
 _TARGET_SQL = f"""
@@ -228,6 +252,37 @@ ORACLE = {
           UNION ALL
           SELECT c.*, TIMESTAMP '{_T1}', NULL, TRUE FROM changes c
         )
+    """,
+    "m08_snapshot_diff": f"""
+        WITH old AS ({_TARGET_SQL}),
+        kept AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+          FROM old WHERE o_orderkey % 3 <> 0
+        ),
+        ins AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+        ),
+        new AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+               CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+               CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                    WHEN n.o_orderkey IS NULL THEN 'D'
+                    WHEN n.o_custkey IS DISTINCT FROM o.o_custkey
+                      OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                      OR n.o_totalprice IS DISTINCT FROM o.o_totalprice THEN 'U'
+               END AS change_type
+        FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+        WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                   WHEN n.o_orderkey IS NULL THEN 'D'
+                   WHEN n.o_custkey IS DISTINCT FROM o.o_custkey
+                     OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                     OR n.o_totalprice IS DISTINCT FROM o.o_totalprice THEN 'U'
+              END IS NOT NULL
     """,
     "m07_incremental_rollup": """
         SELECT o_custkey,

@@ -618,6 +618,45 @@ def q36_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence — lag() marks boundaries, a running sum numbers the
+    sessions, all inside ONE window partitioning (user_id); no extra
+    shuffle between the two window passes or the final groupBy."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+        dsum("value").alias("session_value"),
+    )
+
+
+def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) + per-metric aggregate: the
+    column-to-row transform a feature-store export needs."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -656,6 +695,8 @@ QUERIES = {
     "q34_custdist": q34_custdist,
     "q35_waiting_supplier": q35_waiting_supplier,
     "q36_global_sales_opportunity": q36_global_sales_opportunity,
+    "q37_sessionize": q37_sessionize,
+    "q38_unpivot": q38_unpivot,
 }
 
 _PROFILE_COLS = (
@@ -927,6 +968,36 @@ ORACLE = {
         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
         GROUP BY 1, 2, 3
+    """,
+    "q37_sessionize": """
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, value) AS gap_us
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts, value,
+                 SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, value
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS session_value
+        FROM s GROUP BY user_id, session_id
+    """,
+    "q38_unpivot": """
+        SELECT metric, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS total
+        FROM (
+          SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        ) GROUP BY metric
     """,
     "q34_custdist": """
         SELECT c_count, COUNT(*) AS custdist FROM (

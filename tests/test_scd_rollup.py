@@ -80,3 +80,46 @@ def test_incremental_rollup_matches_full_recompute(spark):
     want = {tuple(r) for r in full.collect()}
     assert got == want
     assert merged.filter("k = 'c'").count() == 1  # delta-only group appears
+
+
+def test_snapshot_diff_classifies_iud_and_omits_unchanged(spark):
+    from python_openetl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged -> omitted
+         (2, "B", 20.0),      # updated
+         (3, "c", 30.0),      # NULL -> value = updated
+         (5, "e", 50.0)],     # inserted; 4 deleted
+        "id long, s string, v double",
+    )
+    got = {r["id"]: (r["change_type"], r["s"], r["v"])
+           for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {
+        2: ("U", "B", 20.0),
+        3: ("U", "c", 30.0),
+        4: ("D", "d", 40.0),  # deleted rows carry OLD values
+        5: ("I", "e", 50.0),
+    }
+
+
+def test_snapshot_diff_roundtrips_through_merge(spark):
+    from python_openetl_spark.operators.merge import (
+        merge_upsert, propagate_deletes, snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, s string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"v{i}" if i % 4 else "CH") for i in range(5, 25)], "id long, s string"
+    )
+    feed = snapshot_diff(old, new, "id")
+    upserts = feed.filter("change_type != 'D'").drop("change_type")
+    merged = merge_upsert(old, upserts, "id")
+    kept, _deleted = propagate_deletes(merged, new, "id")
+    # applying the feed converges the target to the new snapshot
+    assert {tuple(r) for r in kept.collect()} == {tuple(r) for r in new.collect()}
