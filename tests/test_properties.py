@@ -96,3 +96,75 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         want = max(cands)[1] if cands else None
         assert out[lid] == want, (lid, out[lid], want)
     assert len(out) == len(lrows)
+
+
+_points = st.lists(
+    st.tuples(st.integers(0, 30), st.floats(-100, 100, allow_nan=False)),
+    max_size=15, unique_by=lambda t: t[0],
+)
+_intervals = st.lists(
+    st.tuples(st.floats(-100, 100, allow_nan=False), st.floats(0.1, 60),
+              st.integers(0, 100)),
+    max_size=8,
+)
+
+
+@given(points=_points, intervals=_intervals,
+       bin_width=st.sampled_from([3.0, 10.0, 47.5]))
+@_settings
+def test_binned_interval_join_matches_bruteforce(spark, points, intervals, bin_width):
+    from python_openetl_spark.operators.rangejoin import binned_interval_join
+
+    p_df = spark.createDataFrame(points, "pid long, x double")
+    iv = [(lo, lo + w, i) for lo, w, i in intervals]
+    iv_df = spark.createDataFrame(iv, "lo double, hi double, ivid long")
+    got = {
+        (r["pid"], r["ivid"])
+        for r in binned_interval_join(
+            p_df, iv_df, "x", "lo", "hi", bin_width=bin_width
+        ).collect()
+    }
+    want = {
+        (pid, ivid)
+        for pid, x in points
+        for lo, hi, ivid in iv
+        if lo <= x < hi
+    }
+    assert got == want
+
+
+_scd_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(-3, 3)), max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(snap=_scd_rows, d1=_scd_rows, d2=_scd_rows)
+@_settings
+def test_scd2_invariants_under_delta_sequences(spark, snap, d1, d2):
+    from python_openetl_spark.operators.scd import scd2_init, scd2_merge
+
+    schema = "id long, attr long"
+    hist = scd2_init(spark.createDataFrame(snap, schema), "2024-01-01 00:00:00")
+    for i, delta in enumerate((d1, d2)):
+        hist = scd2_merge(
+            hist, spark.createDataFrame(delta, schema), "id",
+            f"2024-02-0{i + 1} 00:00:00",
+        )
+    rows = hist.collect()
+    by_id: dict[int, list] = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    known = {pk for pk, _ in snap} | {pk for pk, _ in d1} | {pk for pk, _ in d2}
+    assert set(by_id) <= known
+    latest = {}
+    for pk, a in snap + d1 + d2:  # later deltas overwrite
+        latest[pk] = a
+    for pk, versions in by_id.items():
+        current = [v for v in versions if v["is_current"]]
+        assert len(current) == 1              # exactly one open version
+        assert current[0]["valid_to"] is None
+        closed = [v for v in versions if not v["is_current"]]
+        assert all(v["valid_to"] is not None for v in closed)
+        # the open version carries the latest delta state for this key
+        assert current[0]["attr"] == latest[pk]
