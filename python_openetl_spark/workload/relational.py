@@ -657,6 +657,123 @@ def q38_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer.
+    lineitem filters on l_returnflag at the scan (pushed), shuffles once
+    on orderkey against orders, once on custkey for the customer join —
+    both sides large at scale, so no broadcast; nation broadcasts.
+    Deterministic top-20 by (revenue desc, custkey)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")),
+              li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q40_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp fixture → cost modeled from
+    p_retailprice): profit per supplier-nation per year. lineitem joins
+    part on partkey and supplier on suppkey — both shuffle joins at scale
+    (AQE may downgrade to broadcast at small SF); nation broadcasts.
+    Grouping keys are low-cardinality → map-side partial aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+def q41_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items well below their part's
+    average order quantity. The per-part average is a partial-agg shuffle
+    on partkey; the join back to lineitem reuses that same partkey
+    partitioning (no extra exchange on the agg side). Brand filter is
+    pushed to the part scan; part→lineitem is an equi join Catalyst/AQE
+    sizes (broadcast at small SF, shuffle at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * davg("l_quantity", 2)).alias("half_avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q42_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold.
+    One partial-agg shuffle on orderkey with an aggregate HAVING filter
+    applied before the joins (shrinks the probe side to a handful of
+    keys), then joins back to orders/customer. Deterministic top-100."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 270)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q43_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: equi join on partkey with an OR-of-ANDs residual
+    predicate. The equi key keeps the join hash-based (no cartesian);
+    the disjunction stays a post-join filter inside the same codegen
+    stage. Per-branch quantity bounds are pushed to the lineitem scan
+    as a single OR range predicate."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(p, li.l_partkey == p.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(branch1 | branch2 | branch3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -697,6 +814,11 @@ QUERIES = {
     "q36_global_sales_opportunity": q36_global_sales_opportunity,
     "q37_sessionize": q37_sessionize,
     "q38_unpivot": q38_unpivot,
+    "q39_returned_item_revenue": q39_returned_item_revenue,
+    "q40_profit_by_nation_year": q40_profit_by_nation_year,
+    "q41_small_quantity_revenue": q41_small_quantity_revenue,
+    "q42_large_volume_orders": q42_large_volume_orders,
+    "q43_disjunctive_predicates": q43_disjunctive_predicates,
 }
 
 _PROFILE_COLS = (
@@ -1057,5 +1179,59 @@ ORACLE = {
         JOIN region   ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY 1
+    """,
+    "q39_returned_item_revenue": """
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q40_profit_by_nation_year": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+                             - 0.6*p_retailprice*l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_type IN ('PROMO', 'ECONOMY')
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "q41_small_quantity_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN (
+          SELECT l_partkey AS ap_partkey,
+                 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE)
+                        / COUNT(l_quantity)) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey
+        ) ON l_partkey = ap_partkey
+        WHERE p_brand = 'Brand#13' AND l_quantity < half_avg_qty
+    """,
+    "q42_large_volume_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 270
+        )
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q43_disjunctive_predicates": """
+        SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
     """,
 }
