@@ -75,23 +75,71 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.unionAll(selfs).filter(F.col("src") != F.col("dst")).distinct()
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact components on the driver: union-find with union-by-min root
+    and path compression over the collected (src, dst) longs.
+
+    Only called when the edge set is small (see ``driver_threshold``);
+    one Arrow collect of two long columns, O(E α(E)) locally, one
+    parallelize back. Returns (id, cluster_id) for every id in ``edges``.
+    """
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # attach the larger root under the smaller → root IS min id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    members = set(map(int, pdf["src"])) | set(map(int, pdf["dst"]))
+    rows = [(m, find(m)) for m in members]
+    return edges.sparkSession.createDataFrame(rows, "id long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     *,
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve candidate pairs into components: (id, cluster_id) for every
     id appearing in ``pairs``, where cluster_id = the component's min id.
 
-    Alternates large-star/small-star until the canonical edge set is
-    stable (checked with two cheap aggregates: count + order-insensitive
-    hash-sum, not a full set compare). Raises if ``max_iter`` rounds do
-    not converge — at O(log² n) convergence, 25 rounds covers any
-    realistic graph (2^~40 nodes within constants).
+    Two-level strategy, chosen by measured edge count:
+
+    - **small graphs** (≤ ``driver_threshold`` edges, ≈32 MB of longs):
+      exact union-find on the driver. Candidate-pair graphs are sparse
+      by construction — LSH banding upstream bounds the collision rate —
+      so even a 100 TB corpus usually lands here, and one collect beats
+      ~5 rounds × ~6 shuffles of tiny-data job-scheduling latency.
+    - **large graphs**: the alternating large-star/small-star loop,
+      which converges in O(log² n) rounds with 16-byte shuffle rows —
+      no single machine ever needs the edge set.
+
+    The loop stops when the canonical edge set is stable (two cheap
+    aggregates: count + order-insensitive hash-sum, not a full set
+    compare) and raises if ``max_iter`` rounds do not converge.
     """
-    raw = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # Materialize the candidate pairs ONCE: both `nodes` and `edges`
+    # derive from them, and upstream pair generation (shingle explode +
+    # LSH self-join) is the expensive part — without this checkpoint the
+    # nodes side would recompute that whole pipeline.
+    raw = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
     # nodes from the *raw* pairs: a self-loop contributes a singleton
     nodes = (
         raw.select(F.col("src").alias("id"))
@@ -112,6 +160,12 @@ def connected_components(
 
     edges = edges.localCheckpoint(eager=True)
     prev = _sig(edges)
+    if prev[0] <= driver_threshold:
+        labels = _driver_union_find(edges)
+        return (
+            nodes.join(labels, "id", "left")
+            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
+        )
     # right-size the loop: the edge set is tiny relative to the corpus
     # (16 bytes/row), so run the iterations at ~1M edges per task instead
     # of inheriting the corpus-sized partitioning — AQE coalesces the

@@ -35,12 +35,15 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 def _run(spark, edges):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {
-        (r["id"], r["cluster_id"])
-        for r in connected_components(pairs).collect()
-    }
     want = set(_union_find(edges).items())
-    assert got == want
+    # both strategies: driver union-find (default: small edge set) and
+    # the distributed star loop (forced via driver_threshold=0)
+    for thr in (2_000_000, 0):
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(pairs, driver_threshold=thr).collect()
+        }
+        assert got == want, f"driver_threshold={thr}"
 
 
 def test_long_chain_converges(spark):
@@ -91,4 +94,4 @@ def test_empty_pair_set_is_identity(spark):
 def test_nonconvergence_guard(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError):
-        connected_components(pairs, max_iter=0)
+        connected_components(pairs, max_iter=0, driver_threshold=0)
