@@ -774,6 +774,120 @@ def q43_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in a shipdate quarter. The
+    date range is pushed to the lineitem scan; part joins on partkey
+    (broadcast at small SF via AQE, shuffle at scale); both the CASE
+    numerator and the denominator fold into ONE partial aggregate —
+    a single pass, single shuffle of two decimal cells."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
+    )
+
+
+def q45_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max revenue in a quarter.
+    Per-supplier revenue is one partial-agg shuffle; the global max is a
+    single-row aggregate broadcast back against it (no second scan of
+    lineitem), then the supplier dim broadcasts. Exact decimal revenue
+    makes the double equality join deterministic."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("__mr"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("__mr"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q46_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp fixture → supplier-part pairs
+    synthesized as DISTINCT (l_partkey, l_suppkey) from lineitem): for
+    each filtered part, the best-acctbal supplier within one region.
+    The distinct is a map-side-combined shuffle on the pair; supplier/
+    nation/region dims broadcast; the per-part argmax is a window
+    row_number on the partkey partitioning the distinct already
+    established — no extra exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    eligible = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+    )
+    parts = p.filter((F.col("p_size").between(10, 30)) & (F.col("p_type") == "STANDARD"))
+    w = Window.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        eligible.join(F.broadcast(parts), eligible.ps_partkey == parts.p_partkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
+
+
+def q47_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame variety over one (custkey) partitioning: ntile,
+    percent_rank, first/last_value with explicit frames, a 3-row sliding
+    average, and lead — all computed in a single window exchange+sort
+    (every frame shares partition and order keys)."""
+    o = t(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    grow = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    slide = wo.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(wo).alias("quartile"),
+        F.round(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        F.first("o_totalprice").over(grow).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.round(F.avg("o_totalprice").over(slide), 4).alias("avg3_price"),
+        F.lead("o_orderkey", 1).over(wo).alias("next_orderkey"),
+    )
+
+
+def q48_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / sample stddev / sample covariance)
+    per market segment — single shuffle on the low-cardinality segment
+    key after a broadcast customer join; all moments merge partially
+    map-side. Rounded: moment merges are order-sensitive in the last
+    ulps under distribution."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_acctbal_corr"),
+        F.round(F.stddev_samp("o_totalprice"), 2).alias("price_stddev"),
+        F.round(F.covar_samp("o_totalprice", "c_acctbal") / F.lit(1e6), 4).alias("price_acctbal_covar_m"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -819,6 +933,11 @@ QUERIES = {
     "q41_small_quantity_revenue": q41_small_quantity_revenue,
     "q42_large_volume_orders": q42_large_volume_orders,
     "q43_disjunctive_predicates": q43_disjunctive_predicates,
+    "q44_promo_revenue": q44_promo_revenue,
+    "q45_top_supplier": q45_top_supplier,
+    "q46_best_supplier_per_part": q46_best_supplier_per_part,
+    "q47_window_frames": q47_window_frames,
+    "q48_stats_aggs": q48_stats_aggs,
 }
 
 _PROFILE_COLS = (
@@ -1233,5 +1352,64 @@ ORACLE = {
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q44_promo_revenue": """
+        SELECT 100.0
+               * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice*(1-l_discount)
+                                    ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    "q45_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "q46_best_supplier_per_part": """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, s_acctbal FROM (
+          SELECT p_partkey, p_brand, s_suppkey, s_name, n_name, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                    ORDER BY s_acctbal DESC, s_suppkey) AS rn
+          FROM ps
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          JOIN part     ON l_partkey = p_partkey
+          WHERE r_name = 'ASIA' AND p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
+        ) WHERE rn = 1
+    """,
+    "q47_window_frames": """
+        SELECT o_custkey, o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               FIRST_VALUE(o_totalprice) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+               LAST_VALUE(o_totalprice) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+               ROUND(AVG(o_totalprice) OVER
+                 (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3_price,
+               LEAD(o_orderkey, 1) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "q48_stats_aggs": """
+        SELECT c_mktsegment,
+               ROUND(CORR(o_totalprice, c_acctbal), 6) AS price_acctbal_corr,
+               ROUND(STDDEV_SAMP(o_totalprice), 2) AS price_stddev,
+               ROUND(COVAR_SAMP(o_totalprice, c_acctbal) / 1e6, 4) AS price_acctbal_covar_m,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
 }
