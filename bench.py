@@ -40,9 +40,26 @@ def main() -> None:
 
     for df in load_tables(spark, sf_dir).values():
         df.count()
-    warm = spark.range(1000).withColumn("k", F.col("id") % 7)
-    warm.join(warm.groupBy("k").count(), "k").count()
-    warm.select(F.explode(F.array(F.col("id"), F.col("k")))).count()
+    # synthetic-data shapes only (spark.range) — exercise each shared
+    # execution component once so per-query timings measure the query,
+    # not first-touch JIT of sorters/shuffle writers/window frames/hash
+    # exprs/Arrow codecs. Sized large enough (~1M rows) that the JVM
+    # actually compiles the hot loops, small enough to finish in seconds.
+    from pyspark.sql.window import Window
+
+    warm = spark.range(1_000_000).withColumn("k", F.col("id") % 512)
+    warm.join(warm.groupBy("k").count(), "k").count()                       # hash agg + shuffle join
+    warm.join(F.broadcast(spark.range(100)), "id", "left").count()          # broadcast join
+    warm.select(F.explode(F.array(F.col("id"), F.col("k")))).count()        # generate/explode
+    warm.select(F.md5(F.col("id").cast("string")).alias("m"),
+                F.xxhash64("id", "k"), F.sha2(F.col("k").cast("string"), 256)).count()  # hash exprs
+    wspec = Window.partitionBy("k").orderBy("id")
+    warm.select(F.row_number().over(wspec), F.lead("id", 1).over(wspec),
+                F.sum("id").over(wspec.rowsBetween(Window.unboundedPreceding, 0))).count()  # window sort/frames
+    warm.select("k", "id").distinct().count()                               # dedup exchange
+    warm.orderBy("k", "id").limit(10).count()                               # sort + topk
+    warm.localCheckpoint(eager=True).count()                                # checkpoint path
+    warm.limit(200_000).toPandas()                                          # Arrow collect
     warm.mapInPandas(lambda it: (pdf for pdf in it), schema="id long, k long").count()
     spark.range(100).select(F.udf(lambda x: x)(F.col("id"))).count()
 

@@ -75,15 +75,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbrs.unionAll(selfs).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(pdf, spark) -> DataFrame:
     """Exact components on the driver: union-find with union-by-min root
-    and path compression over the collected (src, dst) longs.
+    and path compression over collected (src, dst) longs.
 
     Only called when the edge set is small (see ``driver_threshold``);
     one Arrow collect of two long columns, O(E α(E)) locally, one
-    parallelize back. Returns (id, cluster_id) for every id in ``edges``.
-    """
-    pdf = edges.toPandas()
+    parallelize back. Returns (id, cluster_id) for every id appearing in
+    ``pdf`` — self-loops contribute singletons, so the caller needs no
+    follow-up node join."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -104,7 +104,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
                 parent[ra] = rb
     members = set(map(int, pdf["src"])) | set(map(int, pdf["dst"]))
     rows = [(m, find(m)) for m in members]
-    return edges.sparkSession.createDataFrame(rows, "id long, cluster_id long")
+    return spark.createDataFrame(rows, "id long, cluster_id long")
 
 
 def connected_components(
@@ -133,20 +133,30 @@ def connected_components(
     aggregates: count + order-insensitive hash-sum, not a full set
     compare) and raises if ``max_iter`` rounds do not converge.
     """
-    # Materialize the candidate pairs ONCE: both `nodes` and `edges`
-    # derive from them, and upstream pair generation (shingle explode +
-    # LSH self-join) is the expensive part — without this checkpoint the
-    # nodes side would recompute that whole pipeline.
+    # Materialize the candidate pairs ONCE: upstream pair generation
+    # (shingle explode + LSH self-join) is the expensive part — the
+    # checkpoint pins its output so neither the size probe nor the loop
+    # (nor the nodes side, in the distributed path) recomputes it.
     raw = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+
+    # Size probe + small-graph fast path in ONE job: collect up to
+    # threshold+1 raw pairs straight off the checkpoint. Candidate-pair
+    # graphs are sparse by construction (LSH banding bounds collision
+    # rates), so even a 100 TB corpus usually lands here — and the whole
+    # resolution is then checkpoint → one Arrow collect → union-find,
+    # with no per-round job-scheduling latency at all.
+    pdf = raw.limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
+        return _driver_union_find(pdf, raw.sparkSession)
+
     # nodes from the *raw* pairs: a self-loop contributes a singleton
     nodes = (
         raw.select(F.col("src").alias("id"))
         .unionAll(raw.select(F.col("dst").alias("id")))
         .distinct()
     )
-    edges = _canonical(raw)
 
     def _sig(e: DataFrame) -> tuple[int, int]:
         # decimal sum: exact + order-independent + cannot overflow under ANSI
@@ -158,14 +168,8 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    edges = edges.localCheckpoint(eager=True)
+    edges = _canonical(raw).localCheckpoint(eager=True)
     prev = _sig(edges)
-    if prev[0] <= driver_threshold:
-        labels = _driver_union_find(edges)
-        return (
-            nodes.join(labels, "id", "left")
-            .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
-        )
     # right-size the loop: the edge set is tiny relative to the corpus
     # (16 bytes/row), so run the iterations at ~1M edges per task instead
     # of inheriting the corpus-sized partitioning — AQE coalesces the

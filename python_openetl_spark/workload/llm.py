@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.functions.text import LANG_STOPWORDS
+from python_openetl_spark.functions.text import LANG_STOPWORDS, token_hash60, tokens
 from python_openetl_spark.operators import dedup, similarity, textops
 from python_openetl_spark.workload.util import t
 
@@ -236,6 +236,40 @@ def d13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_corpus(docs, _jaccard_pairs(spark, sf_dir), "doc_id")
 
 
+def d14_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fifth dedup family end-to-end: embedding-cosine near-dup
+    pairs (exact threshold, the x02 dataflow) resolved into duplicate
+    clusters — same component resolution d12 applies to n-gram Jaccard.
+    At scale the pair generator swaps for the LSH-bucketed variant
+    (lsh_cosine_pairs) with no change here."""
+    from python_openetl_spark.operators.cluster import connected_components
+
+    pairs = similarity.cosine_pairs_exact(t(spark, sf_dir, "embeddings"), threshold=0.45)
+    return connected_components(pairs, "id_a", "id_b")
+
+
+#: Rabin-Karp base/modulus: fold stays exact in 64-bit integer arithmetic
+#: in both engines (acc < 2^31, acc*B + h < 2^52).
+_RK_B = 1_000_003
+_RK_M = 2_147_483_647
+
+
+def d15_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: a Rabin-Karp polynomial
+    rolling hash folded over the token stream (complements d05's
+    order-insensitive md5 of normalized text — permuted token order
+    changes this one). Single scan, no shuffle; the fold is a JVM
+    higher-order ``aggregate``, one md5 per token."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    fold = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_RK_B) + token_hash60(x) % F.lit(_RK_M)) % F.lit(_RK_M),
+    )
+    return d.select("doc_id", fold.alias("rolling_fp"))
+
+
 def mm02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing end-to-end: binary payload → Arrow
     batches → (width, height, channels, thumbnail). The deterministic
@@ -284,6 +318,8 @@ QUERIES = {
     "d11_stratified_sample": d11_stratified_sample,
     "d12_dup_clusters": d12_dup_clusters,
     "d13_canonical_corpus": d13_canonical_corpus,
+    "d14_embedding_dup_clusters": d14_embedding_dup_clusters,
+    "d15_rolling_fingerprint": d15_rolling_fingerprint,
     "x01_cosine_topk": x01_cosine_topk,
     "x02_cosine_pairs_exact": x02_cosine_pairs_exact,
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
@@ -381,15 +417,16 @@ _JACCARD_PAIRS_SQL = f"""
         WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
 """
 
-#: Transitive closure of the near-dup graph → (id, min-reachable-id).
-#: DuckDB's recursive CTE is the SQL-side fixpoint that mirrors the
-#: engine's iterative large-star/small-star operator.
-_COMPONENTS_SQL = f"""
-        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+def _components_sql(pairs_sql: str, a_col: str, b_col: str) -> str:
+    """Transitive closure of a near-dup pair graph → (id, min-reachable-id).
+    DuckDB's recursive CTE is the SQL-side fixpoint that mirrors the
+    engine's connected-components operator."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
         edges AS (
-          SELECT doc_a AS u, doc_b AS v FROM pairs
+          SELECT {a_col} AS u, {b_col} AS v FROM pairs
           UNION
-          SELECT doc_b, doc_a FROM pairs
+          SELECT {b_col}, {a_col} FROM pairs
         ),
         reach(id, r) AS (
           SELECT u, u FROM (SELECT DISTINCT u FROM edges)
@@ -398,6 +435,9 @@ _COMPONENTS_SQL = f"""
         )
         SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
+
+
+_COMPONENTS_SQL = _components_sql(_JACCARD_PAIRS_SQL, "doc_a", "doc_b")
 
 _LANG_CASES = []
 for _lang, _words in LANG_STOPWORDS.items():
@@ -482,6 +522,28 @@ ORACLE = {
         SELECT d.doc_id, d.text
         FROM docs d LEFT JOIN comp ON d.doc_id = comp.id
         WHERE comp.id IS NULL OR comp.id = comp.cluster_id
+    """,
+    "d14_embedding_dup_clusters": _components_sql(
+        """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+        JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+          ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        """,
+        "id_a",
+        "id_b",
+    ),
+    "d15_rolling_fingerprint": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(toks,
+                     t -> (('0x' || substr(md5(t), 1, 15))::UBIGINT)::BIGINT % {_RK_M})),
+                 (acc, h) -> (acc * {_RK_B} + h) % {_RK_M}) AS rolling_fp
+        FROM tk
     """,
     "d08_simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
     "d09_simhash_near_pairs": f"""
