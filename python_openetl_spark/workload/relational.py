@@ -888,6 +888,43 @@ def q48_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via max_by/min_by aggregates — the scale
+    replacement for window row_number + filter rn=1: no per-partition
+    sort, map-side combinable, one shuffled row per group instead of
+    the whole partition. The exact-decimal composite key
+    (acctbal, custkey) makes ties deterministic across engines."""
+    c = t(spark, sf_dir, "customer")
+    key = F.col("c_acctbal").cast("decimal(18,2)") * F.lit(10_000_000) + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", key).alias("richest_customer"),
+        F.min_by("c_name", key).alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q50_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per-user trailing-1-hour
+    rolling sum/count. Range frames bound by *values*, not row offsets —
+    deterministic under timestamp ties (the frame always includes every
+    equal-ts row), so no unique tiebreak column is needed. One window
+    exchange + sort on (user_id, epoch)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(24,2)")).over(w).cast("double").alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
 QUERIES = {
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
@@ -938,6 +975,8 @@ QUERIES = {
     "q46_best_supplier_per_part": q46_best_supplier_per_part,
     "q47_window_frames": q47_window_frames,
     "q48_stats_aggs": q48_stats_aggs,
+    "q49_argmax_per_group": q49_argmax_per_group,
+    "q50_time_range_frame": q50_time_range_frame,
 }
 
 _PROFILE_COLS = (
@@ -1411,5 +1450,22 @@ ORACLE = {
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "q49_argmax_per_group": """
+        SELECT c_nationkey,
+               arg_max(c_name, c_acctbal::DECIMAL(18,2) * 10000000 + c_custkey) AS richest_customer,
+               arg_min(c_name, c_acctbal::DECIMAL(18,2) * 10000000 + c_custkey) AS poorest_customer,
+               MAX(c_acctbal) AS max_bal,
+               MIN(c_acctbal) AS min_bal,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q50_time_range_frame": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(24,2))) OVER w AS DOUBLE) AS trailing_1h_value,
+               COUNT(*) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY date_part('epoch', ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 }
