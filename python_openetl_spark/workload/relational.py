@@ -890,10 +890,11 @@ def q48_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q49_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-per-group via max_by/min_by aggregates — the scale
-    replacement for window row_number + filter rn=1: no per-partition
-    sort, map-side combinable, one shuffled row per group instead of
-    the whole partition. The exact-decimal composite key
-    (acctbal, custkey) makes ties deterministic across engines."""
+    replacement for window row_number + filter rn=1: the aggregate
+    combines map-side, so the exchange carries ONE row per group
+    instead of shipping every row to its window partition. The
+    exact-decimal composite key (acctbal, custkey) makes ties
+    deterministic across engines."""
     c = t(spark, sf_dir, "customer")
     key = F.col("c_acctbal").cast("decimal(18,2)") * F.lit(10_000_000) + F.col("c_custkey")
     return c.groupBy("c_nationkey").agg(

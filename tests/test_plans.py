@@ -68,3 +68,34 @@ def test_scd2_merge_single_pk_shuffle_broadcasts_small_delta(spark):
 
     plan = _plan(m06_scd2_merge(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_promo_revenue_pushes_date_range_and_broadcasts_part(spark):
+    from python_openetl_spark.workload.relational import q44_promo_revenue
+
+    plan = _plan(q44_promo_revenue(spark, SF_DIR))
+    # quarter bounds reach the lineitem scan; part joins hash-based
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_argmax_aggregate_combines_map_side(spark):
+    from python_openetl_spark.workload.relational import q49_argmax_per_group
+
+    plan = _plan(q49_argmax_per_group(spark, SF_DIR))
+    # partial max_by below the exchange: one shuffled row per group,
+    # not a window sort over the whole table
+    assert "partial_max_by" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_time_range_frame_single_window_exchange(spark):
+    from python_openetl_spark.workload.relational import q50_time_range_frame
+
+    plan = _plan(q50_time_range_frame(spark, SF_DIR))
+    # both frame aggregates share one window spec: one exchange, one sort
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window [") == 1, plan
+    assert "RangeFrame" in plan, plan
