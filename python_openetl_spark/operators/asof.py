@@ -38,14 +38,27 @@ def asof_join(
     by: str = "user_id",
     seq_col: str | None = None,
     right_prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Inclusive as-of join, backward (default) or forward.
 
     Returns every ``left`` row with ``{right_prefix}{col}`` columns from
-    the matched right row (NULL when no right row precedes it). ``on``
-    and ``by`` must exist in both inputs; ``seq_col`` (right side) breaks
-    timestamp ties deterministically (greatest wins).
+    the matched right row — the most recent right row at-or-before the
+    left timestamp (``direction="backward"``), or the earliest one
+    at-or-after it (``"forward"``); NULL when none exists. ``on`` and
+    ``by`` must exist in both inputs; ``seq_col`` (right side) breaks
+    timestamp ties deterministically (greatest wins). ``tolerance``
+    nulls out matches further than the given gap from the left row —
+    seconds when ``on`` is a timestamp, same units as ``on`` when it is
+    numeric (pandas ``merge_asof`` semantics, engine-side).
+
+    Both directions are the same union-merge dataflow: forward only
+    flips the traversal to descending time — still one shuffle + one
+    per-key sort, no plan-shape change.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     rpay_cols = [c for c in right.columns if c != by]
     seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
     l = left.select(
@@ -61,13 +74,25 @@ def asof_join(
     )
     l = l.withColumn("__rpay", F.lit(None).cast(r.schema["__rpay"].dataType.simpleString()))
     both = l.unionByName(r)
+    # traversal order: time toward the left row, rights (side 0) before
+    # lefts at equal timestamps (inclusive match), greater seq later so
+    # last() resolves right-side ties to the greatest seq
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__seq"))
+        .orderBy(t_order, F.col("__side"), F.col("__seq"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = both.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
     out = carried.filter(F.col("__side") == 1)
+    match = F.col("__match")
+    if tolerance is not None:
+        # cast("double") = epoch seconds (fractional) for timestamps,
+        # identity for numerics — one rule for both column classes
+        lt, rt = F.col("__t").cast("double"), F.col(f"__match.{on}").cast("double")
+        gap = (lt - rt) if direction == "backward" else (rt - lt)
+        match = F.when(gap <= F.lit(float(tolerance)), F.col("__match"))
     cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
-    cols += [F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in rpay_cols]
+    out = out.withColumn("__m2", match)
+    cols += [F.col(f"__m2.{c}").alias(f"{right_prefix}{c}") for c in rpay_cols]
     return out.select(*cols)
