@@ -87,11 +87,18 @@ def asof_join(
     out = carried.filter(F.col("__side") == 1)
     match = F.col("__match")
     if tolerance is not None:
-        # cast("double") = epoch seconds (fractional) for timestamps,
-        # identity for numerics — one rule for both column classes
-        lt, rt = F.col("__t").cast("double"), F.col(f"__match.{on}").cast("double")
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType)):
+            # exact integer micros — a double epoch-seconds compare has
+            # ~0.5µs of ulp error at 2024 epoch magnitudes
+            lt, rt = F.unix_micros(F.col("__t")), F.unix_micros(F.col(f"__match.{on}"))
+            tol = F.lit(int(round(float(tolerance) * 1_000_000)))
+        else:
+            lt, rt = F.col("__t").cast("double"), F.col(f"__match.{on}").cast("double")
+            tol = F.lit(float(tolerance))
         gap = (lt - rt) if direction == "backward" else (rt - lt)
-        match = F.when(gap <= F.lit(float(tolerance)), F.col("__match"))
+        match = F.when(gap <= tol, F.col("__match"))
     cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
     out = out.withColumn("__m2", match)
     cols += [F.col(f"__m2.{c}").alias(f"{right_prefix}{c}") for c in rpay_cols]

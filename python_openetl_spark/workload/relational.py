@@ -906,6 +906,30 @@ def q49_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance bound: for each purchase, the
+    user's EARLIEST click at-or-after it, dropped when more than one hour
+    later — attribution-window semantics. Same single-shuffle union-merge
+    dataflow as q24, traversed in descending time."""
+    from python_openetl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id")
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id", seq_col="click_event_id",
+        direction="forward", tolerance=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_event_id").alias("click_event_id"),
+        (F.unix_micros(F.col("asof_ts")) - F.unix_micros(F.col("ts"))).alias("lead_micros"),
+    )
+
+
 def q50_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE window frame over event time: per-user trailing-1-hour
     rolling sum/count. Range frames bound by *values*, not row offsets —
@@ -978,6 +1002,7 @@ QUERIES = {
     "q48_stats_aggs": q48_stats_aggs,
     "q49_argmax_per_group": q49_argmax_per_group,
     "q50_time_range_frame": q50_time_range_frame,
+    "q51_asof_forward_tolerance": q51_asof_forward_tolerance,
 }
 
 _PROFILE_COLS = (
@@ -1468,5 +1493,19 @@ ORACLE = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY date_part('epoch', ts)
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "q51_asof_forward_tolerance": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_event_id, user_id, ts FROM events WHERE event_type = 'click')
+        SELECT event_id, user_id,
+               CASE WHEN lead_micros <= 3600000000 THEN click_event_id END AS click_event_id,
+               CASE WHEN lead_micros <= 3600000000 THEN lead_micros END AS lead_micros
+        FROM (
+          SELECT p.event_id, p.user_id, c.click_event_id,
+                 epoch_us(c.ts) - epoch_us(p.ts) AS lead_micros,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts ASC NULLS LAST, c.click_event_id DESC NULLS LAST) AS rn
+          FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+        ) WHERE rn = 1
     """,
 }
