@@ -95,6 +95,7 @@ class ParquetTable:
         num_files: int | None = None,
         target_rows_per_file: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite the table into ``num_files`` files (or sized by
         ``target_rows_per_file``), atomically. Returns the file count.
@@ -112,7 +113,13 @@ class ParquetTable:
             rows = df.count()
             per = max(1, int(target_rows_per_file or 1_000_000))
             num_files = max(1, -(-rows // per))
-        if sort_by:
+        if zorder_by:
+            # multi-column skipping: files cover small hyper-rectangles in
+            # every z-ordered dimension (see plans/zorder.py)
+            from python_openetl_spark.plans.zorder import zorder_layout
+
+            out = zorder_layout(df, zorder_by, num_files=num_files)
+        elif sort_by:
             out = df.repartitionByRange(num_files, *sort_by).sortWithinPartitions(*sort_by)
         else:
             out = df.repartition(num_files)

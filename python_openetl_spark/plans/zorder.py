@@ -1,0 +1,89 @@
+"""Z-order (Morton) layout: multi-column data-skipping for parquet.
+
+Sorting a table by ONE column gives row-group min/max pruning on that
+column only; queries filtering the second column still scan everything.
+Interleaving the bit representations of several columns' quantile
+buckets produces a single sort key whose ordering clusters rows in ALL
+participating dimensions at once — after a ``repartitionByRange`` +
+``sortWithinPartitions`` on the z-key, every file covers a small
+hyper-rectangle, so min/max statistics prune scans on any filtered
+subset of the z-ordered columns. This is the multi-column analogue of
+the reference's rebuild-indexes-after-load step
+(/root/reference/pyopenetl/operations.py:461-471): a btree per column
+becomes one interleaved sort layout.
+
+Scale design (100 TB): bucket boundaries come from ``approxQuantile``
+on a sample (the same sampling contract Spark's own RangePartitioner
+uses) — one lightweight job, boundaries broadcast as a literal array.
+Bucket assignment is a JVM higher-order fold over that array (no Python,
+no per-row driver work), and the z-key is a fixed chain of shift/or
+terms — ``bits × n_cols`` integer ops per row inside codegen. No
+shuffle beyond the final range partitioning the rewrite needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, boundaries: list[float], bits: int) -> Column:
+    """Quantile-bucket index in [0, 2^bits): count boundaries <= value.
+
+    One literal array + one ``aggregate`` fold — compact in the plan
+    regardless of 2^bits (the memory-noted failure mode is thousands of
+    *separate* literal expressions, not one array literal).
+    """
+    arr = F.lit([float(b) for b in boundaries])
+    cnt = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
+    )
+    return F.least(cnt, F.lit((1 << bits) - 1))
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = 8,
+    relative_error: float = 0.001,
+) -> Column:
+    """Morton-interleaved sort key over ``cols`` (numeric), as a Column.
+
+    Each column is quantile-bucketed into ``2^bits`` ranks (boundaries
+    from ``approxQuantile`` — NULLs bucket to 0), then the buckets' bits
+    are interleaved LSB-first: bit ``j`` of column ``i`` lands at
+    position ``j * n_cols + i``. Total key width ``bits * n_cols`` must
+    fit a long (``bits * len(cols) <= 62``).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * n > 62:
+        raise ValueError(f"bits*len(cols) = {bits * n} exceeds 62-bit key budget")
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        boundaries = df.stat.approxQuantile(c, probs, relative_error)
+        # drop duplicate boundaries (low-cardinality cols) — buckets stay
+        # monotone, just fewer distinct values
+        uniq = sorted(set(boundaries))
+        b = _bucket(F.col(c).cast("double"), uniq, bits).cast("long")
+        for j in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(b, j).bitwiseAND(F.lit(1)), j * n + i
+            )
+    return key
+
+
+def zorder_layout(df: DataFrame, cols: list[str], *, num_files: int, bits: int = 8) -> DataFrame:
+    """Rewrite-ready DataFrame: range-partitioned and sorted by the
+    z-key (key column dropped after ordering — layout only)."""
+    keyed = df.withColumn("__zkey", zorder_key(df, cols, bits=bits))
+    return (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

@@ -91,3 +91,53 @@ def test_compact_sorted_layout_prunes(spark, tmp_path):
     spans = sorted([(r["lo"], r["hi"]) for r in spans])
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """After a z-order rewrite on (x, y), every file covers a small
+    rectangle in BOTH dimensions — the property single-column sort
+    cannot give (sorting by x leaves y's per-file range ≈ global)."""
+    path = str(tmp_path / "ztbl")
+    tbl = ParquetTable(path)
+    # 64x64 uniform grid, shuffled across 8 input files
+    df = spark.range(4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    tbl.overwrite(df.repartition(8))
+    n = tbl.compact(spark, num_files=32, zorder_by=["x", "y"])
+    assert n == 32
+    out = tbl.read(spark)
+    assert out.count() == 4096
+    spans = (
+        out.select("x", "y", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xr"),
+            (F.max("y") - F.min("y")).alias("yr"),
+        )
+        .collect()
+    )
+    avg_xr = sum(r["xr"] for r in spans) / len(spans)
+    avg_yr = sum(r["yr"] for r in spans) / len(spans)
+    # global range is 63 per dim; 32 z-ordered files of a 64x64 grid each
+    # cover ~1-2 morton tiles (≤ ~16x16 straddled bounding box). A
+    # single-column sort would leave the other dimension at ~63.
+    assert avg_xr < 0.5 * 63, (avg_xr, avg_yr)
+    assert avg_yr < 0.5 * 63, (avg_xr, avg_yr)
+
+
+def test_zorder_key_monotone_in_buckets(spark):
+    """Rows identical in all but one dimension order by that dimension
+    (bit interleaving preserves per-dimension monotonicity)."""
+    from python_openetl_spark.plans.zorder import zorder_key
+
+    df = spark.range(256).select(
+        F.col("id").cast("double").alias("x"),
+        F.lit(0.0).alias("y"),
+    )
+    keyed = df.withColumn("z", zorder_key(df, ["x", "y"], bits=4)).collect()
+    rows = sorted(keyed, key=lambda r: r["x"])
+    zs = [r["z"] for r in rows]
+    assert zs == sorted(zs)
