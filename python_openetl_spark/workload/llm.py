@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from python_openetl_spark.functions.text import LANG_STOPWORDS, token_hash60, tokens
 from python_openetl_spark.operators import dedup, similarity, textops
@@ -270,6 +271,47 @@ def d15_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fold.alias("rolling_fp"))
 
 
+def d16_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequencies, top-100 — the vocab-building
+    pass of a training pipeline. Explode → hash agg on the token (one
+    map-side-combined shuffle; tokens are short strings, bounded key
+    space) → deterministic top-k by (count desc, token)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(100)
+    )
+
+
+def d17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms. One explode feeds both the
+    per-(doc, token) term frequencies and (reusing that aggregate, not a
+    second corpus scan) the document frequencies; IDF joins back on the
+    token. Ranking uses the ROUNDED score in both engines so float ulp
+    differences in ln() can never flip a tie."""
+    d = t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "tok").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "tfidf", "rk")
+    )
+
+
 def mm02_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode plumbing end-to-end: binary payload → Arrow
     batches → (width, height, channels, thumbnail). The deterministic
@@ -320,6 +362,8 @@ QUERIES = {
     "d13_canonical_corpus": d13_canonical_corpus,
     "d14_embedding_dup_clusters": d14_embedding_dup_clusters,
     "d15_rolling_fingerprint": d15_rolling_fingerprint,
+    "d16_token_frequency": d16_token_frequency,
+    "d17_tfidf_top_terms": d17_tfidf_top_terms,
     "x01_cosine_topk": x01_cosine_topk,
     "x02_cosine_pairs_exact": x02_cosine_pairs_exact,
     "x03_cosine_topk_arrow": x03_cosine_topk_arrow,
@@ -544,6 +588,30 @@ ORACLE = {
                      t -> (('0x' || substr(md5(t), 1, 15))::UBIGINT)::BIGINT % {_RK_M})),
                  (acc, h) -> (acc * {_RK_B} + h) % {_RK_M}) AS rolling_fp
         FROM tk
+    """,
+    "d16_token_frequency": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+        SELECT tok, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest(toks) AS tok FROM tk)
+        GROUP BY tok
+        ORDER BY n_occurrences DESC, tok
+        LIMIT 100
+    """,
+    "d17_tfidf_top_terms": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tok, tf, tfidf, rk FROM (
+          SELECT tf.doc_id, tf.tok, tf.tf,
+                 ROUND(tf.tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY ROUND(tf.tf * ln((n_docs + 1.0) / (df + 1.0)), 6) DESC, tf.tok
+                 ) AS rk
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        ) WHERE rk <= 3
     """,
     "d08_simhash": _simhash_sql("SELECT doc_id, text FROM documents"),
     "d09_simhash_near_pairs": f"""
