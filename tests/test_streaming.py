@@ -189,3 +189,45 @@ def test_foreachbatch_scd2_sink_builds_history(spark, tmp_path):
     before = hist.count()
     sink(ev.withColumn("event_type", F.lit("bogus")), batch_id=0)
     assert table.read(spark).count() == before
+
+
+def test_stateful_v2_running_totals(spark, tmp_path):
+    import pytest
+
+    from python_openetl_spark.streaming.stateful_v2 import (
+        TRANSFORM_WITH_STATE_CONFS,
+        running_user_totals_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed (transformWithState state-server protocol)")
+
+    ev = _events(spark).select("event_id", "user_id", "value")
+    before = {k: spark.conf.get(k, None) for k in TRANSFORM_WITH_STATE_CONFS}
+    for k, v in TRANSFORM_WITH_STATE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        stream = _replay_stream(spark, tmp_path, ev, chunks=3)
+        totals = running_user_totals_v2(stream)
+        _run_to_completion(totals, "update", tmp_path, "stateful_v2")
+        emitted = spark.sql("SELECT * FROM stateful_v2").toPandas()
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # last emission per key must equal the batch aggregate
+    last = emitted.groupby("user_id").last()
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert (last["n_events"].sort_index() == want["n_events"].sort_index()).all()
+    import numpy as np
+    got_t = last["total_value"].sort_index().to_numpy()
+    want_t = want["total_value"].sort_index().to_numpy()
+    assert np.allclose(got_t, want_t, rtol=1e-9)
