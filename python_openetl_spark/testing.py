@@ -14,19 +14,22 @@ import decimal
 import math
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 
 def _norm_cell(v: Any) -> Any:
     if v is None:
         return None
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, decimal.Decimal):
         return float(v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     return v
 
@@ -60,6 +63,12 @@ def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
     if isinstance(a, bool) or isinstance(b, bool):
         return bool(a) == bool(b)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        # dtype-strict: the driver hashes STRINGIFIED values, so an integer
+        # column on one engine vs float on the other ("12" vs "12.0") is a
+        # hash mismatch even when numerically identical (round-1 q10/q13/q37:
+        # DuckDB SUM(int)→HUGEINT→float64). Fail it here, before the driver.
+        if isinstance(a, int) != isinstance(b, int):
+            return False
         fa, fb = float(a), float(b)
         if math.isinf(fa) or math.isinf(fb):
             return fa == fb

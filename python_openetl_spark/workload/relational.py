@@ -432,11 +432,16 @@ def q28_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     HyperLogLog++ distinct counts and quantile-sketch percentiles — one
     pass, bounded memory, mergeable across partitions. No SQL oracle
     (sketch internals are engine-specific); error bounds vs the exact
-    q08/q23 answers are asserted in tests/test_workload_semantics.py."""
+    q08/q23 answers are asserted in tests/test_workload_semantics.py.
+    Percentiles are flattened to scalar columns (not an array) so the
+    driver's rows-only canonicalizer can sort the result."""
     o = t(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10_000)
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10_000).alias("approx_pcts"),
+        pcts.getItem(0).alias("p25"),
+        pcts.getItem(1).alias("p50"),
+        pcts.getItem(2).alias("p75"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -950,7 +955,18 @@ def q50_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Insertion order is load-bearing: the driver's correctness gate checks the
+#: FIRST 50 entries of the aggregated ``queries()`` dict. ``workload/__init__``
+#: puts this module last, so only the head of this dict lands in the window —
+#: front-load the queries that most need a fresh driver row this round
+#: (round 1 reds q10/q13/q28/q37 + never-checked q50/q51).
 QUERIES = {
+    "q50_time_range_frame": q50_time_range_frame,
+    "q51_asof_forward_tolerance": q51_asof_forward_tolerance,
+    "q10_conditional_agg": q10_conditional_agg,
+    "q13_json_extract": q13_json_extract,
+    "q28_approx_aggs": q28_approx_aggs,
+    "q37_sessionize": q37_sessionize,
     "q00_full_scan": q00_full_scan,
     "q01_pricing_summary": q01_pricing_summary,
     "q02_delta_scan": q02_delta_scan,
@@ -961,10 +977,8 @@ QUERIES = {
     "q07_set_ops": q07_set_ops,
     "q08_distinct_counts": q08_distinct_counts,
     "q09_customers_without_orders": q09_customers_without_orders,
-    "q10_conditional_agg": q10_conditional_agg,
     "q11_string_functions": q11_string_functions,
     "q12_daily_rollup": q12_daily_rollup,
-    "q13_json_extract": q13_json_extract,
     "q14_in_list": q14_in_list,
     "q15_union_distinct": q15_union_distinct,
     "q16_rollup": q16_rollup,
@@ -979,7 +993,6 @@ QUERIES = {
     "q25_lateral_explode": q25_lateral_explode,
     "q26_scalar_subquery": q26_scalar_subquery,
     "q27_date_functions": q27_date_functions,
-    "q28_approx_aggs": q28_approx_aggs,
     "q29_histogram": q29_histogram,
     "q30_volume_shipping": q30_volume_shipping,
     "q31_market_share": q31_market_share,
@@ -988,7 +1001,6 @@ QUERIES = {
     "q34_custdist": q34_custdist,
     "q35_waiting_supplier": q35_waiting_supplier,
     "q36_global_sales_opportunity": q36_global_sales_opportunity,
-    "q37_sessionize": q37_sessionize,
     "q38_unpivot": q38_unpivot,
     "q39_returned_item_revenue": q39_returned_item_revenue,
     "q40_profit_by_nation_year": q40_profit_by_nation_year,
@@ -1001,8 +1013,6 @@ QUERIES = {
     "q47_window_frames": q47_window_frames,
     "q48_stats_aggs": q48_stats_aggs,
     "q49_argmax_per_group": q49_argmax_per_group,
-    "q50_time_range_frame": q50_time_range_frame,
-    "q51_asof_forward_tolerance": q51_asof_forward_tolerance,
 }
 
 _PROFILE_COLS = (
@@ -1107,7 +1117,7 @@ ORACLE = {
                CAST(SUM(CASE WHEN event_type = 'purchase'
                              THEN CAST(value AS DECIMAL(24,2))
                              ELSE CAST(0 AS DECIMAL(24,2)) END) AS DOUBLE) AS purchase_value,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
                MAX(CASE WHEN event_type = 'error' THEN value END) AS max_error_value
         FROM events GROUP BY user_id
     """,
@@ -1131,7 +1141,7 @@ ORACLE = {
     """,
     "q13_json_extract": """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
                COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high
         FROM events GROUP BY event_type
@@ -1290,7 +1300,7 @@ ORACLE = {
                          ROWS UNBOUNDED PRECEDING) AS session_id
           FROM g
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
                epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
                CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS session_value
         FROM s GROUP BY user_id, session_id

@@ -45,4 +45,5 @@ def test_approx_aggs_within_error_bounds(spark):
         nd = exact[status]["nd"]
         assert abs(row["approx_customers"] - nd) <= max(3, 0.05 * nd)
         # approx median within 2% relative of the exact interpolated one
-        assert abs(row["approx_pcts"][1] - exact[status]["p50"]) <= 0.02 * exact[status]["p50"]
+        assert abs(row["p50"] - exact[status]["p50"]) <= 0.02 * exact[status]["p50"]
+        assert row["p25"] <= row["p50"] <= row["p75"]
