@@ -291,15 +291,29 @@ def cosine_pairs_exact(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact all-pairs above a cosine threshold (the oracle/baseline
     path — O(n²), for modest n or ground-truthing the LSH variant).
+
+    ``max_rows`` guards the quadratic blowup: beyond it (10¹⁰ pairs)
+    this is the wrong tool at any cluster size — raise instead of
+    silently launching an O(n²) job; callers who truly want it pass
+    ``max_rows=None``. The scale path is :func:`lsh_cosine_pairs`.
 
     Plan shape matters: norms are computed once per row *before* the
     join (not once per pair — 3x the flops), and the streamed side of
     the broadcast nested-loop join is repartitioned so the O(n²) probe
     runs on all cores instead of one task. Same float results — the
     per-pair expression is unchanged, just hoisted."""
+    if max_rows is not None:
+        n = corpus.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs_exact is O(n²) and corpus has {n} rows "
+                f"(max_rows={max_rows}); use lsh_cosine_pairs for large "
+                f"corpora or pass max_rows=None to force the exact path"
+            )
     sel = corpus.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),

