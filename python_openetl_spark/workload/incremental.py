@@ -8,6 +8,8 @@ result; the oracle states the same semantics in ANSI SQL.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -172,6 +174,103 @@ def m08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "o_orderkey")
 
 
+def _tmp_table() -> "ParquetTable":
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    return ParquetTable(tempfile.mkdtemp(prefix="poe_roundtrip_") + "/t")
+
+
+def m09_seed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 end-to-end, driver-checkable: seed (drop → normalize → atomic
+    overwrite, plans/pipelines.seed — the reference's snapshot verb,
+    /root/reference/pyopenetl/pipelines.py:56) into a temp ParquetTable,
+    then read the table back. The source carries a string ``created_at``
+    with planted unparseable values, so the read-back result proves the
+    write path ran the NULL-on-failure timestamp coercion (R11)."""
+    from python_openetl_spark.plans.pipelines import seed
+
+    o = t(spark, sf_dir, "orders")
+    src = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("created_at"),
+    )
+    table = seed(src, _tmp_table())
+    return table.read(spark).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.unix_micros("created_at").alias("created_us"),
+    )
+
+
+def m10_upsert_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 end-to-end, driver-checkable: the reference's whole reason to
+    exist (/root/reference/pyopenetl/pipelines.py:94) — seed a stale
+    snapshot, then upsert_sync it against a moved-on source (delta read →
+    MERGE → delete propagation → atomic overwrite) and read the synced
+    table back. Updates double the price inside the delta window, new
+    pks insert, pks missing from the source (``% 13 == 0``) delete."""
+    from python_openetl_spark.plans.pipelines import seed, upsert_sync
+
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    stale = o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+        *cols, F.col("o_orderdate").alias("updated_at")
+    )
+    source = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.col("o_orderdate").alias("updated_at"),
+    )
+    table = seed(stale, _tmp_table())
+    # anchor - interval == _OVERLAP, so the delta window is [_OVERLAP, ∞)
+    upsert_sync(
+        spark,
+        source,
+        table,
+        pk="o_orderkey",
+        ts_col="updated_at",
+        anchor=_T1,
+        data_interval_hours=21168,  # 882 days: 1999-01-01 .. 2001-06-01
+    )
+    return table.read(spark).select(
+        *cols, F.unix_micros("updated_at").alias("updated_us")
+    )
+
+
+def m11_normalize_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 as a driver row: the reference's one real transform
+    (convert_column_types, /root/reference/pyopenetl/operations.py:120-128)
+    — ``*_at`` string columns coerce to timestamp with NULL on
+    unparseable/NULL input; ``flat_attribute`` ("_at" substring, not
+    suffix) must pass through untouched under the default suffix mode."""
+    from python_openetl_spark.functions.normalize import normalize_timestamps
+
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit("not a timestamp"))
+        .when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"))
+        .alias("created_at"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ingested_at"),
+        F.date_format("ts", "yyyy/MM").alias("flat_attribute"),
+    )
+    out = normalize_timestamps(src)
+    return out.select(
+        "event_id",
+        F.unix_micros("created_at").alias("created_us"),
+        F.unix_micros("ingested_at").alias("ingested_us"),
+        "flat_attribute",
+    )
+
+
 QUERIES = {
     "m01_merge_upsert": m01_merge_upsert,
     "m02_delta_dedup_latest": m02_delta_dedup_latest,
@@ -181,6 +280,9 @@ QUERIES = {
     "m06_scd2_merge": m06_scd2_merge,
     "m07_incremental_rollup": m07_incremental_rollup,
     "m08_snapshot_diff": m08_snapshot_diff,
+    "m09_seed_roundtrip": m09_seed_roundtrip,
+    "m10_upsert_sync_roundtrip": m10_upsert_sync_roundtrip,
+    "m11_normalize_timestamps": m11_normalize_timestamps,
 }
 
 _TARGET_SQL = f"""
@@ -290,5 +392,27 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS total_price,
                CAST(MAX(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS max_price
         FROM orders GROUP BY o_custkey
+    """,
+    "m09_seed_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               epoch_us(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                             ELSE date_trunc('second', o_orderdate) END) AS created_us
+        FROM orders
+    """,
+    "m10_upsert_sync_roundtrip": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderdate >= TIMESTAMP '{_OVERLAP}'
+                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+               epoch_us(o_orderdate) AS updated_us
+        FROM orders
+        WHERE o_orderkey % 13 <> 0
+    """,
+    "m11_normalize_timestamps": """
+        SELECT event_id,
+               epoch_us(CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0 THEN NULL
+                             ELSE date_trunc('second', ts) END) AS created_us,
+               epoch_us(CAST(strftime(ts, '%Y-%m-%d') AS TIMESTAMP)) AS ingested_us,
+               strftime(ts, '%Y/%m') AS flat_attribute
+        FROM events
     """,
 }
