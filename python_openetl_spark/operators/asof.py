@@ -48,7 +48,9 @@ def asof_join(
     left timestamp (``direction="backward"``), or the earliest one
     at-or-after it (``"forward"``); NULL when none exists. ``on`` and
     ``by`` must exist in both inputs; ``seq_col`` (right side) breaks
-    timestamp ties deterministically (greatest wins). ``tolerance``
+    timestamp ties deterministically (greatest wins; without one, ties
+    resolve by xxhash64 of the right row — arbitrary but reproducible
+    across runs and repartitionings). ``tolerance``
     nulls out matches further than the given gap from the left row —
     seconds when ``on`` is a timestamp, same units as ``on`` when it is
     numeric (pandas ``merge_asof`` semantics, engine-side).
@@ -60,7 +62,15 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     rpay_cols = [c for c in right.columns if c != by]
-    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
+    # no seq_col → content-derived tiebreaker: equal-timestamp right rows
+    # resolve by xxhash64 of the full right row, which is reproducible
+    # across runs, retries, and repartitionings (monotonically_increasing_id
+    # would depend on partition layout)
+    seq = (
+        F.col(seq_col).cast("long")
+        if seq_col
+        else F.xxhash64(*[F.col(c) for c in right.columns])
+    )
     l = left.select(
         F.col(by), F.col(on).alias("__t"), F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lpay"),

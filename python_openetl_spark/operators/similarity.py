@@ -91,7 +91,10 @@ def cosine_topk_arrow(
             for qi, qid in enumerate(qids):
                 col = sims[:, qi]
                 mask = ids != qid
-                cand_idx = np.argsort(-col[mask])[:k]
+                # lexsort (cos desc, id asc): ties at the k-th score must
+                # keep the smaller id so batch-level truncation agrees
+                # with the exact cosine_topk's global tie-break
+                cand_idx = np.lexsort((ids[mask], -col[mask]))[:k]
                 sel_ids = ids[mask][cand_idx]
                 yield pd.DataFrame(
                     {

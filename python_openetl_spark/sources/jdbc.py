@@ -74,6 +74,13 @@ def configure_table_scan(
     for k, v in source.reader_options().items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # without this, str(None) reaches the JDBC reader and dies at
+            # load() with an opaque JVM NumberFormatException
+            raise ValueError(
+                "partition_column requires both lower_bound and upper_bound "
+                "(derive them with e.g. SELECT min(col), max(col) via read_query)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -104,10 +111,25 @@ def read_query(spark: SparkSession, source: JdbcSource, query: str, **kw) -> Dat
 
 # --- catalog scans (S5/S6) ----------------------------------------------------
 
+import re as _re
+
+_IDENTIFIER = _re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+
+
+def _checked_identifier(name: str, what: str) -> str:
+    """Identifiers are interpolated into catalog SQL as string literals;
+    reject anything outside the unquoted-Postgres-identifier charset so a
+    quote in an (untrusted) name can't break out of the literal."""
+    if not _IDENTIFIER.match(name):
+        raise ValueError(f"invalid {what} identifier: {name!r}")
+    return name
+
+
 def information_schema_query(table: str, schema: str = "public") -> str:
     """Column-catalog scan (S5, `operations.py:271-281`) — pushed to the
     database via read_query; the result feeds
     functions.normalize.schema_from_pg."""
+    table, schema = _checked_identifier(table, "table"), _checked_identifier(schema, "schema")
     return (
         "SELECT column_name, data_type FROM information_schema.columns "
         f"WHERE table_schema = '{schema}' AND table_name = '{table}'"
@@ -118,6 +140,7 @@ def pg_indexes_query(table: str, schema: str = "public") -> str:
     """Index-catalog scan (S6, `operations.py:381-392`). The engine maps
     index DDL to write-layout (partition/bucket/sort) instead of btrees —
     see plans.pipelines.seed and index_layout_hints."""
+    table, schema = _checked_identifier(table, "table"), _checked_identifier(schema, "schema")
     return (
         "SELECT tablename, indexname, indexdef FROM pg_indexes "
         f"WHERE schemaname = '{schema}' AND tablename = '{table}' "

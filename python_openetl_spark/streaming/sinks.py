@@ -29,6 +29,13 @@ class Scd2Sink:
     (so versions carry *data* time, not processing time). Replay-safe
     the same way as UpsertSink: a batch-id marker makes re-delivered
     micro-batches no-ops, and scd2_merge itself ignores no-change rows.
+
+    Scope: the marker is a driver-local file beside the table path —
+    valid exactly where ParquetTable itself is (single driver host,
+    POSIX filesystem; see its docstring). On an object store or a
+    cluster whose driver can restart elsewhere, swap ParquetTable for a
+    Delta/Iceberg table whose commit log carries the batch id (the
+    ``txnAppId``/``txnVersion`` pattern) — the merge logic is unchanged.
     """
 
     def __init__(self, table: ParquetTable, pk: str, ts_col: str):
@@ -77,7 +84,13 @@ class Scd2Sink:
 
 
 class UpsertSink:
-    """``writeStream.foreachBatch(UpsertSink(table, pk, order_col))``."""
+    """``writeStream.foreachBatch(UpsertSink(table, pk, order_col))``.
+
+    Replay guard scope: same as Scd2Sink — the batch-id marker lives on
+    the driver-local filesystem beside the table, matching ParquetTable's
+    single-host POSIX scope; use a transactional table format for the
+    marker on clusters with relocatable drivers or object-store URIs.
+    """
 
     def __init__(self, table: ParquetTable, pk: str, order_col: str | None = None):
         self.table = table

@@ -66,11 +66,27 @@ def test_jdbc_scan_options(spark):
     assert reader is not None and opts is not None
 
 
+def test_jdbc_partition_column_requires_bounds(spark):
+    src = jdbc.JdbcSource(url="jdbc:postgresql://h:5432/db")
+    with pytest.raises(ValueError, match="lower_bound and upper_bound"):
+        jdbc.configure_table_scan(
+            spark.read, src, "orders", partition_column="o_orderkey"
+        )
+
+
 def test_information_schema_sql():
     q = jdbc.information_schema_query("orders")
     assert "information_schema.columns" in q and "table_name = 'orders'" in q
     q2 = jdbc.pg_indexes_query("orders", schema="s")
     assert "pg_indexes" in q2 and "ORDER BY tablename, indexname" in q2
+
+
+def test_catalog_queries_reject_hostile_identifiers():
+    for bad in ("ord'ers", 'o"rders', "orders; drop table x", "a b"):
+        with pytest.raises(ValueError, match="identifier"):
+            jdbc.information_schema_query(bad)
+        with pytest.raises(ValueError, match="identifier"):
+            jdbc.pg_indexes_query("orders", schema=bad)
 
 
 def test_index_layout_hints():
