@@ -72,9 +72,21 @@ def _read_avro(spark: SparkSession, spec: dict) -> DataFrame:
 
 
 def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
+    """Executes the option-complete spec built by
+    ``sources.connections.bigquery_spec`` (parentProject, table|query,
+    materializationDataset, viewsEnabled, credentials[File]) — every
+    spec key except ``format`` passes through as a connector option."""
     reader = spark.read.format("bigquery")
+    load_path = None
+    for k, v in spec.items():
+        if k == "format":
+            continue
+        if k == "table":
+            load_path = v
+            continue
+        reader = reader.option(k, str(v) if not isinstance(v, str) else v)
     try:
-        return reader.option("table", spec["table"]).load()
+        return reader.load(load_path) if load_path else reader.load()
     except Exception as e:  # connector jar absent in this environment
         raise SourceError(
             "BigQuery source requires the spark-bigquery-connector jar "

@@ -8,7 +8,7 @@ import csv as csvmod
 
 import pytest
 
-from python_openetl_spark.sources import files, jdbc, registry
+from python_openetl_spark.sources import connections, files, jdbc, registry
 from tests.conftest import SF_DIR
 
 
@@ -79,6 +79,73 @@ def test_information_schema_sql():
     assert "information_schema.columns" in q and "table_name = 'orders'" in q
     q2 = jdbc.pg_indexes_query("orders", schema="s")
     assert "pg_indexes" in q2 and "ORDER BY tablename, indexname" in q2
+
+
+def test_env_credential_provider(monkeypatch):
+    monkeypatch.setenv("HEROKU_PG_DB_URL_FOLLOWER", "postgres://u:p@h:6432/mydb")
+    provider = connections.EnvCredentialProvider()
+    assert provider("heroku-pg-db-url-follower") == "postgres://u:p@h:6432/mydb"
+    with pytest.raises(KeyError, match="NO_SUCH_SECRET"):
+        provider("no-such-secret")
+
+
+def test_secret_manager_provider_gated():
+    with pytest.raises(ImportError, match="google-cloud-secret-manager"):
+        connections.SecretManagerCredentialProvider("proj")
+
+
+def test_postgres_source_env_host_and_secret(monkeypatch):
+    monkeypatch.setenv("POSTGRES_INSTANCE_IP", "10.0.0.9")
+    monkeypatch.setenv("PG_PW", "s3cret")
+    src = connections.postgres_source(
+        username="app", password_secret="pg-pw", db="etl", port=5433
+    )
+    assert src.url == "jdbc:postgresql://10.0.0.9:5433/etl"
+    assert src.user == "app" and src.password == "s3cret"
+    # no env var → reference's 127.0.0.1 default (connections.py:61)
+    monkeypatch.delenv("POSTGRES_INSTANCE_IP")
+    assert "127.0.0.1" in connections.postgres_source(password="x").url
+
+
+def test_cloudsql_source_uses_cloudsql_env(monkeypatch):
+    monkeypatch.setenv("CLOUD_SQL_INSTANCE_IP", "10.1.1.1")
+    monkeypatch.setenv("CLOUDSQL_POSTGRES_DEFAULT_PASSWORD", "pw")
+    src = connections.cloudsql_source()
+    assert src.url.startswith("jdbc:postgresql://10.1.1.1:5432/")
+    assert src.password == "pw"
+
+
+def test_heroku_source_follower_leader_split(monkeypatch):
+    monkeypatch.setenv("HEROKU_PG_DB_URL_FOLLOWER", "postgres://ru:rp@replica:5432/app")
+    monkeypatch.setenv("HEROKU_PG_DB_URL_LEADER", "postgres://wu:wp@primary:5432/app")
+    read = connections.heroku_source()
+    write = connections.heroku_source(for_write=True)
+    assert read.url == "jdbc:postgresql://replica:5432/app" and read.user == "ru"
+    assert write.url == "jdbc:postgresql://primary:5432/app" and write.password == "wp"
+
+
+def test_bigquery_spec_table_and_query():
+    s = connections.bigquery_spec(project="p", table="ds.t")
+    assert s == {
+        "format": "bigquery", "parentProject": "p", "table": "ds.t",
+        "viewsEnabled": "true",
+    }
+    s2 = connections.bigquery_spec(
+        project="p", query="SELECT 1", materialization_dataset="scratch",
+        credentials_json='{"type":"service_account"}',
+    )
+    assert s2["materializationDataset"] == "scratch" and "query" in s2
+    assert "credentials" in s2 and "table" not in s2
+    with pytest.raises(ValueError, match="exactly one"):
+        connections.bigquery_spec(project="p")
+    with pytest.raises(ValueError, match="materialization_dataset"):
+        connections.bigquery_spec(project="p", query="SELECT 1")
+
+
+def test_bigquery_registry_gated_with_full_spec(spark):
+    spec = connections.bigquery_spec(project="p", table="ds.t")
+    with pytest.raises(registry.SourceError, match="spark-bigquery-connector"):
+        registry.read(spark, spec)
 
 
 def test_catalog_queries_reject_hostile_identifiers():
