@@ -181,6 +181,11 @@ def lsh_cosine_pairs(
         corpus.repartition(default_parallelism(), F.col(id_col))
         .select(F.col(id_col), F.col(vec_col))
         .mapInPandas(bucket_kernel, schema=f"doc long, v array<float>, tbl int, key long")
+        # hoist the norm: computed once per bucketed row (JVM sequential
+        # fold, bit-identical to the per-pair formula), not once per
+        # candidate pair — the verify is the hot loop and this is 3x
+        # fewer flops there, same trick as cosine_pairs_exact
+        .withColumn("nv", norm(F.col("v")))
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
@@ -193,7 +198,7 @@ def lsh_cosine_pairs(
         .select(
             F.col("a.doc").alias("id_a"),
             F.col("b.doc").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias("cos_sim"),
         )
         # threshold BEFORE dedup: the filter kills ~99% of candidates, so
         # the dedup shuffle carries (id, id, double) survivors instead of
