@@ -1,0 +1,243 @@
+"""Training-corpus preparation operators (round-2 LLM-data surface).
+
+The reference has no analogue for any of these (its transform surface is
+timestamp coercion, `/root/reference/pyopenetl/operations.py:120-128`);
+they are the standard preparation passes of a large-scale LLM data
+pipeline, stated Spark-first so each is one or two shuffles at 100 TB:
+
+- :func:`repetition_stats` — Gopher-style within-document repetition
+  quality signals (duplicate-token fraction, top-bigram coverage).
+- :func:`contamination_check` — benchmark n-gram overlap: the standard
+  train/test contamination test (the benchmark shingle set broadcasts;
+  the corpus is never shuffled with its text).
+- :func:`redact_pii` — regex PII redaction (emails/phones), pure
+  codegen'd JVM expressions.
+- :func:`pack_sequences` — concat-and-chunk sequence packing: assigns
+  every document its token span in fixed-size context windows, one
+  running-sum window per packing group.
+- :func:`mixture_resample` — deterministic hash-based resampling to a
+  target domain mixture (the curriculum/mixture pass).
+
+Everything is JVM expressions (no Python in the hot path) and every
+function has an exact DuckDB twin in ``workload/llm2.py`` — including
+the float divisions, which both engines evaluate in the same IEEE
+order, so results are value-hash identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from python_openetl_spark.functions.text import shingles, tokens
+from python_openetl_spark.operators.sampling import SAMPLE_D, sample_bucket
+
+#: PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_token_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document repetition quality signals + keep flag.
+
+    ``dup_token_frac`` = fraction of token occurrences that are repeats
+    of an earlier token; ``top_bigram_frac`` = share of all bigram slots
+    taken by the single most common bigram (high values = boilerplate /
+    degenerate repetition — the Gopher repetition filters, computed from
+    word n-grams instead of its char n-grams).
+
+    Plan: token stats are pure array expressions in the scan projection
+    (no shuffle); the bigram mode needs one explode + two partial aggs
+    keyed by (doc, bigram) then doc — both map-side combined.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        shingles(toks, 2).alias("__bigrams"),
+    )
+    big = (
+        base.select(id_col, F.explode("__bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    out = base.drop("__bigrams").join(big, id_col, "left")
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.lit(1.0) - F.col("n_distinct_tokens") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+        F.col("top_bigram_n") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        dup_frac.alias("dup_token_frac"),
+        top_frac.alias("top_bigram_frac"),
+        (
+            (dup_frac <= F.lit(max_dup_token_frac))
+            & (top_frac <= F.lit(max_top_bigram_frac))
+        ).alias("keep"),
+    )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document, the
+    fraction of its distinct word ``n``-grams that appear anywhere in
+    the benchmark set; ``contaminated`` when ≥ ``threshold``.
+
+    Plan shape for 100 TB: the benchmark's distinct shingle set is small
+    (benchmarks are) and **broadcasts**; the corpus explodes its
+    distinct shingles, probes the broadcast, and re-aggregates per doc —
+    one corpus-side shuffle on (doc) with 16-ish-byte rows, the corpus
+    text itself never moves.
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
+    )
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return (
+        corp.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+) -> DataFrame:
+    """Append ``{text_col}_redacted`` plus per-row match counts for the
+    email/phone patterns. Pure scan-projection expressions — codegen'd,
+    no shuffle, linear at any scale."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+            f"{text_col}_redacted": F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, email_token), PHONE_RE, phone_token
+            ),
+        }
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx: int = 64,
+    by: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in ``id_col`` order (within each ``by`` group) and cut into
+    ``ctx``-token context windows; returns each document's token span
+    and the windows it lands in.
+
+    This is the standard packing used to build LLM training batches
+    (concatenate, then split at fixed boundaries). One running-sum
+    window per group — at 100 TB you pack per shard/domain (``by``), so
+    no global sort or single-partition window exists. Offsets are exact
+    in double (corpus token counts ≪ 2^52).
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(by) if by else Window.partitionBy()
+    ).orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    sel = [F.col(id_col)] + ([F.col(by)] if by else [])
+    out = docs.select(*sel, n_tok.alias("n_tokens")).withColumn("start_tok", start)
+    return out.select(
+        *sel,
+        "n_tokens",
+        "start_tok",
+        F.floor(F.col("start_tok") / F.lit(float(ctx))).cast("long").alias("first_window"),
+        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / F.lit(float(ctx)))
+        .cast("long")
+        .alias("last_window"),
+    )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    target_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a target domain mixture: stratum ``s`` keeps
+    ``min(1, weights[s] · target_fraction · N / count_s)`` of its rows,
+    decided by the same deterministic content-hash bucket as
+    ``hash_sample`` (membership is engine- and partitioning-stable).
+
+    Strata absent from ``weights`` are dropped. Plan: one tiny count
+    agg broadcasts back onto the corpus — the corpus itself is filtered
+    in the scan projection, never shuffled.
+    """
+    wdf = docs.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], f"{strata_col} string, w double"
+    )
+    counts = (
+        docs.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(docs.groupBy().agg(F.count(F.lit(1)).alias("total"))))
+        .join(F.broadcast(wdf), strata_col)
+        .select(
+            strata_col,
+            F.floor(
+                F.lit(float(SAMPLE_D))
+                * F.least(
+                    F.lit(1.0),
+                    F.col("w") * F.lit(float(target_fraction)) * F.col("total") / F.col("cnt"),
+                )
+            ).alias("accept_bp"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(counts), strata_col)
+        .filter(sample_bucket(F.col(id_col), salt) < F.col("accept_bp"))
+        .drop("accept_bp")
+    )

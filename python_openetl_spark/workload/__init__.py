@@ -18,14 +18,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from python_openetl_spark.workload import incremental, llm, relational, streaming_batch, udf_surface
+from python_openetl_spark.workload import (
+    incremental,
+    llm,
+    llm2,
+    relational,
+    streaming_batch,
+    udf_surface,
+)
 
 # Order is load-bearing: the driver's correctness gate checks the FIRST 50
 # entries of the aggregated dict in insertion order. Round 1 spent all 50
 # slots on `relational` (q00–q49), leaving the incremental/LLM/streaming/UDF
 # families driver-unverified; round 2 rotates them to the front. `relational`
-# itself front-loads its round-1 reds (see relational.QUERIES).
-_MODULES = (incremental, llm, streaming_batch, udf_surface, relational)
+# itself front-loads its round-1 reds (see relational.QUERIES), and the new
+# round-2 prep queries (llm2) sit last so they don't displace anything —
+# they rotate into the window next round.
+_MODULES = (incremental, llm, streaming_batch, udf_surface, relational, llm2)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

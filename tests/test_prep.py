@@ -1,0 +1,87 @@
+"""Semantic tests for the training-corpus preparation operators
+(operators/prep.py) beyond the oracle gate: planted-pattern detection,
+packing invariants, mixture convergence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.io import load_table
+from python_openetl_spark.operators import prep
+from tests.conftest import SF_DIR
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # one token repeated
+            (2, "alpha beta gamma delta epsilon zeta"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in prep.repetition_stats(docs).collect()}
+    assert out[1]["dup_token_frac"] > 0.8 and out[1]["top_bigram_frac"] == 1.0
+    assert not out[1]["keep"]
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["keep"]
+
+
+def test_contamination_flags_verbatim_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (2, "completely unrelated words appear in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in prep.contamination_check(corpus, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["overlap_frac"] == 1.0
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+
+
+def test_redact_pii_rewrites_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe@corp.io or call 555-0199 twice 555-0200")],
+        "doc_id long, text string",
+    )
+    row = prep.redact_pii(df).collect()[0]
+    assert row["n_emails"] == 1 and row["n_phones"] == 2
+    assert "@" not in row["text_redacted"]
+    assert row["text_redacted"].count("[PHONE]") == 2
+
+
+def test_pack_sequences_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = prep.pack_sequences(docs, ctx=64, by="lang").toPandas()
+    # spans are contiguous within each lang shard, in doc_id order
+    for _, g in out.sort_values("doc_id").groupby("lang"):
+        starts = g["start_tok"].to_numpy()
+        ends = (g["start_tok"] + g["n_tokens"]).to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1]).all()
+        assert (g["first_window"] == g["start_tok"] // 64).all()
+        assert (g["last_window"] >= g["first_window"]).all()
+
+
+def test_mixture_resample_hits_target_proportions(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    weights = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+    out = prep.mixture_resample(docs, weights, target_fraction=0.4)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    # each stratum lands within a few points of its target share (hash
+    # sampling is approximate at 500 docs) unless capped by availability
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, w in weights.items():
+        want = w * 0.4 * sum(avail.values())
+        capped = min(avail[lang], want)
+        assert abs(got.get(lang, 0) - capped) <= max(10, 0.35 * capped), (lang, got)
+    # membership is deterministic: rerun matches exactly
+    again = {r["lang"]: r["n"] for r in
+             prep.mixture_resample(docs, weights, target_fraction=0.4)
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == again
