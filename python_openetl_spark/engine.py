@@ -121,6 +121,33 @@ class Dataset:
         iv = intervals.df if isinstance(intervals, Dataset) else intervals
         return Dataset(binned_interval_join(self.df, iv, point_col, start_col, end_col, **kw))
 
+    # --- training-corpus preparation (operators/prep.py) --------------------
+    def repetition_stats(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import repetition_stats
+
+        return Dataset(repetition_stats(self.df, **kw))
+
+    def contamination_check(self, benchmark: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import contamination_check
+
+        b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
+        return Dataset(contamination_check(self.df, b, **kw))
+
+    def redact_pii(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import redact_pii
+
+        return Dataset(redact_pii(self.df, **kw))
+
+    def pack_sequences(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import pack_sequences
+
+        return Dataset(pack_sequences(self.df, **kw))
+
+    def mixture_resample(self, weights: dict[str, float], **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import mixture_resample
+
+        return Dataset(mixture_resample(self.df, weights, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -77,3 +77,25 @@ def test_new_operator_methods(eng, spark):
     delta = spark.createDataFrame([(0, "changed")], "doc_id long, text string")
     merged = hist.scd2_merge(delta, "doc_id", "2024-02-01 00:00:00")
     assert merged.count() == 6  # one closed + one opened version
+
+
+def test_prep_operator_methods(eng, spark):
+    docs = Dataset(
+        spark.createDataFrame(
+            [(1, "alpha beta alpha beta alpha beta", "en"),
+             (2, "mail jane@corp.io now", "en"),
+             (3, "one two three four five six seven eight", "de")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    stats = {r["doc_id"]: r for r in docs.repetition_stats().collect()}
+    assert not stats[1]["keep"] and stats[3]["keep"]
+    red = docs.redact_pii().filter("doc_id = 2").collect()[0]
+    assert red["n_emails"] == 1 and "[EMAIL]" in red["text_redacted"]
+    packed = docs.pack_sequences(ctx=4, by="lang")
+    assert packed.count() == 3
+    bench = docs.filter("doc_id = 3")
+    cont = docs.filter("doc_id != 3").contamination_check(bench)
+    assert cont.count() == 2
+    mixed = docs.mixture_resample({"en": 0.5, "de": 0.5}, target_fraction=1.0)
+    assert mixed.count() >= 1

@@ -99,3 +99,39 @@ def test_time_range_frame_single_window_exchange(spark):
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Window [") == 1, plan
     assert "RangeFrame" in plan, plan
+
+
+def test_contamination_broadcasts_benchmark_shingles(spark):
+    from python_openetl_spark.workload.llm2 import d19_contamination_check
+
+    plan = _plan(d19_contamination_check(spark, SF_DIR))
+    # benchmark shingle set broadcasts; corpus side shuffles only for the
+    # per-doc aggregate (partial agg below it)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    from python_openetl_spark.workload.llm2 import d20_pii_redaction
+
+    plan = _plan(d20_pii_redaction(spark, SF_DIR))
+    # pure scan projection: no exchange anywhere in the plan
+    assert "Exchange" not in plan, plan
+
+
+def test_mixture_resample_broadcasts_acceptance(spark):
+    from python_openetl_spark.workload.llm2 import d22_mixture_resample
+
+    plan = _plan(d22_mixture_resample(spark, SF_DIR))
+    # the corpus probe side joins the tiny acceptance table by broadcast -
+    # the big side is never shuffled for the join
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_partitions_by_shard(spark):
+    from python_openetl_spark.workload.llm2 import d21_sequence_packing
+
+    plan = _plan(d21_sequence_packing(spark, SF_DIR))
+    # the running-sum window hash-partitions by lang - no single-partition
+    # global window at scale
+    assert "hashpartitioning(lang" in plan, plan
