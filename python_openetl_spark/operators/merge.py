@@ -160,6 +160,25 @@ def snapshot_diff(
     )
 
 
+def apply_cdc(snapshot: DataFrame, feed: DataFrame, pk: str | list[str]) -> DataFrame:
+    """Apply an I/U/D change feed (the :func:`snapshot_diff` contract)
+    to a snapshot: delete the D keys, MERGE the I/U rows. Inverse of
+    snapshot_diff — ``apply_cdc(old, snapshot_diff(old, new), pk)``
+    reconstructs ``new`` exactly (round-trip test in
+    tests/test_scd_rollup.py).
+
+    Two anti/merge joins on the pk against the feed — typically a day's
+    changes, far smaller than the snapshot, so AQE plans both as
+    broadcast joins and the snapshot itself is never shuffled (no forced
+    hint: a backfill-sized feed degrades gracefully to a shuffle join).
+    """
+    keys = [pk] if isinstance(pk, str) else list(pk)
+    deletes = feed.filter(F.col("change_type") == "D").select(*keys)
+    upserts = feed.filter(F.col("change_type") != "D").drop("change_type")
+    kept = snapshot.join(deletes, on=keys, how="left_anti")
+    return merge_upsert(kept, upserts, pk)
+
+
 def temporal_delta(df: DataFrame, ts_col: str, anchor, hours: int) -> DataFrame:
     """R5 incremental-read predicate: rows touched in the last N hours
     (/root/reference/pyopenetl/operations.py:539-540). ``anchor`` is an

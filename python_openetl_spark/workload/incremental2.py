@@ -1,0 +1,69 @@
+"""Round-2 incremental-maintenance queries.
+
+Registered after ``relational``/``llm2`` in ``_MODULES`` so the current
+50-entry driver window is unchanged (locally oracle-gated now, rotate
+next round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.incremental import _CUTOFF, _target
+from python_openetl_spark.workload.util import t
+
+
+def _new_snapshot(spark, sf_dir) -> DataFrame:
+    """m08's 'moved-on' snapshot: drop pks %3==0, double price on %5==0,
+    insert all post-cutoff orders."""
+    old = _target(spark, sf_dir)
+    o = t(spark, sf_dir, "orders")
+    kept = old.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    inserted = o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return kept.unionByName(inserted)
+
+
+def m12_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC round trip: produce the I/U/D feed between two snapshots
+    (m08's exact setup) and APPLY it back to the old snapshot — the
+    consumer half of the Debezium-style contract. The result must equal
+    the new snapshot, which is what the oracle states directly."""
+    from python_openetl_spark.operators.merge import apply_cdc, snapshot_diff
+
+    old = _target(spark, sf_dir)
+    new = _new_snapshot(spark, sf_dir)
+    feed = snapshot_diff(old, new, "o_orderkey")
+    return apply_cdc(old, feed, "o_orderkey")
+
+
+QUERIES = {
+    "m12_apply_cdc": m12_apply_cdc,
+}
+
+ORACLE = {
+    "m12_apply_cdc": f"""
+        WITH old AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+        ),
+        kept AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+          FROM old WHERE o_orderkey % 3 <> 0
+        ),
+        ins AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+        )
+        SELECT * FROM kept UNION ALL SELECT * FROM ins
+    """,
+}

@@ -79,12 +79,31 @@ def d22_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def x07_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with nprobe == nlist: probing every cell makes the
+    approximate path exact (no candidate is pruned), so the exact
+    brute-force SQL is a full hash oracle for the IVF dataflow —
+    complementing x05's pruned-probe rows-only check. The cosine rerank
+    is the JVM expression, bit-identical to DuckDB's fold."""
+    from python_openetl_spark.operators import similarity
+    from python_openetl_spark.workload.llm import _QUERY_IDS
+
+    emb = t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id").isin(*_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return similarity.ivf_topk(emb, qpdf, k=5, nlist=16, nprobe=16)
+
+
 QUERIES = {
     "d18_repetition_stats": d18_repetition_stats,
     "d19_contamination_check": d19_contamination_check,
     "d20_pii_redaction": d20_pii_redaction,
     "d21_sequence_packing": d21_sequence_packing,
     "d22_mixture_resample": d22_mixture_resample,
+    "x07_ivf_full_probe": x07_ivf_full_probe,
 }
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -192,6 +211,21 @@ ORACLE = {
                CAST(FLOOR(start_tok / 64.0) AS BIGINT) AS first_window,
                CAST(FLOOR((start_tok + n_tokens - 1) / 64.0) AS BIGINT) AS last_window
         FROM off
+    """,
+    "x07_ivf_full_probe": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN (1, 5, 9)),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+          FROM c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
     """,
     "d22_mixture_resample": f"""
         WITH w(lang, w) AS (VALUES {_MIX_VALUES}),

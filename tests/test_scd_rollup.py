@@ -123,3 +123,24 @@ def test_snapshot_diff_roundtrips_through_merge(spark):
     kept, _deleted = propagate_deletes(merged, new, "id")
     # applying the feed converges the target to the new snapshot
     assert {tuple(r) for r in kept.collect()} == {tuple(r) for r in new.collect()}
+
+
+def test_apply_cdc_reconstructs_new_snapshot(spark):
+    from python_openetl_spark.operators.merge import apply_cdc, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(30)], "id long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(i, "CH" if i % 7 == 0 else f"v{i}", float(i) * (2 if i % 5 == 0 else 1))
+         for i in range(10, 40)],
+        "id long, s string, v double",
+    )
+    feed = snapshot_diff(old, new, "id")
+    applied = apply_cdc(old, feed, "id")
+    assert {tuple(r) for r in applied.collect()} == {tuple(r) for r in new.collect()}
+    # empty feed is the identity
+    empty = feed.filter("1 = 0")
+    assert {tuple(r) for r in apply_cdc(old, empty, "id").collect()} == {
+        tuple(r) for r in old.collect()
+    }
