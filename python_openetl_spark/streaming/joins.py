@@ -42,11 +42,15 @@ def interval_join(
     rows once they can no longer match — bounded state, late data
     dropped per watermark.
     """
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    # explicit aliases: when both inputs derive from the same source (a
+    # self-join on one stream), bare l[by] == r[by] is ambiguous and can
+    # silently resolve to a trivially-true predicate
+    l = left.withWatermark(left_ts, watermark).alias("__ij_l")
+    r = right.withWatermark(right_ts, watermark).alias("__ij_r")
+    lc, rc = (lambda c: F.col(f"__ij_l.{c}")), (lambda c: F.col(f"__ij_r.{c}"))
     cond = (
-        (l[by] == r[by])
-        & (r[right_ts] <= l[left_ts])
-        & (r[right_ts] > l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        (lc(by) == rc(by))
+        & (rc(right_ts) <= lc(left_ts))
+        & (rc(right_ts) > lc(left_ts) - F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").drop(r[by])
+    return l.join(r, cond, "inner").drop(rc(by))

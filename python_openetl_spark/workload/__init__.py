@@ -24,6 +24,7 @@ from python_openetl_spark.workload import (
     llm,
     llm2,
     relational,
+    streaming2,
     streaming_batch,
     udf_surface,
 )
@@ -35,7 +36,16 @@ from python_openetl_spark.workload import (
 # itself front-loads its round-1 reds (see relational.QUERIES), and the new
 # round-2 prep queries (llm2) sit last so they don't displace anything —
 # they rotate into the window next round.
-_MODULES = (incremental, llm, streaming_batch, udf_surface, relational, llm2, incremental2)
+_MODULES = (
+    incremental,
+    llm,
+    streaming_batch,
+    udf_surface,
+    relational,
+    llm2,
+    incremental2,
+    streaming2,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,80 @@
+"""Round-2 streaming queries: the join paths (streaming/joins.py),
+oracle-checked through their batch equivalents the same way s01–s04
+check the window operators — ``enrich_with_static`` and
+``interval_join`` run the identical plan on batch input (``withWatermark``
+is a no-op there), so DuckDB states the semantics; the genuinely
+streaming behaviors (state eviction, late-data drop) are covered by the
+real micro-batch replays in tests/test_streaming.py.
+
+Registered last in ``_MODULES`` (window-neutral this round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.streaming.joins import enrich_with_static, interval_join
+from python_openetl_spark.workload.util import t
+
+
+def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: events joined to the customer
+    dimension per micro-batch (batch-equivalent here). The dim side
+    broadcasts — no shuffle of the stream, no state."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    return enrich_with_static(ev, dim, "user_id")
+
+
+def s06_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded stream-stream interval join, batch twin:
+    each purchase matched to the same user's clicks in the preceding
+    hour. State in the streaming run is bounded by watermark + the
+    two-sided time range; the batch plan is the same join condition."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("r_ts")
+    )
+    out = interval_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="r_ts", max_delay="1 hour"
+    )
+    return out.select(
+        "p_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "c_id",
+        F.unix_micros("r_ts").alias("click_us"),
+    )
+
+
+QUERIES = {
+    "s05_stream_static_enrichment": s05_stream_static_enrichment,
+    "s06_interval_join": s06_interval_join,
+}
+
+ORACLE = {
+    "s05_stream_static_enrichment": """
+        SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    # the range compare runs on epoch MICROseconds on both engines: the
+    # parquet timestamps are nanos, Spark's session truncates to micros,
+    # so a raw nano-domain compare in DuckDB could flip boundary rows
+    "s06_interval_join": """
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               c.event_id AS c_id,
+               epoch_us(c.ts) AS click_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+    """,
+}
