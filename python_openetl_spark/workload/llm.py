@@ -308,16 +308,23 @@ def d17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     token. Ranking uses the ROUNDED score in both engines so float ulp
     differences in ln() can never flip a tie."""
     d = t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # corpus size as a broadcast scalar inside the one dataflow — not an
+    # eager driver-side d.count() (which cost a separate corpus scan)
+    n = d.groupBy().agg(F.count(F.lit(1)).alias("__n_docs"))
     tf = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "tok").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6),
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("__n_docs") + 1) / (F.col("df") + 1)), 6),
+        )
+        .drop("__n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
     return (
