@@ -24,6 +24,7 @@ from python_openetl_spark.workload import (
     llm,
     llm2,
     relational,
+    scale,
     streaming2,
     streaming_batch,
     udf_surface,
@@ -45,6 +46,7 @@ _MODULES = (
     llm2,
     incremental2,
     streaming2,
+    scale,
 )
 
 
