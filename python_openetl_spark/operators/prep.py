@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from python_openetl_spark.functions.text import shingles, tokens
+from python_openetl_spark.functions.text import text_shingles, tokens
 from python_openetl_spark.operators.sampling import SAMPLE_D, sample_bucket
 
 #: PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB).
@@ -63,7 +63,7 @@ def repetition_stats(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        shingles(toks, 2).alias("__bigrams"),
+        text_shingles(F.col(text_col), 2).alias("__bigrams"),
     )
     big = (
         base.select(id_col, F.explode("__bigrams").alias("bg"))
@@ -114,13 +114,13 @@ def contamination_check(
     text itself never moves.
     """
     bench_sh = (
-        benchmark.select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("sh"))
+        benchmark.select(F.explode(text_shingles(F.col(text_col), n)).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     corp = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), n))).alias("sh"),
+        F.explode(F.array_distinct(text_shingles(F.col(text_col), n))).alias("sh"),
     )
     frac = F.col("n_overlap") / F.col("n_shingles")
     return (

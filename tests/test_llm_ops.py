@@ -13,6 +13,24 @@ from python_openetl_spark.workload.llm import _QUERY_IDS, _docs_with_twins
 from tests.conftest import SF_DIR
 
 
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_text_shingles_equals_token_shingles(spark, n):
+    """text_shingles (single regex pass) must be element-equal to the
+    canonical shingles(tokens(text), n) on the real corpus, including
+    docs shorter than n tokens (empty array)."""
+    from python_openetl_spark.functions.text import shingles, text_shingles, tokens
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bad = (
+        docs.select(
+            (shingles(tokens(F.col("text")), n) == text_shingles(F.col("text"), n)).alias("eq")
+        )
+        .filter(~F.col("eq"))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_exact_dedup_collapses_planted_duplicates(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
     dup = docs.select((F.col("doc_id") + 500_000).alias("doc_id"), "text")
