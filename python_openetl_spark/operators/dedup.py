@@ -24,9 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from python_openetl_spark.functions.text import fingerprint, token_hash60, tokens
+from python_openetl_spark.functions.text import fingerprint, text_shingles, token_hash60, tokens
 
 
 def exact_dedup(
@@ -60,24 +59,20 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> 
     - repartition by doc id first: a single-file parquet source yields
       1-2 scan partitions, which would serialize the tokenize/hash work
       no matter how many cores exist;
-    - shingles via posexplode + window lead() rather than the
-      array-transform expression: Catalyst inlines the tokenizer subtree
-      into every lambda iteration (no CSE through higher-order
-      functions), which re-tokenized each document once per shingle —
-      measured ~10x slower. Here tokenization runs once per document and
-      the window needs no extra shuffle (already partitioned by doc).
+    - shingles via the single-pass regex extractor (``text_shingles``),
+      not the array-transform expression: Catalyst inlines the
+      tokenizer subtree into every lambda iteration (no CSE through
+      higher-order functions), which re-tokenized each document once
+      per shingle — measured ~10x slower. An earlier formulation
+      (posexplode + window lead) fixed that but paid a per-doc sort;
+      the regex pass needs neither the window nor the sort.
     """
     from python_openetl_spark.session import default_parallelism
 
-    tok_rows = df.repartition(default_parallelism(), F.col(id_col)).select(
-        F.col(id_col).alias("doc"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    return df.repartition(default_parallelism(), F.col(id_col)).select(
+        F.col(id_col).alias("doc"),
+        F.explode(text_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
-    last = parts[-1]
-    return tok_rows.select(
-        "doc", F.concat_ws(" ", *parts).alias("shingle"), last.alias("__last")
-    ).filter(F.col("__last").isNotNull()).drop("__last")
 
 
 #: Mersenne prime 2^31-1: universal-hash modulus. Products a*h stay
