@@ -148,6 +148,23 @@ class Dataset:
 
         return Dataset(mixture_resample(self.df, weights, **kw))
 
+    def training_shuffle(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import training_shuffle
+
+        return Dataset(training_shuffle(self.df, **kw))
+
+    def incremental_dedup(self, seen_fps: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.dedup import incremental_dedup
+
+        s = seen_fps.df if isinstance(seen_fps, Dataset) else seen_fps
+        return Dataset(incremental_dedup(self.df, s, **kw))
+
+    def prepare_corpus(self, benchmark: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import prepare_corpus
+
+        b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
+        return Dataset(prepare_corpus(self.df, b, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

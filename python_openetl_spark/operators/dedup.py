@@ -66,6 +66,11 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> 
       per shingle — measured ~10x slower. An earlier formulation
       (posexplode + window lead) fixed that but paid a per-doc sort;
       the regex pass needs neither the window nor the sort.
+
+    Memory bound: the shingle array materializes per document before
+    exploding, so peak executor memory per task is O(largest doc), same
+    as the scan itself — fine for chunked training corpora (docs ≤ a
+    few MB); split pathological documents upstream.
     """
     from python_openetl_spark.session import default_parallelism
 
@@ -293,4 +298,45 @@ def simhash_candidates(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify a NEW batch of documents against an existing fingerprint
+    store — the growing-corpus shape: the historical corpus is never
+    re-read, only its compact fingerprint table.
+
+    Returns ``(id_col, fp, status)`` for every batch row, with status
+    ``'dup_of_store'`` (fingerprint already in ``seen_fps``),
+    ``'dup_in_batch'`` (first seen in this batch under a smaller id), or
+    ``'new'``. The updated store is
+    ``seen_fps ∪ (status = 'new' rows).select("fp")``.
+
+    ``seen_fps`` must have a unique ``fp`` column (md5 hex of normalized
+    text, i.e. :func:`exact_dedup`'s key — one row per distinct content).
+
+    Plan shape for 100 TB: the batch is fingerprinted in its scan
+    projection, shuffled once on the 16-byte key for the batch-min agg,
+    then hash-joined against the store on the same key — with the store
+    bucketed by ``fp``, only the (small) daily batch ever moves.
+    """
+    fp = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    first = fp.groupBy("fp").agg(F.min(id_col).alias("__first_id"))
+    seen = seen_fps.select("fp", F.lit(True).alias("__seen"))
+    return (
+        fp.join(first, "fp")
+        .join(seen, "fp", "left")
+        .select(
+            id_col,
+            "fp",
+            F.when(F.col("__seen"), F.lit("dup_of_store"))
+            .when(F.col(id_col) != F.col("__first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
     )

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from python_openetl_spark.functions.text import text_shingles, tokens
+from python_openetl_spark.functions.text import text_shingles, token_hash60, tokens
 from python_openetl_spark.operators.sampling import SAMPLE_D, sample_bucket
 
 #: PII patterns — valid in both Java regex (Spark) and RE2 (DuckDB).
@@ -240,4 +240,78 @@ def mixture_resample(
         docs.join(F.broadcast(counts), strata_col)
         .filter(sample_bucket(F.col(id_col), salt) < F.col("accept_bp"))
         .drop("accept_bp")
+    )
+
+
+def training_shuffle(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_shards: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training batches: every row gets
+    a content-hash position — ``shard = hash(id) mod num_shards``, then
+    rank within the shard by ``(hash, id)``.
+
+    The resulting order is pseudo-random but fully reproducible under
+    any partitioning, retry, or engine (the DuckDB oracle derives the
+    identical md5 hash), unlike ``orderBy(rand())``. ``salt`` gives an
+    independent permutation per epoch.
+
+    Plan: no global sort — each shard sorts ~N/num_shards rows
+    independently (one window per shard). At 100 TB pick num_shards ≈
+    the number of output files so each shard sort fits an executor;
+    readers then interleave shards round-robin.
+    """
+    h = token_hash60(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.withColumn("h", h)
+        .withColumn("shard", (F.col("h") % num_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .drop("h")
+    )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    contamination_threshold: float = 0.5,
+    max_dup_token_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """End-to-end corpus preparation: exact dedup (keep the smallest id
+    per content) → repetition-quality gate → benchmark-contamination
+    gate → PII redaction. The composite verb a training-data pipeline
+    runs nightly, composed from the individual operators so each keeps
+    its own scale shape (~4 key-hashed shuffles total; the document text
+    crosses the wire only in the final projection).
+
+    Returns one row per surviving document: ``(id, lang?, source?,
+    n_tokens, overlap_frac, n_emails, n_phones, {text}_redacted)``.
+    """
+    from python_openetl_spark.operators.dedup import exact_dedup_keep
+
+    kept = exact_dedup_keep(docs, text_col, id_col)
+    quality = repetition_stats(
+        kept,
+        text_col=text_col,
+        id_col=id_col,
+        max_dup_token_frac=max_dup_token_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+    ).filter(F.col("keep"))
+    contamination = contamination_check(
+        kept, benchmark, text_col=text_col, id_col=id_col,
+        n=shingle_n, threshold=contamination_threshold,
+    ).filter(~F.col("contaminated"))
+    redacted = redact_pii(kept, text_col=text_col)
+    return (
+        redacted.join(quality.select(id_col, "n_tokens"), id_col)
+        .join(contamination.select(id_col, "overlap_frac"), id_col)
+        .drop(text_col)
     )

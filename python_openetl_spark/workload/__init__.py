@@ -23,6 +23,7 @@ from python_openetl_spark.workload import (
     incremental2,
     llm,
     llm2,
+    llm3,
     relational,
     scale,
     streaming2,
@@ -47,6 +48,7 @@ _MODULES = (
     incremental2,
     streaming2,
     scale,
+    llm3,
 )
 
 

@@ -85,3 +85,51 @@ def test_mixture_resample_hits_target_proportions(spark):
              prep.mixture_resample(docs, weights, target_fraction=0.4)
              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got == again
+
+
+def test_incremental_dedup_statuses(spark):
+    from python_openetl_spark.functions.text import fingerprint
+    from python_openetl_spark.operators.dedup import incremental_dedup
+
+    store_docs = spark.createDataFrame(
+        [(1, "old content alpha"), (2, "old content beta")], "doc_id long, text string"
+    )
+    store = store_docs.select(fingerprint("text").alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "old content alpha"),   # dup_of_store
+            (11, "brand new gamma"),     # new (first of pair)
+            (12, "brand new gamma"),     # dup_in_batch
+            (13, "brand new delta"),     # new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, store).collect()}
+    assert out == {10: "dup_of_store", 11: "new", 12: "dup_in_batch", 13: "new"}
+
+
+def test_training_shuffle_is_partitioning_invariant(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    a = prep.training_shuffle(docs, num_shards=8)
+    b = prep.training_shuffle(docs.repartition(13), num_shards=8)
+    assert a.unionByName(b).select("doc_id", "shard", "pos").distinct().count() == docs.count()
+    # each shard's positions are a contiguous 0..n-1 permutation
+    bad = (
+        a.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_prepare_corpus_gates_compose(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    out = prep.prepare_corpus(corpus, bench)
+    rows = out.count()
+    assert 0 < rows <= corpus.count()
+    # survivors carry no un-redacted PII and no contaminated docs
+    assert out.filter(F.col("overlap_frac") >= 0.5).count() == 0
+    assert out.filter(F.col("text_redacted").rlike(prep.EMAIL_RE)).count() == 0
