@@ -109,6 +109,30 @@ def read_query(spark: SparkSession, source: JdbcSource, query: str, **kw) -> Dat
     return configure_query_scan(spark.read, source, query, **kw).load()
 
 
+def derive_partition_bounds(
+    spark: SparkSession, source: JdbcSource, table: str, partition_column: str
+) -> tuple[int, int]:
+    """Probe ``SELECT min(col), max(col)`` in the database and return
+    ``(lower_bound, upper_bound)`` for :func:`configure_table_scan`.
+
+    One single-row query against the source (the bounds query runs
+    server-side, nothing but two scalars crosses the wire); raises
+    ValueError when the table is empty or the column is all-NULL, since
+    JDBC range partitioning is meaningless there — scan without a
+    partition_column instead.
+    """
+    col = _checked_identifier(partition_column, "partition_column")
+    tbl = ".".join(_checked_identifier(p, "table") for p in table.split("."))
+    row = read_query(
+        spark, source, f"SELECT min({col}) AS lo, max({col}) AS hi FROM {tbl}"
+    ).collect()[0]
+    if row["lo"] is None or row["hi"] is None:
+        raise ValueError(
+            f"cannot derive bounds: {table}.{partition_column} has no non-NULL values"
+        )
+    return int(row["lo"]), int(row["hi"])
+
+
 # --- catalog scans (S5/S6) ----------------------------------------------------
 
 import re as _re

@@ -163,3 +163,11 @@ def test_index_layout_hints():
     ]
     hints = jdbc.index_layout_hints(ddls, pk="id")
     assert hints["sort_within_partitions"] == ["o_orderdate", "o_custkey"]
+
+
+def test_derive_partition_bounds_validates_identifiers(spark):
+    src = jdbc.JdbcSource(url="jdbc:postgresql://h:5432/db")
+    with pytest.raises(ValueError, match="identifier"):
+        jdbc.derive_partition_bounds(spark, src, "orders", "o_orderkey; drop")
+    with pytest.raises(ValueError, match="identifier"):
+        jdbc.derive_partition_bounds(spark, src, "bad'table", "o_orderkey")
