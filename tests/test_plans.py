@@ -135,3 +135,31 @@ def test_pack_sequences_partitions_by_shard(spark):
     # the running-sum window hash-partitions by lang - no single-partition
     # global window at scale
     assert "hashpartitioning(lang" in plan, plan
+
+
+def test_incremental_dedup_shuffles_on_fingerprint_only(spark):
+    from python_openetl_spark.workload.llm3 import d23_incremental_dedup
+
+    plan = _plan(d23_incremental_dedup(spark, SF_DIR))
+    # the batch/store joins run on the 16-byte fp hash key - never a
+    # nested loop, and never a shuffle keyed on raw text
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "hashpartitioning(fp" in plan, plan
+
+
+def test_training_shuffle_partitions_by_shard(spark):
+    from python_openetl_spark.workload.llm3 import d24_training_shuffle
+
+    plan = _plan(d24_training_shuffle(spark, SF_DIR))
+    # per-shard window sort, not a global single-partition sort
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_prepare_corpus_broadcasts_benchmark_and_reuses_keeper_exchange(spark):
+    from python_openetl_spark.workload.llm3 import e01_prepare_corpus
+
+    plan = _plan(e01_prepare_corpus(spark, SF_DIR))
+    # contamination probe broadcasts the benchmark shingle set
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

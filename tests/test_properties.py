@@ -168,3 +168,34 @@ def test_scd2_invariants_under_delta_sequences(spark, snap, d1, d2):
         assert all(v["valid_to"] is not None for v in closed)
         # the open version carries the latest delta state for this key
         assert current[0]["attr"] == latest[pk]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # mix ascii words, digits, punctuation, unicode letters, CJK
+            alphabet=st.sampled_from("abz09 .,!\t\né中ß-_/"),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+)
+@_settings
+def test_text_shingles_equals_canonical_on_arbitrary_text(spark, texts, n):
+    """The regex fast path must agree with shingles(tokens(text), n) on
+    arbitrary strings — unicode separators, empty docs, digits-only."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.functions.text import shingles, text_shingles, tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    bad = (
+        df.select(
+            (shingles(tokens(F.col("text")), n) == text_shingles(F.col("text"), n)).alias("eq")
+        )
+        .filter(~F.col("eq"))
+        .count()
+    )
+    assert bad == 0
