@@ -122,3 +122,54 @@ class UpsertSink:
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id}, f)
         os.replace(tmp, self._marker_path)
+
+
+class DedupIngestSink:
+    """``writeStream.foreachBatch(DedupIngestSink(corpus_root, store_root))``
+    — streaming corpus ingest with incremental content dedup: each
+    micro-batch is classified against the persistent fingerprint store
+    (:func:`operators.dedup.incremental_dedup`); only first-seen content
+    lands in the corpus, and its fingerprints extend the store.
+
+    Exactly-once WITHOUT a marker file: both outputs are laid out as
+    ``root/batch_id=N`` partitions and each batch OVERWRITES its own
+    partition. Classification reads only strictly-earlier partitions
+    (``batch_id < N`` — partition-pruned), so a replayed batch sees the
+    identical store state and rewrites byte-identical partitions no
+    matter how far the failed attempt got. This also works on object
+    stores / relocatable drivers, where the marker-file sinks degrade
+    (their documented scope).
+
+    Scale shape: per micro-batch one shuffle of the batch on the 16-byte
+    fp key plus a hash join against the store scan; the store carries
+    one row per distinct content ever seen, never the text itself.
+    """
+
+    def __init__(self, corpus_root: str, store_root: str,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.corpus_root = corpus_root
+        self.store_root = store_root
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from python_openetl_spark.operators.dedup import incremental_dedup
+
+        spark = batch_df.sparkSession
+        if os.path.exists(self.store_root):
+            seen = (
+                spark.read.parquet(self.store_root)
+                .filter(F.col("batch_id") < batch_id)
+                .select("fp")
+            )
+        else:
+            seen = spark.createDataFrame([], "fp string")
+        classified = incremental_dedup(batch_df, seen, self.text_col, self.id_col)
+        new_ids = classified.filter(F.col("status") == "new").select(self.id_col, "fp")
+        new_rows = batch_df.join(new_ids.select(self.id_col), self.id_col, "left_semi")
+        new_rows.write.mode("overwrite").parquet(f"{self.corpus_root}/batch_id={batch_id}")
+        new_ids.select("fp").write.mode("overwrite").parquet(
+            f"{self.store_root}/batch_id={batch_id}"
+        )

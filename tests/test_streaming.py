@@ -231,3 +231,49 @@ def test_stateful_v2_running_totals(spark, tmp_path):
     got_t = last["total_value"].sort_index().to_numpy()
     want_t = want["total_value"].sort_index().to_numpy()
     assert np.allclose(got_t, want_t, rtol=1e-9)
+
+
+def test_dedup_ingest_sink_dedups_across_batches_and_replays(spark, tmp_path):
+    from python_openetl_spark.streaming.sinks import DedupIngestSink
+
+    docs = spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content"), (3, "alpha content"),
+         (4, "gamma content"), (5, "beta content"), (6, "delta content")],
+        "doc_id long, text string",
+    )
+    corpus, store = str(tmp_path / "corpus"), str(tmp_path / "store")
+    sink = DedupIngestSink(corpus, store)
+    # batch 0: ids 1-3 (alpha, beta, alpha-dup) -> keeps 1, 2
+    sink(docs.filter(F.col("doc_id") <= 3), batch_id=0)
+    # batch 1: ids 4-6 (gamma, beta-dup-of-store, delta) -> keeps 4, 6
+    sink(docs.filter(F.col("doc_id") > 3), batch_id=1)
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 2, 4, 6}
+    # replayed batch 1 (crash-recovery): rewrites its partition, no dupes
+    sink(docs.filter(F.col("doc_id") > 3), batch_id=1)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 4, 6}
+    assert spark.read.parquet(store).count() == 4  # one fp per distinct content
+
+
+def test_dedup_ingest_sink_from_real_stream(spark, tmp_path):
+    from python_openetl_spark.streaming.sinks import DedupIngestSink
+
+    ev = _events(spark).select(
+        F.col("event_id").alias("doc_id"),
+        F.concat(F.col("event_type"), F.lit(" "), (F.col("user_id") % 5).cast("string")).alias("text"),
+    ).limit(200)
+    path = stage_replay_dir(ev, str(tmp_path / "replay_di"), chunks=3, order_col="doc_id")
+    stream = read_file_stream(spark, path, ev.schema)
+    corpus = str(tmp_path / "s_corpus")
+    sink = DedupIngestSink(corpus, str(tmp_path / "s_store"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(corpus).select("text")
+    # corpus contains each distinct content exactly once
+    assert got.count() == got.distinct().count()
+    assert got.distinct().count() == ev.select("text").distinct().count()
