@@ -33,10 +33,10 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact (normalized) dedup groups: one row per distinct content,
     keeping the smallest id. Single shuffle on the 16-byte fingerprint."""
-    from python_openetl_spark.session import default_parallelism
+    from python_openetl_spark.session import scan_parallelism
 
     return (
-        df.repartition(default_parallelism(), F.col(id_col))  # parallelize hashing
+        df.repartition(scan_parallelism(df), F.col(id_col))  # parallelize hashing
         .select(F.col(id_col), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -72,9 +72,9 @@ def _shingle_rows(df: DataFrame, text_col: str, id_col: str, shingle_n: int) -> 
     as the scan itself — fine for chunked training corpora (docs ≤ a
     few MB); split pathological documents upstream.
     """
-    from python_openetl_spark.session import default_parallelism
+    from python_openetl_spark.session import scan_parallelism
 
-    return df.repartition(default_parallelism(), F.col(id_col)).select(
+    return df.repartition(scan_parallelism(df), F.col(id_col)).select(
         F.col(id_col).alias("doc"),
         F.explode(text_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
@@ -123,6 +123,10 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // num_bands
     assert rows_per_band % 2 == 0, "band packing needs an even rows_per_band"
+    # each packed key folds rows_per_band/2 base-P digits (P ≈ 2^31)
+    # into one long: 2 digits < 2^62 is the 64-bit ceiling. More rows
+    # per band would overflow silently — use more bands instead.
+    assert rows_per_band <= 4, "band packing overflows a long beyond 4 rows/band"
     sh_rows = _shingle_rows(df, text_col, id_col, shingle_n)
     h = (token_hash60(F.col("shingle")) % MINHASH_P).alias("h")
     hashed = sh_rows.select("doc", h)
@@ -229,9 +233,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     reassemble integer. One shuffle (groupBy doc); the 60 per-bit sums
     are map-side-combined columns, not rows.
     """
-    from python_openetl_spark.session import default_parallelism
+    from python_openetl_spark.session import scan_parallelism
 
-    tok = df.repartition(default_parallelism(), F.col(id_col)).select(
+    tok = df.repartition(scan_parallelism(df), F.col(id_col)).select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
     )
     h = token_hash60(F.col("tok"))
@@ -325,12 +329,19 @@ def incremental_dedup(
     then hash-joined against the store on the same key — with the store
     bucketed by ``fp``, only the (small) daily batch ever moves.
     """
+    # NULL text → NULL fingerprint. groupBy already treats NULL as one
+    # group (as SQL GROUP BY does), but a plain equi-join would drop
+    # those rows (NULL != NULL) — so both joins are null-safe: all
+    # NULL-content rows classify as duplicates of each other, matching
+    # exact_dedup's grouping semantics.
     fp = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
-    first = fp.groupBy("fp").agg(F.min(id_col).alias("__first_id"))
-    seen = seen_fps.select("fp", F.lit(True).alias("__seen"))
+    first = fp.groupBy("fp").agg(F.min(id_col).alias("__first_id")).withColumnRenamed(
+        "fp", "__fp_f"
+    )
+    seen = seen_fps.select(F.col("fp").alias("__fp_s"), F.lit(True).alias("__seen"))
     return (
-        fp.join(first, "fp")
-        .join(seen, "fp", "left")
+        fp.join(first, F.col("fp").eqNullSafe(F.col("__fp_f")))
+        .join(seen, F.col("fp").eqNullSafe(F.col("__fp_s")), "left")
         .select(
             id_col,
             "fp",

@@ -45,11 +45,16 @@ def dedupe_latest(delta: DataFrame, pk: str | list[str], order_col: str) -> Data
 
     Postgres ON CONFLICT applies duplicate-pk delta rows sequentially so
     the last write wins; a set-oriented MERGE must make that explicit
-    (SURVEY §7 hard-parts register). Ties broken arbitrarily-but-
-    deterministically by the remaining columns' order via row_number.
+    (SURVEY §7 hard-parts register). ``order_col`` ties are broken by
+    the remaining columns (name-sorted, descending) so the winner is
+    content-determined — stable across partitionings, retries, and
+    engines — never by arrival order.
     """
     keys = [pk] if isinstance(pk, str) else list(pk)
-    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    others = sorted(c for c in delta.columns if c not in keys and c != order_col)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in others]
+    )
     return (
         delta.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -112,6 +112,11 @@ def contamination_check(
     distinct shingles, probes the broadcast, and re-aggregates per doc —
     one corpus-side shuffle on (doc) with 16-ish-byte rows, the corpus
     text itself never moves.
+
+    Documents shorter than ``n`` tokens have no shingles: they emit one
+    row with ``n_shingles = 0, overlap_frac = 0.0, contaminated =
+    false`` (nothing to overlap), via explode_outer — they are never
+    silently dropped.
     """
     bench_sh = (
         benchmark.select(F.explode(text_shingles(F.col(text_col), n)).alias("sh"))
@@ -120,14 +125,16 @@ def contamination_check(
     )
     corp = corpus.select(
         F.col(id_col),
-        F.explode(F.array_distinct(text_shingles(F.col(text_col), n))).alias("sh"),
+        F.explode_outer(F.array_distinct(text_shingles(F.col(text_col), n))).alias("sh"),
     )
-    frac = F.col("n_overlap") / F.col("n_shingles")
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
     return (
         corp.join(F.broadcast(bench_sh), "sh", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("sh").alias("n_shingles"),
             F.count("__hit").alias("n_overlap"),
         )
         .select(
@@ -193,7 +200,12 @@ def pack_sequences(
         "n_tokens",
         "start_tok",
         F.floor(F.col("start_tok") / F.lit(float(ctx))).cast("long").alias("first_window"),
-        F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / F.lit(float(ctx)))
+        # zero-token docs occupy a zero-width position at first_window
+        # (greatest(n,1) keeps the inclusive span from inverting)
+        F.floor(
+            (F.col("start_tok") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / F.lit(float(ctx))
+        )
         .cast("long")
         .alias("last_window"),
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from python_openetl_spark.functions.vectors import cosine, dot, hyperplane_bucket, norm
-from python_openetl_spark.session import default_parallelism
+from python_openetl_spark.session import scan_parallelism
 
 
 def cosine_topk(
@@ -178,7 +178,7 @@ def lsh_cosine_pairs(
         # 1-task scan that would serialize the bucketing; after the
         # shuffle it runs on every core. The self-join then shuffles on
         # (tbl, key) itself — no second explicit repartition needed.
-        corpus.repartition(default_parallelism(), F.col(id_col))
+        corpus.repartition(scan_parallelism(corpus), F.col(id_col))
         .select(F.col(id_col), F.col(vec_col))
         .mapInPandas(bucket_kernel, schema=f"doc long, v array<float>, tbl int, key long")
         # hoist the norm: computed once per bucketed row (JVM sequential
@@ -327,7 +327,7 @@ def cosine_pairs_exact(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nv"),
     )
-    a = sel.repartition(default_parallelism()).alias("a")
+    a = sel.repartition(scan_parallelism(sel)).alias("a")
     b = F.broadcast(sel).alias("b")
     return (
         a.join(b, F.col("a.doc") < F.col("b.doc"))

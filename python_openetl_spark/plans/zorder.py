@@ -64,12 +64,15 @@ def zorder_key(
     if bits * n > 62:
         raise ValueError(f"bits*len(cols) = {bits * n} exceeds 62-bit key budget")
     probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    # ONE multi-column approxQuantile pass: boundaries for every column
+    # from a single table scan (per-column calls would multiply the
+    # pre-rewrite scan cost by len(cols))
+    all_boundaries = df.stat.approxQuantile(cols, probs, relative_error)
     key = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        boundaries = df.stat.approxQuantile(c, probs, relative_error)
         # drop duplicate boundaries (low-cardinality cols) — buckets stay
         # monotone, just fewer distinct values
-        uniq = sorted(set(boundaries))
+        uniq = sorted(set(all_boundaries[i]))
         b = _bucket(F.col(c).cast("double"), uniq, bits).cast("long")
         for j in range(bits):
             key = key + F.shiftleft(

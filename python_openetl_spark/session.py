@@ -51,6 +51,28 @@ def default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
+def scan_parallelism(df) -> int:
+    """Partition count for pre-compute repartitions (parallelize hashing
+    /tokenizing after a few-file scan).
+
+    Cluster-aware: the max of the cluster's total core count
+    (``sparkContext.defaultParallelism``) and the session's shuffle
+    partitions — NOT the driver-local cpu count, which would cap a
+    1000-core cluster's scan fan-out at the driver's core count.
+    Falls back to :func:`default_parallelism` in degenerate configs.
+    """
+    spark = df.sparkSession
+    try:
+        cores = int(spark.sparkContext.defaultParallelism)
+    except Exception:
+        cores = 0
+    try:
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "0"))
+    except Exception:
+        shuffle = 0
+    return max(cores, shuffle) or default_parallelism()
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent).
 

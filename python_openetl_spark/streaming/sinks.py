@@ -20,28 +20,20 @@ from python_openetl_spark.operators.merge import merge_upsert
 from python_openetl_spark.plans.pipelines import ParquetTable
 
 
-class Scd2Sink:
-    """``writeStream.foreachBatch(Scd2Sink(table, pk, ts_col))`` —
-    streaming history-preserving dimension maintenance.
+class _BatchMarker:
+    """Shared replay guard: the last applied batch id, stored as a JSON
+    marker file beside the table (atomic tmp-write + rename).
 
-    Each micro-batch is an SCD2 delta: changed keys close their current
-    version and open a new one stamped with the batch's max event time
-    (so versions carry *data* time, not processing time). Replay-safe
-    the same way as UpsertSink: a batch-id marker makes re-delivered
-    micro-batches no-ops, and scd2_merge itself ignores no-change rows.
-
-    Scope: the marker is a driver-local file beside the table path —
-    valid exactly where ParquetTable itself is (single driver host,
-    POSIX filesystem; see its docstring). On an object store or a
-    cluster whose driver can restart elsewhere, swap ParquetTable for a
-    Delta/Iceberg table whose commit log carries the batch id (the
-    ``txnAppId``/``txnVersion`` pattern) — the merge logic is unchanged.
+    Scope: driver-local filesystem — valid exactly where ParquetTable
+    itself is (single driver host, POSIX; see its docstring). On an
+    object store or a cluster whose driver can restart elsewhere, swap
+    ParquetTable for a Delta/Iceberg table whose commit log carries the
+    batch id (the ``txnAppId``/``txnVersion`` pattern) — the merge
+    logic is unchanged. DedupIngestSink shows the marker-free
+    alternative (per-batch partition overwrite).
     """
 
-    def __init__(self, table: ParquetTable, pk: str, ts_col: str):
-        self.table = table
-        self.pk = pk
-        self.ts_col = ts_col
+    table: ParquetTable
 
     @property
     def _marker_path(self) -> str:
@@ -54,9 +46,33 @@ class Scd2Sink:
         except (OSError, ValueError, KeyError):
             return -1
 
+    def _record_batch(self, batch_id: int) -> None:
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self._marker_path)
+
+
+class Scd2Sink(_BatchMarker):
+    """``writeStream.foreachBatch(Scd2Sink(table, pk, ts_col))`` —
+    streaming history-preserving dimension maintenance.
+
+    Each micro-batch is an SCD2 delta: changed keys close their current
+    version and open a new one stamped with the batch's max event time
+    (so versions carry *data* time, not processing time). Replay-safe:
+    the ``_BatchMarker`` guard makes re-delivered micro-batches no-ops,
+    and scd2_merge itself ignores no-change rows.
+    """
+
+    def __init__(self, table: ParquetTable, pk: str, ts_col: str):
+        self.table = table
+        self.pk = pk
+        self.ts_col = ts_col
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from python_openetl_spark.operators.merge import dedupe_latest
         from python_openetl_spark.operators.scd import scd2_init, scd2_merge
 
         if batch_id <= self._last_batch():
@@ -66,8 +82,6 @@ class Scd2Sink:
             return  # empty micro-batch
         as_of = row["m"]
         # several events per key in one micro-batch: latest state wins
-        from python_openetl_spark.operators.merge import dedupe_latest
-
         delta = dedupe_latest(batch_df, self.pk, self.ts_col).drop(self.ts_col)
         spark = batch_df.sparkSession
         if self.table.exists():
@@ -77,36 +91,19 @@ class Scd2Sink:
         else:
             merged = scd2_init(delta, as_of)
         self.table.overwrite(merged)
-        tmp = self._marker_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, self._marker_path)
+        self._record_batch(batch_id)
 
 
-class UpsertSink:
+class UpsertSink(_BatchMarker):
     """``writeStream.foreachBatch(UpsertSink(table, pk, order_col))``.
 
-    Replay guard scope: same as Scd2Sink — the batch-id marker lives on
-    the driver-local filesystem beside the table, matching ParquetTable's
-    single-host POSIX scope; use a transactional table format for the
-    marker on clusters with relocatable drivers or object-store URIs.
+    Replay guard scope: see ``_BatchMarker``.
     """
 
     def __init__(self, table: ParquetTable, pk: str, order_col: str | None = None):
         self.table = table
         self.pk = pk
         self.order_col = order_col
-
-    @property
-    def _marker_path(self) -> str:
-        return self.table.path + ".last_batch"
-
-    def _last_batch(self) -> int:
-        try:
-            with open(self._marker_path) as f:
-                return json.load(f)["batch_id"]
-        except (OSError, ValueError, KeyError):
-            return -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self._last_batch():
@@ -115,13 +112,16 @@ class UpsertSink:
         if self.table.exists():
             target = self.table.read(spark)
             merged = merge_upsert(target, batch_df, self.pk, order_col=self.order_col)
+        elif self.order_col is not None:
+            # table-creating first batch: collapse duplicate pks exactly
+            # as merge_upsert would have (last-write-wins per order_col)
+            from python_openetl_spark.operators.merge import dedupe_latest
+
+            merged = dedupe_latest(batch_df, self.pk, self.order_col)
         else:
             merged = batch_df
         self.table.overwrite(merged)
-        tmp = self._marker_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, self._marker_path)
+        self._record_batch(batch_id)
 
 
 class DedupIngestSink:

@@ -173,10 +173,17 @@ ORACLE = {
           FROM corp c LEFT JOIN bench b ON c.sh = b.sh
           GROUP BY c.doc_id
         )
-        SELECT doc_id, n_shingles, n_overlap,
-               n_overlap / n_shingles AS overlap_frac,
-               n_overlap / n_shingles >= 0.5 AS contaminated
-        FROM agg
+        -- left join from the full corpus doc list: docs shorter than n
+        -- tokens have no shingles and report overlap_frac = 0
+        SELECT s.doc_id,
+               COALESCE(a.n_shingles, 0) AS n_shingles,
+               COALESCE(a.n_overlap, 0) AS n_overlap,
+               CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                    THEN a.n_overlap / a.n_shingles ELSE 0.0 END AS overlap_frac,
+               CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                    THEN a.n_overlap / a.n_shingles ELSE 0.0 END >= 0.5 AS contaminated
+        FROM sh s LEFT JOIN agg a ON s.doc_id = a.doc_id
+        WHERE s.doc_id % 50 <> 0
     """,
     "d20_pii_redaction": f"""
         WITH planted AS (
@@ -209,7 +216,8 @@ ORACLE = {
         )
         SELECT doc_id, lang, n_tokens, start_tok,
                CAST(FLOOR(start_tok / 64.0) AS BIGINT) AS first_window,
-               CAST(FLOOR((start_tok + n_tokens - 1) / 64.0) AS BIGINT) AS last_window
+               CAST(FLOOR((start_tok + GREATEST(n_tokens, 1) - 1) / 64.0) AS BIGINT)
+                 AS last_window
         FROM off
     """,
     "x07_ivf_full_probe": """

@@ -111,8 +111,8 @@ ORACLE = {
                     WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
                     ELSE 'new' END AS status
         FROM fp b
-        JOIN first f ON b.fp = f.fp
-        LEFT JOIN store s ON b.fp = s.fp
+        JOIN first f ON b.fp IS NOT DISTINCT FROM f.fp
+        LEFT JOIN store s ON b.fp IS NOT DISTINCT FROM s.fp
     """,
     "d24_training_shuffle": """
         WITH h AS (
@@ -164,9 +164,15 @@ ORACLE = {
           FROM csh c LEFT JOIN bsh b ON c.sh = b.sh
           GROUP BY c.doc_id
         ),
+        -- docs shorter than n tokens have no shingles: trivially
+        -- uncontaminated (overlap_frac = 0), they pass the gate
         cont AS (
-          SELECT doc_id, n_overlap / n_shingles AS overlap_frac
-          FROM cagg WHERE n_overlap / n_shingles < 0.5
+          SELECT t.doc_id,
+                 CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                      THEN a.n_overlap / a.n_shingles ELSE 0.0 END AS overlap_frac
+          FROM tk t LEFT JOIN cagg a ON t.doc_id = a.doc_id
+          WHERE CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                     THEN a.n_overlap / a.n_shingles ELSE 0.0 END < 0.5
         )
         SELECT k.doc_id, k.lang, k.source, k.n_chars,
                len(regexp_extract_all(k.text, '{_PII_EMAIL}')) AS n_emails,

@@ -289,10 +289,11 @@ def q19_theta_join_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0.0, 100_000.0, "low"), (100_000.0, 300_000.0, "mid"), (300_000.0, 1e12, "high")],
         "lo double, hi double, band string",
     )
-    from python_openetl_spark.session import default_parallelism
+    from python_openetl_spark.session import scan_parallelism
 
     # single-file source → repartition so the nested-loop probe uses all cores
-    o = t(spark, sf_dir, "orders").repartition(default_parallelism())
+    o = t(spark, sf_dir, "orders")
+    o = o.repartition(scan_parallelism(o))
     return (
         o.join(
             F.broadcast(bands),

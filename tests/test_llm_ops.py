@@ -150,3 +150,15 @@ def test_multimodal_decode_stub(spark):
     assert meta.filter(F.col("n_bytes") <= 0).count() == 0
     frames = multimodal.sample_frames(payloads, fake=True)
     assert frames.count() >= 20
+
+
+def test_incremental_dedup_classifies_null_text(spark):
+    from python_openetl_spark.operators.dedup import incremental_dedup
+
+    store = spark.createDataFrame([("feedface",)], "fp string")
+    batch = spark.createDataFrame(
+        [(1, None), (2, "real content"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, store).collect()}
+    # NULL-content rows are never dropped: they dedup against each other
+    assert out == {1: "new", 2: "new", 3: "dup_in_batch"}

@@ -133,3 +133,39 @@ def test_prepare_corpus_gates_compose(spark):
     # survivors carry no un-redacted PII and no contaminated docs
     assert out.filter(F.col("overlap_frac") >= 0.5).count() == 0
     assert out.filter(F.col("text_redacted").rlike(prep.EMAIL_RE)).count() == 0
+
+
+def test_contamination_keeps_short_docs(spark):
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "hello world"), (2, "alpha beta gamma delta epsilon")],  # doc 1: < 3 tokens
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in prep.contamination_check(corpus, bench).collect()}
+    assert set(out) == {1, 2}, "short docs must not be dropped"
+    assert out[1]["n_shingles"] == 0 and out[1]["overlap_frac"] == 0.0
+    assert not out[1]["contaminated"]
+
+
+def test_pack_sequences_zero_token_doc_span_not_inverted(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "...!!!"), (3, "five six")],  # doc 2: 0 tokens
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in prep.pack_sequences(docs, ctx=4).collect()}
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["last_window"] >= rows[2]["first_window"]
+    assert all(r["last_window"] >= r["first_window"] for r in rows.values())
+
+
+def test_prepare_corpus_keeps_short_docs(spark):
+    bench = spark.createDataFrame([(100, "alpha beta gamma delta")], "doc_id long, text string")
+    # doc 1: 1 token -> no bigrams (passes quality), no 3-shingles
+    # (must pass contamination as trivially uncontaminated, not vanish);
+    # doc 2: long unrelated text passes every gate
+    corpus = spark.createDataFrame(
+        [(1, "hello"), (2, "some fresh unrelated content appears right here today")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in prep.prepare_corpus(corpus, bench).collect()}
+    assert kept == {1, 2}

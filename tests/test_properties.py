@@ -199,3 +199,13 @@ def test_text_shingles_equals_canonical_on_arbitrary_text(spark, texts, n):
         .count()
     )
     assert bad == 0
+
+
+def test_dedupe_latest_breaks_ties_deterministically(spark):
+    """Equal order_col rows resolve by remaining columns (name-sorted,
+    desc) — stable under any partition layout."""
+    rows = [(1, 5, v) for v in (3, 9, 1)] + [(2, 5, 7), (2, 4, 100)]
+    df = spark.createDataFrame(rows, "pk long, ver long, val long")
+    for layout in (df, df.repartition(7), df.coalesce(1)):
+        got = {r["pk"]: (r["ver"], r["val"]) for r in dedupe_latest(layout, "pk", "ver").collect()}
+        assert got == {1: (5, 9), 2: (5, 7)}

@@ -277,3 +277,15 @@ def test_dedup_ingest_sink_from_real_stream(spark, tmp_path):
     # corpus contains each distinct content exactly once
     assert got.count() == got.distinct().count()
     assert got.distinct().count() == ev.select("text").distinct().count()
+
+
+def test_upsert_sink_dedups_table_creating_first_batch(spark, tmp_path):
+    table = ParquetTable(str(tmp_path / "first_batch_tbl"))
+    sink = UpsertSink(table, pk="event_id", order_col="ts")
+    first = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 10, 3.0)], "event_id long, ts long, value double"
+    )
+    sink(first, batch_id=0)
+    got = {r["event_id"]: r["value"] for r in table.read(spark).collect()}
+    # duplicate pk collapsed on the very first batch (last-write-wins)
+    assert got == {1: 2.0, 2: 3.0}
