@@ -9,14 +9,24 @@ replacement for the reference's chunked full-table scans
 already gives partitioned, column-pruned, predicate-pushed scans, so no
 chunk loop exists.
 
-Nanosecond timestamps: the fixture ``events`` table stores parquet
-TIMESTAMP(NANOS), which Spark's parquet reader rejects outright. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.tune_session)
-the column arrives as epoch-nanos LongType; we convert to TimestampType
-by integer division to micros — the same truncation DuckDB applies, so
-oracle comparisons agree. The conversion happens executor-side inside
-the scan projection (no driver materialization), so it scales to any
-table size.
+Timestamp normalization — the engine's canonical temporal type is
+``TIMESTAMP`` (instant/LTZ) under a pinned UTC session timezone:
+
+* parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
+  session.tune_session) it arrives as epoch-nanos LongType and we
+  convert via integer division to micros — the same truncation DuckDB
+  applies, so oracle comparisons agree.
+* parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+  ``TIMESTAMP_NTZ`` (``spark.sql.parquet.inferTimestampNTZ.enabled``
+  defaults true). NTZ breaks instant-based expressions outright
+  (``unix_micros``, ``CAST(ts AS BIGINT)`` range frames), so we cast to
+  ``timestamp_ltz``. Because tune_session pins the session timezone to
+  UTC, the cast reinterprets the naive wall clock as UTC — value-
+  identical to DuckDB reading the same naive column.
+
+Both conversions happen executor-side inside the scan projection (no
+driver materialization), so they scale to any table size.
 """
 
 from __future__ import annotations
@@ -81,6 +91,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double division loses precision at epoch-nano magnitude
             # (2^53 < 1.7e18), which showed up as ±1µs vs DuckDB's cast.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        # Canonicalize NTZ → instant under the pinned UTC session TZ (see
+        # module docstring). Explicit "timestamp_ltz": a bare "timestamp"
+        # cast tracks spark.sql.timestampType and could be a no-op NTZ.
+        df = df.select(
+            *[
+                F.col(c).cast("timestamp_ltz").alias(c) if c in ntz else F.col(c)
+                for c in df.columns
+            ]
+        )
     return df
 
 

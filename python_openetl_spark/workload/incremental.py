@@ -31,14 +31,14 @@ _OVERLAP = "1999-01-01"
 
 def _target(spark, sf_dir) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+    return o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp_ltz")).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
 
 
 def _delta(spark, sf_dir) -> DataFrame:
     o = t(spark, sf_dir, "orders")
-    return o.filter(F.col("o_orderdate") >= F.lit(_OVERLAP).cast("timestamp_ntz")).select(
+    return o.filter(F.col("o_orderdate") >= F.lit(_OVERLAP).cast("timestamp_ltz")).select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -100,7 +100,7 @@ def _scd_delta(spark, sf_dir) -> DataFrame:
     before the overlap so no pk appears twice in the delta)."""
     o = t(spark, sf_dir, "orders")
     echo = o.filter(
-        (F.col("o_orderdate") < F.lit(_OVERLAP).cast("timestamp_ntz"))
+        (F.col("o_orderdate") < F.lit(_OVERLAP).cast("timestamp_ltz"))
         & (F.col("o_orderkey") % 7 == 0)
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     return _delta(spark, sf_dir).unionByName(echo)
@@ -138,7 +138,7 @@ def m07_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    cutoff = F.lit(_CUTOFF).cast("timestamp_ntz")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ltz")
     base = dec(o.filter(F.col("o_orderdate") < cutoff))
     delta_rows = dec(o.filter(F.col("o_orderdate") >= cutoff))
     rollup = partial_aggs(base, ["o_custkey"], spec)
@@ -167,7 +167,7 @@ def m08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice")
         ),
     )
-    inserted = o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+    inserted = o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp_ltz")).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     new = kept.unionByName(inserted)
@@ -218,7 +218,7 @@ def m10_upsert_sync_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = t(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    stale = o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+    stale = o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp_ltz")).select(
         *cols, F.col("o_orderdate").alias("updated_at")
     )
     source = o.filter(F.col("o_orderkey") % 13 != 0).select(

@@ -25,7 +25,7 @@ def _new_snapshot(spark, sf_dir) -> DataFrame:
             F.col("o_totalprice")
         ),
     )
-    inserted = o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp_ntz")).select(
+    inserted = o.filter(F.col("o_orderdate") >= F.lit(_CUTOFF).cast("timestamp_ltz")).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
     return kept.unionByName(inserted)

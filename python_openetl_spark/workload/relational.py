@@ -37,7 +37,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ltz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
@@ -792,8 +792,8 @@ def q44_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ltz"))
         )
         .join(p, li.l_partkey == p.p_partkey)
         .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
@@ -810,8 +810,8 @@ def q45_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     rev = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ltz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ltz"))
         )
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
