@@ -431,19 +431,40 @@ def q27_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregation (the 100 TB tier of q08/q23):
     HyperLogLog++ distinct counts and quantile-sketch percentiles — one
-    pass, bounded memory, mergeable across partitions. No SQL oracle
-    (sketch internals are engine-specific); error bounds vs the exact
-    q08/q23 answers are asserted in tests/test_workload_semantics.py.
-    Percentiles are flattened to scalar columns (not an array) so the
-    driver's rows-only canonicalizer can sort the result."""
+    pass, bounded memory, mergeable across partitions. Sketch values
+    are engine-internal, so the hash-checked output is the guarantee
+    the sketches give: exact anchors (COUNT, COUNT DISTINCT — value-
+    matched against the oracle) plus tolerance booleans computed
+    against exact in-plan answers (HLL within its rsd envelope; each
+    approx percentile inside the exact [q-0.01, q+0.01] continuous-
+    quantile window — 100x the sketch's 1e-4 rank-error bound)."""
     o = t(spark, sf_dir, "orders")
-    pcts = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10_000)
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        pcts.getItem(0).alias("p25"),
-        pcts.getItem(1).alias("p50"),
-        pcts.getItem(2).alias("p75"),
+    ap = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10_000)
+    ep = F.percentile(
+        F.col("o_totalprice"),
+        F.array(*[F.lit(x) for x in (0.24, 0.26, 0.49, 0.51, 0.74, 0.76)]),
+    )
+    agg = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__andv"),
+        ap.alias("__ap"),
+        ep.alias("__ep"),
+    )
+    def _band(i: int):
+        a = F.col("__ap").getItem(i)
+        return (a >= F.col("__ep").getItem(2 * i)) & (a <= F.col("__ep").getItem(2 * i + 1))
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("__andv") - F.col("exact_customers"))
+            <= F.lit(0.05) * F.col("exact_customers")
+        ).alias("ndv_ok"),
+        _band(0).alias("p25_ok"),
+        _band(1).alias("p50_ok"),
+        _band(2).alias("p75_ok"),
     )
 
 
@@ -1264,6 +1285,16 @@ ORACLE = {
                CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-06-01') AS INT) AS days_to_jun1,
                STRFTIME(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS plus90m
         FROM events
+    """,
+    "q28_approx_aggs": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS exact_customers,
+               TRUE AS ndv_ok,
+               TRUE AS p25_ok,
+               TRUE AS p50_ok,
+               TRUE AS p75_ok
+        FROM orders GROUP BY 1
     """,
     "q29_histogram": """
         SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0), 0), 9) AS INT) AS bucket,
