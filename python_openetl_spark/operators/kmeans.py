@@ -1,0 +1,196 @@
+"""Distributed spherical k-means over embedding columns.
+
+The coarse-clustering backbone for semantic dedup (SemDeDup: Abbas et
+al., arXiv:2303.09540 — cluster embeddings, then dedup only *within*
+clusters) and for IVF-style index builds (`operators/similarity.py`
+samples centroids; this refines them with Lloyd sweeps, same dataflow).
+
+Scale shape (the part that must survive 100 TB):
+
+- centroids are k x dim doubles — always broadcast, never shuffled;
+- each Lloyd iteration is ONE corpus scan: an Arrow-batched kernel
+  assigns every vector to its nearest centroid and emits *per-batch
+  partial sums* (<= k rows per batch of (cell, count, sum-vector)), the
+  map-side combine that keeps the shuffle at k x partitions rows
+  instead of n;
+- partials reduce to k x dim scalars via posexplode + groupBy(cell,
+  pos) — fully distributed, no driver reduce over partition count —
+  and only that k x dim result (a few KiB) is collected to update
+  centroids;
+- iteration count is fixed (deterministic plans, lineage does not grow:
+  each sweep re-reads the source, nothing iteratively unioned).
+
+The reference has no clustering surface (nearest analogue is its
+client-side set difference, /root/reference/pyopenetl/operations.py:572);
+this is part of the BASELINE.json LLM-data north star.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return mat / n
+
+
+def init_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, seed: int
+) -> np.ndarray:
+    """Deterministic seed centroids: the k corpus vectors that sort
+    first by ``xxhash64(id, seed)`` — an engine-reproducible uniform
+    sample (same device as operators/sampling.py), one tiny top-k job."""
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    return _unit_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
+
+
+def spherical_kmeans(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    probe: int = 1,
+) -> tuple[np.ndarray, DataFrame]:
+    """Fit spherical k-means (cosine / unit-sphere Lloyd's) and return
+    ``(centroids, assignments)``.
+
+    ``assignments`` has one row per input row and probe slot:
+    ``(id_col, cell, cell_rank)`` where ``cell_rank`` 0 is the nearest
+    centroid and ranks ``1..probe-1`` are the runners-up — multi-probe
+    assignment for candidate generation, so near-boundary points meet
+    their neighbors across a cluster seam (same trick as IVF nprobe).
+    """
+    src = df.select(id_col, vec_col)
+    cents = init_centroids(src, id_col, vec_col, k, seed)
+    k = cents.shape[0]  # fewer rows than k: every row seeds a centroid
+
+    for _ in range(iters):
+        c_bc = cents  # closed over; k x dim doubles, broadcast with the task
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                cells = (mat @ c_bc.T).argmax(axis=1)
+                sums = np.zeros_like(c_bc)
+                np.add.at(sums, cells, mat)
+                counts = np.bincount(cells, minlength=c_bc.shape[0])
+                live = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cell": live.astype(np.int32),
+                        "n": counts[live].astype(np.int64),
+                        "s": list(sums[live]),
+                    }
+                )
+
+        agg = (
+            src.mapInPandas(partials, schema="cell int, n long, s array<double>")
+            .select("cell", "n", F.posexplode("s").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("val").alias("val"),
+                # n repeats across every pos of one partial row, so count
+                # it exactly once per partial: in the pos-0 slice
+                F.sum(F.when(F.col("pos") == 0, F.col("n")).otherwise(0)).alias("n0"),
+            )
+            .collect()
+        )
+        new = cents.copy()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in agg:
+            sums[r["cell"], r["pos"]] = r["val"]
+            if r["pos"] == 0:
+                counts[r["cell"]] = r["n0"]
+        live = counts > 0
+        new[live] = _unit_rows(sums[live])  # empty cells keep their centroid
+        cents = new
+
+    c_bc = cents
+    p = max(1, min(probe, k))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            order = np.argsort(-(mat @ c_bc.T), axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    "cell": order.reshape(-1).astype(np.int32),
+                    "cell_rank": np.tile(np.arange(p, dtype=np.int32), n),
+                }
+            )
+
+    assignments = src.mapInPandas(
+        assign, schema=f"{id_col} long, cell int, cell_rank int"
+    )
+    return cents, assignments
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    probe: int = 2,
+) -> DataFrame:
+    """SemDeDup-style greedy semantic dedup: drop a vector iff some
+    smaller-id vector is cosine-similar above ``threshold``; return the
+    surviving rows of ``df``.
+
+    The drop rule (min-id wins over every pair, non-transitive) is
+    exactly SQL-expressible — the oracle is an O(n^2) pair join — while
+    the Spark path stays subquadratic: candidate pairs are generated
+    only *within* k-means cells (multi-probe, so seam pairs are kept),
+    then verified with the exact JVM cosine. Recall vs the exact pair
+    set at fixture settings is pinned in tests/test_kmeans.py.
+
+    At 100 TB: pair generation is per-cell self-joins after one shuffle
+    on (cell), cells are balanced by construction (Lloyd's), and the
+    corpus itself is never pair-joined — survivors come from one
+    left-anti join against the dropped-id set, as in
+    cluster.canonicalize_corpus.
+    """
+    from python_openetl_spark.functions.vectors import cosine
+
+    _, assigned = spherical_kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed, probe=probe
+    )
+    tagged = assigned.join(df.select(id_col, vec_col), id_col)
+    a = tagged.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = tagged.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # multi-probe duplicates the same pair across probed cells; dedup
+        # on ids only AFTER the threshold filter kills ~99% of candidates
+        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -24,6 +24,7 @@ from python_openetl_spark.workload import (
     llm,
     llm2,
     llm3,
+    llm4,
     relational,
     scale,
     streaming2,
@@ -51,6 +52,7 @@ _MODULES = (
     streaming2,
     scale,
     llm3,
+    llm4,
 )
 
 _WINDOW_R3 = (
@@ -75,8 +77,9 @@ _WINDOW_R3 = (
     "q19_theta_join_ranges", "q23_percentiles", "q30_volume_shipping",
     "q46_best_supplier_per_part", "q47_window_frames",
     "d01_exact_dedup", "d06_minhash_lsh_candidates", "d12_dup_clusters",
-    "d14_embedding_dup_clusters", "x03_cosine_topk_arrow",
-    "u02_apply_in_pandas_zscore",
+    "d14_embedding_dup_clusters",
+    # round-3 additions (operators/kmeans.py)
+    "d25_kmeans_assign", "d26_semantic_dedup",
 )
 
 

@@ -1,0 +1,89 @@
+"""Round-3 LLM-data queries: distributed k-means + semantic dedup
+(operators/kmeans.py — the SemDeDup scale path).
+
+- d25: spherical k-means assignment, hash-verified as a *differential*:
+  the Arrow/numpy kernel's nearest-centroid choice is recomputed in the
+  same plan with the independent JVM-expression cosine path
+  (functions/vectors.py) over the broadcast final centroids, and the
+  query emits per-vector agreement booleans. Two implementations of the
+  same math must agree exactly — a broken kernel, a stale broadcast, or
+  a tie-break drift all hash-mismatch.
+- d26: SemDeDup-style greedy semantic dedup. The drop rule (a vector is
+  dropped iff a smaller-id vector is cosine-similar >= threshold) is
+  order-free and exactly SQL-expressible, so the oracle is the O(n^2)
+  pair join — fine at oracle scale — while the Spark path prunes pair
+  generation to k-means cells (multi-probe for seam pairs) and stays
+  subquadratic for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from python_openetl_spark.functions.vectors import cosine
+from python_openetl_spark.operators import kmeans
+from python_openetl_spark.workload.util import t
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+def d25_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans.spherical_kmeans(emb, k=8, iters=3, probe=1)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, cv array<double>",
+    )
+    # independent JVM-side recheck: cosine against every centroid (k=8
+    # broadcast rows), argmax with the same lowest-cell tie-break the
+    # numpy kernel uses
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    jvm_best = (
+        emb.join(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            "cell",
+            cosine(F.col("embedding"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cell").alias("jvm_cell"))
+    )
+    return (
+        assigned.filter(F.col("cell_rank") == 0)
+        .join(jvm_best, "vec_id")
+        .select("vec_id", (F.col("cell") == F.col("jvm_cell")).alias("nearest_ok"))
+    )
+
+
+def d26_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = kmeans.semantic_dedup(emb, threshold=0.45, k=8, iters=3, probe=4)
+    return out.select("vec_id", "label")
+
+
+QUERIES = {
+    "d25_kmeans_assign": d25_kmeans_assign,
+    "d26_semantic_dedup": d26_semantic_dedup,
+}
+
+ORACLE = {
+    "d25_kmeans_assign": """
+        SELECT vec_id, TRUE AS nearest_ok FROM embeddings
+    """,
+    "d26_semantic_dedup": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        drops AS (
+          SELECT DISTINCT b.vec_id
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE {_COS_SQL} >= 0.45
+        )
+        SELECT vec_id, label FROM e
+        WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+}
