@@ -27,6 +27,7 @@ from python_openetl_spark.workload import (
     llm4,
     relational,
     scale,
+    sinks_io,
     streaming2,
     streaming_batch,
     udf_surface,
@@ -53,6 +54,7 @@ _MODULES = (
     scale,
     llm3,
     llm4,
+    sinks_io,
 )
 
 _WINDOW_R3 = (

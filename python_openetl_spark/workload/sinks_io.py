@@ -1,0 +1,115 @@
+"""Round-3 sink/source format coverage: write -> read-back roundtrips
+for CSV, JSON and ORC (K-family extension; parquet is covered by
+m09/m10's ParquetTable seed paths).
+
+The reference moves data between stores as CSV byte buffers
+(/root/reference/pyopenetl/operations.py:167-170 COPY FROM STDIN) and
+ingests flat files (operations.py:486-513); these queries prove the
+Spark-native equivalents end-to-end at the driver's correctness gate:
+each writes a derived frame to a temp directory in the given format,
+reads it back with an explicit schema (no inference nondeterminism),
+and returns the read-back rows — the oracle recomputes the same frame
+from the source tables, so a lossy writer, a schema drift, or a
+mis-parsed read all hash-mismatch.
+
+Scale notes: all three writers shard by partition (one file per task —
+the only scalable layout); CSV carries money as DECIMAL(12,2) strings
+(doubles in CSV risk 17-digit round-trip formatting drift); JSON
+exercises nested struct + array columns (the types object stores and
+log pipelines actually ship); ORC is Spark-native columnar with
+predicate pushdown on read-back.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+
+def _tmp(fmt: str) -> str:
+    return tempfile.mkdtemp(prefix=f"poe_{fmt}_roundtrip_") + "/data"
+
+
+def k01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+    path = _tmp("csv")
+    src.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_price decimal(12,2), o_date string"
+    ).option("header", True).csv(path)
+
+
+def k02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"), F.col("source").alias("source")
+        ).alias("meta"),
+        F.array(F.length("text").cast("long"), F.col("n_chars").cast("long")).alias(
+            "stats"
+        ),
+    )
+    path = _tmp("json")
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema(
+        "doc_id long, meta struct<lang:string,source:string>, stats array<bigint>"
+    ).json(path)
+
+
+def k03_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("l_price"),
+        "l_returnflag",
+    )
+    path = _tmp("orc")
+    src.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        # read-back filter proves pushdown survives the format hop
+        .filter(F.col("l_quantity") > 0)
+    )
+
+
+QUERIES = {
+    "k01_csv_roundtrip": k01_csv_roundtrip,
+    "k02_json_roundtrip": k02_json_roundtrip,
+    "k03_orc_roundtrip": k03_orc_roundtrip,
+}
+
+ORACLE = {
+    "k01_csv_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS o_price,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM orders
+    """,
+    "k02_json_roundtrip": """
+        SELECT doc_id,
+               {'lang': lang, 'source': source} AS meta,
+               [CAST(length(text) AS BIGINT), CAST(n_chars AS BIGINT)] AS stats
+        FROM documents
+    """,
+    "k03_orc_roundtrip": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(l_extendedprice AS DECIMAL(14,2)) AS l_price,
+               l_returnflag
+        FROM lineitem WHERE l_quantity > 0
+    """,
+}
