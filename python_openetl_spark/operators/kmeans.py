@@ -66,6 +66,7 @@ def spherical_kmeans(
     vec_col: str = "embedding",
     seed: int = 42,
     probe: int = 1,
+    include_vec: bool = False,
 ) -> tuple[np.ndarray, DataFrame]:
     """Fit spherical k-means (cosine / unit-sphere Lloyd's) and return
     ``(centroids, assignments)``.
@@ -75,6 +76,9 @@ def spherical_kmeans(
     centroid and ranks ``1..probe-1`` are the runners-up — multi-probe
     assignment for candidate generation, so near-boundary points meet
     their neighbors across a cluster seam (same trick as IVF nprobe).
+    With ``include_vec`` the vector rides along in the output — callers
+    that need (cell, vector) avoid re-joining the corpus on id (one
+    full-corpus shuffle saved; the explode happens in the same scan).
     """
     src = df.select(id_col, vec_col)
     cents = init_centroids(src, id_col, vec_col, k, seed)
@@ -130,17 +134,19 @@ def spherical_kmeans(
             mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             order = np.argsort(-(mat @ c_bc.T), axis=1, kind="stable")[:, :p]
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
-                    "cell": order.reshape(-1).astype(np.int32),
-                    "cell_rank": np.tile(np.arange(p, dtype=np.int32), n),
-                }
-            )
+            out = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                "cell": order.reshape(-1).astype(np.int32),
+                "cell_rank": np.tile(np.arange(p, dtype=np.int32), n),
+            }
+            if include_vec:
+                out[vec_col] = np.repeat(pdf[vec_col].to_numpy(), p)
+            yield pd.DataFrame(out)
 
-    assignments = src.mapInPandas(
-        assign, schema=f"{id_col} long, cell int, cell_rank int"
-    )
+    schema = f"{id_col} long, cell int, cell_rank int"
+    if include_vec:
+        schema += f", {vec_col} array<float>"
+    assignments = src.mapInPandas(assign, schema=schema)
     return cents, assignments
 
 
@@ -174,10 +180,16 @@ def semantic_dedup(
     """
     from python_openetl_spark.functions.vectors import cosine
 
-    _, assigned = spherical_kmeans(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed, probe=probe
+    _, tagged = spherical_kmeans(
+        df,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        probe=probe,
+        include_vec=True,
     )
-    tagged = assigned.join(df.select(id_col, vec_col), id_col)
     a = tagged.select(
         F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
