@@ -597,27 +597,37 @@ def q35_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order key once each."""
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = t(spark, sf_dir, "lineitem").alias("l1")
-    l2 = t(spark, sf_dir, "lineitem").alias("l2")
-    l3 = t(spark, sf_dir, "lineitem").alias("l3")
-    cand = (
-        l1.join(o, F.col("l1.l_orderkey") == o.o_orderkey)
-        .join(
-            l2,
-            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
-            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
-            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
-            "left_anti",
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    # Single lineitem aggregation instead of three scans (semi + anti):
+    # a row waits iff no OTHER supplier on the order shipped strictly
+    # later, i.e. l_shipdate >= max-over-other-suppliers. That max is
+    # derivable from the per-order top-2 (supplier, max-shipdate) pairs
+    # — one (order, supp) partial agg, one windowed rank over the small
+    # per-supplier rollup, then a join back on the order key. Saves two
+    # full lineitem shuffles vs the literal EXISTS/NOT-EXISTS plan.
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms")
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(F.col("ms").desc(), F.col("l_suppkey"))
+    tops = (
+        per_os.withColumn("rn", F.row_number().over(wr))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.max(F.when(F.col("rn") == 1, F.struct("ms", "l_suppkey"))).alias("m1"),
+            F.max(F.when(F.col("rn") == 2, F.struct("ms", "l_suppkey"))).alias("m2"),
         )
     )
+    max_other = F.when(
+        F.col("l_suppkey") != F.col("m1.l_suppkey"), F.col("m1.ms")
+    ).otherwise(F.col("m2.ms"))
+    cand = (
+        li.join(tops, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") >= max_other))
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
     return (
-        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        cand.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
