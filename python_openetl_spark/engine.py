@@ -165,6 +165,19 @@ class Dataset:
         b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
         return Dataset(prepare_corpus(self.df, b, **kw))
 
+    def kmeans(self, **kw) -> "tuple":
+        """Spherical k-means: returns (centroids ndarray, Dataset of
+        multi-probe assignments). See operators/kmeans.py."""
+        from python_openetl_spark.operators.kmeans import spherical_kmeans
+
+        cents, assigned = spherical_kmeans(self.df, **kw)
+        return cents, Dataset(assigned)
+
+    def semantic_dedup(self, threshold: float, **kw) -> "Dataset":
+        from python_openetl_spark.operators.kmeans import semantic_dedup
+
+        return Dataset(semantic_dedup(self.df, threshold=threshold, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -163,3 +163,34 @@ def test_prepare_corpus_broadcasts_benchmark_and_reuses_keeper_exchange(spark):
     # contamination probe broadcasts the benchmark shingle set
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_pairs_are_cell_equi_join(spark):
+    """d26's pair generation must be a hash/sort-merge equi-join on the
+    k-means cell — never a cartesian pair blowup — and the survivor
+    filter a left-anti join."""
+    from python_openetl_spark.workload.llm4 import d26_semantic_dedup
+
+    plan = _plan(d26_semantic_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_kmeans_assign_recheck_broadcasts_centroids(spark):
+    """d25's JVM recheck joins against k=8 centroid rows — that side
+    must broadcast (nested-loop over 8 rows is fine; a shuffle of the
+    corpus against it is not)."""
+    from python_openetl_spark.workload.llm4 import d25_kmeans_assign
+
+    plan = _plan(d25_kmeans_assign(spark, SF_DIR))
+    assert "Broadcast" in plan, plan
+
+
+def test_orc_roundtrip_pushes_filter_to_orc_scan(spark):
+    """k03's read-back filter must reach the ORC scan as a pushed
+    predicate (pushdown survives the format hop)."""
+    from python_openetl_spark.workload.sinks_io import k03_orc_roundtrip
+
+    plan = _plan(k03_orc_roundtrip(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan, plan
