@@ -167,19 +167,22 @@ def semantic_dedup(
 
     The drop rule (min-id wins over every pair, non-transitive) is
     exactly SQL-expressible — the oracle is an O(n^2) pair join — while
-    the Spark path stays subquadratic: candidate pairs are generated
-    only *within* k-means cells (multi-probe, so seam pairs are kept),
-    then verified with the exact JVM cosine. Recall vs the exact pair
-    set at fixture settings is pinned in tests/test_kmeans.py.
+    the Spark path never materializes pairs at all: after one shuffle
+    on (cell), an Arrow-batched kernel runs a blocked matmul *inside*
+    each cell and emits only the dropped ids (a vector is dropped iff
+    some smaller-id vector in the cell clears the threshold). Pair
+    candidates exist only as matmul lanes, so the cost is float ops,
+    not join rows — the same kernel shape as
+    similarity.lsh_cosine_pairs, which is what makes dense cells
+    survivable. Multi-probe assignment keeps seam pairs (recall vs the
+    exact pair set at fixture settings is pinned in
+    tests/test_kmeans.py); survivors come from one left-anti join
+    against the tiny dropped-id set, as in cluster.canonicalize_corpus.
 
-    At 100 TB: pair generation is per-cell self-joins after one shuffle
-    on (cell), cells are balanced by construction (Lloyd's), and the
-    corpus itself is never pair-joined — survivors come from one
-    left-anti join against the dropped-id set, as in
-    cluster.canonicalize_corpus.
+    At 100 TB you raise ``k`` so cells stay small (SemDeDup uses ~1e5
+    clusters) and accept sub-1 recall — the fixture settings pin k low
+    and probe high because the driver oracle demands exactness.
     """
-    from python_openetl_spark.functions.vectors import cosine
-
     _, tagged = spherical_kmeans(
         df,
         k=k,
@@ -190,19 +193,27 @@ def semantic_dedup(
         probe=probe,
         include_vec=True,
     )
-    a = tagged.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = tagged.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
+
+    def cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: ids[:0]})
+        mat = _unit_rows(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        dropped = np.zeros(n, dtype=bool)
+        row_idx = np.arange(n)
+        blk = 2048  # bounds the score slab at n x 2048 doubles
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            scores = mat @ mat[s:e].T
+            earlier = row_idx[:, None] < np.arange(s, e)[None, :]
+            dropped[s:e] |= ((scores >= threshold) & earlier).any(axis=0)
+        return pd.DataFrame({id_col: ids[dropped]})
+
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        # multi-probe duplicates the same pair across probed cells; dedup
-        # on ids only AFTER the threshold filter kills ~99% of candidates
-        .filter(cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
-        .select(F.col("id_b").alias(id_col))
+        tagged.groupBy("cell")
+        .applyInPandas(cell_drops, schema=f"{id_col} long")
         .distinct()
     )
     return df.join(dropped, id_col, "left_anti")

@@ -166,9 +166,9 @@ def test_prepare_corpus_broadcasts_benchmark_and_reuses_keeper_exchange(spark):
 
 
 def test_semantic_dedup_pairs_are_cell_equi_join(spark):
-    """d26's pair generation must be a hash/sort-merge equi-join on the
-    k-means cell — never a cartesian pair blowup — and the survivor
-    filter a left-anti join."""
+    """d26 must never materialize a pair join (pairs live only inside
+    the per-cell Arrow kernel's matmul) and the survivor filter must be
+    a left-anti join against the dropped-id set."""
     from python_openetl_spark.workload.llm4 import d26_semantic_dedup
 
     plan = _plan(d26_semantic_dedup(spark, SF_DIR))
