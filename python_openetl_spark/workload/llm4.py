@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from python_openetl_spark.functions.vectors import cosine
-from python_openetl_spark.operators import kmeans
+from python_openetl_spark.operators import kmeans, similarity
 from python_openetl_spark.workload.util import t
+
+#: Query vectors shared with llm.py's x01/x03/x05 (same fixture ids).
+_QUERY_IDS = (1, 5, 9)
 
 _COS_SQL = (
     "list_dot_product(a.v, b.v)"
@@ -67,9 +70,49 @@ def d26_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def x08_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): ADC shortlist over
+    8-byte PQ codes + exact re-rank, verified like x05 via its own
+    guarantee — in-plan recall@k against the exact ranking, emitted as
+    a floor boolean. The floor is deliberately modest: the fixture
+    embeddings are near-uniform random (incompressible — PQ's known
+    worst case, ~0.75 relative reconstruction error), so this pins
+    "the ADC+re-rank dataflow works", while tests pin recall 1.0 at
+    the scales where the shortlist covers the noise (sf0.001/0.01)."""
+    from python_openetl_spark.operators import pq
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = pq.pq_topk(
+        emb, queries.toPandas(), k=5, m=8, ksub=16, iters=3, rerank_factor=20
+    )
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k") >= 0.15).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "d25_kmeans_assign": d25_kmeans_assign,
     "d26_semantic_dedup": d26_semantic_dedup,
+    "x08_pq_topk": x08_pq_topk,
 }
 
 ORACLE = {
@@ -85,5 +128,9 @@ ORACLE = {
         )
         SELECT vec_id, label FROM e
         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+    "x08_pq_topk": """
+        SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id IN (1, 5, 9)
     """,
 }
