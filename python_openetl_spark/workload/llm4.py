@@ -134,3 +134,109 @@ ORACLE = {
         FROM embeddings WHERE vec_id IN (1, 5, 9)
     """,
 }
+
+
+def d27_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detection (the exact-substring tier
+    of dedup, a la Lee et al. "Deduplicating Training Data Makes
+    Language Models Better": find 5-token windows occurring in more
+    than one document). Per doc: distinct windows, windows shared with
+    any other doc, and the shared fraction. Shuffle carries 60-bit
+    window hashes, never text; short docs (< n tokens) have zero
+    windows and report 0.0."""
+    from python_openetl_spark.functions.text import text_shingles, token_hash60
+    from python_openetl_spark.session import scan_parallelism
+
+    d = t(spark, sf_dir, "documents")
+    win = (
+        d.repartition(scan_parallelism(d), F.col("doc_id"))
+        .select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(text_shingles(F.col("text"), 5))).alias("w"),
+        )
+        .select("doc_id", token_hash60(F.col("w")).alias("wh"))
+    )
+    docs_per = win.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        win.join(docs_per, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.when(
+                    F.coalesce("n_windows", F.lit(0)) > 0,
+                    F.coalesce("n_shared", F.lit(0)) / F.col("n_windows"),
+                ).otherwise(0.0),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def d28_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d23's nightly-ingest classification with the Bloom-prefiltered
+    store join (operators/dedup.incremental_dedup_bloom): identical
+    output by construction — false positives are rejected by the exact
+    confirm join, false negatives cannot exist — so it shares d23's
+    oracle while the store join's probe side shrinks to the fraction
+    of the batch the filter cannot rule out."""
+    from python_openetl_spark.functions.text import fingerprint
+    from python_openetl_spark.operators import dedup as dd
+    from python_openetl_spark.workload.llm3 import _OFF
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    resub = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _OFF).alias("doc_id"), "text"
+    )
+    fresh = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2 * _OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
+    )
+    fresh_again = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3 * _OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
+    )
+    batch = resub.unionByName(fresh).unionByName(fresh_again)
+    store = d.select(fingerprint("text").alias("fp")).distinct()
+    return dd.incremental_dedup_bloom(batch, store)
+
+
+QUERIES["d27_repeated_ngram_spans"] = d27_repeated_ngram_spans
+QUERIES["d28_bloom_incremental_dedup"] = d28_bloom_incremental_dedup
+
+from python_openetl_spark.workload.llm3 import _TOKS, _shingles  # noqa: E402
+from python_openetl_spark.workload.llm3 import ORACLE as _L3_ORACLE  # noqa: E402
+
+ORACLE["d27_repeated_ngram_spans"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    win AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_shingles(5)})) AS w
+      FROM tk
+    ),
+    per_w AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY w),
+    per_doc AS (
+      SELECT win.doc_id,
+             COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM win JOIN per_w p ON win.w = p.w
+      GROUP BY win.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_windows, 0) AS n_windows,
+           COALESCE(n_shared, 0) AS n_shared,
+           ROUND(CASE WHEN COALESCE(n_windows, 0) > 0
+                      THEN COALESCE(n_shared, 0) / n_windows ELSE 0.0 END, 6)
+             AS shared_frac
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+ORACLE["d28_bloom_incremental_dedup"] = _L3_ORACLE["d23_incremental_dedup"]

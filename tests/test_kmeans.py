@@ -97,3 +97,33 @@ def test_semantic_dedup_survivor_has_no_earlier_neighbor(spark):
     # lack earlier witnesses unless neither has one — impossible for the
     # larger of the pair (the smaller one is its witness).
     assert surv_pairs.count() == 0
+
+
+def test_bloom_incremental_dedup_identical_to_exact(spark):
+    """The Bloom-prefiltered classifier must be row-identical to the
+    exact one — including under a deliberately tiny bitmap that forces
+    heavy false positives (the confirm join must reject them all)."""
+    from python_openetl_spark.functions.text import fingerprint
+    from python_openetl_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+    from python_openetl_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(300)
+    batch = d.filter(F.col("doc_id") % 3 == 0).unionByName(
+        d.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    store = d.filter(F.col("doc_id") % 2 == 0).select(
+        fingerprint("text").alias("fp")
+    ).distinct()
+    want = sorted(map(tuple, incremental_dedup(batch, store).collect()))
+    got = sorted(map(tuple, incremental_dedup_bloom(batch, store).collect()))
+    assert got == want
+    tiny = sorted(
+        map(tuple, incremental_dedup_bloom(batch, store, num_bits=64).collect())
+    )
+    assert tiny == want
