@@ -178,6 +178,18 @@ class Dataset:
 
         return Dataset(semantic_dedup(self.df, threshold=threshold, **kw))
 
+    def band_keys(self, **kw) -> "Dataset":
+        """LSH band-key index rows (the persisted near-dup store)."""
+        from python_openetl_spark.operators.dedup import minhash_band_keys
+
+        return Dataset(minhash_band_keys(self.df, **kw))
+
+    def incremental_near_dedup(self, band_store: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.dedup import incremental_near_dedup
+
+        s = band_store.df if isinstance(band_store, Dataset) else band_store
+        return Dataset(incremental_near_dedup(self.df, s, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -97,7 +97,7 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -106,22 +106,10 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     num_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidate pairs (a < b) via MinHash-LSH banding.
-
-    shingle → one 60-bit base hash per shingle → 16 universal-hash
-    permutations (integer multiply-mod, not 16 separate md5 calls —
-    measured ~2x faster; Carter-Wegman is the standard min-wise family)
-    → min per permutation → 4 bands of 4 rows packed into two 62-bit
-    integer keys → self-join per (band, k1, k2). Probability a pair
-    with Jaccard j collides in ≥ 1 band: 1-(1-j^4)^4 (the S-curve).
-    The join key is (band, long, long) — small and uniform, so the
-    shuffle is balanced even when documents are skewed in size.
-
-    Formulation notes: explode-then-aggregate (one base hash per
-    (doc, shingle) row, min combined map-side). The array formulation
-    (minhash_signature + lsh_band_keys) is semantically identical but
-    Catalyst re-inlines the signature expression into every band key
-    (no CSE across higher-order functions) — measured 24x slower.
+    """Per-document LSH band keys ``(doc, band, k1, k2)`` — the compact
+    near-dup index row (two packed base-P longs per band). This IS the
+    persisted "near-dup store" for incremental ingest: a corpus's band
+    keys are a few dozen bytes per document regardless of text size.
     """
     rows_per_band = num_hashes // num_bands
     assert rows_per_band % 2 == 0, "band packing needs an even rows_per_band"
@@ -153,9 +141,45 @@ def minhash_lsh_candidates(
         )
         for b in range(num_bands)
     ]
-    exploded = sigs_wide.select(
+    return sigs_wide.select(
         "doc", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc", "bk.band", "bk.k1", "bk.k2")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (a < b) via MinHash-LSH banding.
+
+    shingle → one 60-bit base hash per shingle → 16 universal-hash
+    permutations (integer multiply-mod, not 16 separate md5 calls —
+    measured ~2x faster; Carter-Wegman is the standard min-wise family)
+    → min per permutation → 4 bands of 4 rows packed into two 62-bit
+    integer keys → self-join per (band, k1, k2). Probability a pair
+    with Jaccard j collides in ≥ 1 band: 1-(1-j^4)^4 (the S-curve).
+    The join key is (band, long, long) — small and uniform, so the
+    shuffle is balanced even when documents are skewed in size.
+
+    Formulation notes: explode-then-aggregate (one base hash per
+    (doc, shingle) row, min combined map-side). The array formulation
+    (minhash_signature + lsh_band_keys) is semantically identical but
+    Catalyst re-inlines the signature expression into every band key
+    (no CSE across higher-order functions) — measured 24x slower.
+    """
+    exploded = minhash_band_keys(
+        df,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -455,3 +479,75 @@ def incremental_dedup_bloom(
         .alias("status"),
     )
     return cand.unionByName(fresh)
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup classification of a NEW batch against an existing
+    corpus's LSH band-key store (:func:`minhash_band_keys` rows) — the
+    nightly-ingest shape for NEAR duplicates: the historical corpus is
+    never re-read, only its compact band index.
+
+    Returns ``(id_col, status)`` per batch row: ``'near_dup_of_store'``
+    (>= 1 band key collides with the store), ``'near_dup_in_batch'``
+    (no store hit, but a smaller-id batch doc shares a band — the
+    direct pairwise rule, same min-id-wins convention as
+    :func:`incremental_dedup`), or ``'new'``. The updated store is
+    ``band_store UNION band keys of the accepted rows``.
+
+    Classification is by band collision (the LSH candidate test, d06's
+    semantics) — exact-similarity verification of flagged pairs can
+    follow via :func:`ngram_jaccard_pairs` on the tiny flagged subset.
+    Plan shape for 100 TB: batch band keys shuffle once on the packed
+    (band, k1, k2) key for the store join (store bucketed by the same
+    key -> only the batch moves), and once for the in-batch self-join;
+    both sides of every exchange are a few longs per row.
+    """
+    keys = minhash_band_keys(
+        new_docs,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+    )
+    on = ["band", "k1", "k2"]
+    store_hits = (
+        keys.join(band_store.select(*on).distinct(), on, "left_semi")
+        .select(F.col("doc"))
+        .distinct()
+        .withColumn("__store_hit", F.lit(True))
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    batch_hits = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.k1") == F.col("b.k1"))
+            & (F.col("a.k2") == F.col("b.k2"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("b.doc").alias("doc"))
+        .distinct()
+        .withColumn("__batch_hit", F.lit(True))
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(store_hits.withColumnRenamed("doc", id_col), id_col, "left")
+        .join(batch_hits.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__store_hit"), F.lit("near_dup_of_store"))
+            .when(F.col("__batch_hit"), F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -75,7 +75,7 @@ _WINDOW_R3 = (
     "m07_incremental_rollup", "m08_snapshot_diff", "m09_seed_roundtrip",
     "m10_upsert_sync_roundtrip", "m11_normalize_timestamps",
     # representative spread of each family
-    "q46_best_supplier_per_part", "q47_window_frames",
+    "q47_window_frames",
     "d01_exact_dedup", "d06_minhash_lsh_candidates", "d12_dup_clusters",
     "d14_embedding_dup_clusters",
     # round-3 additions: kmeans/semantic dedup, PQ, repeated spans,
@@ -83,6 +83,7 @@ _WINDOW_R3 = (
     "d25_kmeans_assign", "d26_semantic_dedup", "x08_pq_topk",
     "d27_repeated_ngram_spans", "d28_bloom_incremental_dedup",
     "k01_csv_roundtrip", "k02_json_roundtrip", "k03_orc_roundtrip",
+    "d29_incremental_near_dedup",
 )
 
 

@@ -240,3 +240,112 @@ ORACLE["d27_repeated_ngram_spans"] = f"""
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 ORACLE["d28_bloom_incremental_dedup"] = _L3_ORACLE["d23_incremental_dedup"]
+
+
+def d29_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly near-dup ingest (operators/dedup.incremental_near_dedup):
+    the documents table's LSH band keys are the store; the batch
+    re-submits every 5th doc verbatim (collides with the store), and
+    for every 11th doc submits a fresh synthetic text twice under two
+    new ids (identical bands: smaller id classifies 'new', larger
+    'near_dup_in_batch'). Statuses are defined by band collision — the
+    oracle replicates the identical integer MinHash arithmetic, so the
+    classification matches bit-for-bit whatever the banding decides."""
+    from python_openetl_spark.operators import dedup as dd
+    from python_openetl_spark.workload.llm3 import _OFF
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    resub = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _OFF).alias("doc_id"), "text"
+    )
+    synth_text = F.concat_ws(
+        " ",
+        *[F.concat(F.lit(w), F.col("doc_id").cast("string")) for w in
+          ("zqa", "zqb", "zqc", "zqd", "zqe", "zqf")],
+    )
+    fresh = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2 * _OFF).alias("doc_id"), synth_text.alias("text")
+    )
+    fresh2 = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 3 * _OFF).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(w), (F.col("doc_id")).cast("string")) for w in
+              ("zqa", "zqb", "zqc", "zqd", "zqe", "zqf")],
+        ).alias("text"),
+    )
+    batch = resub.unionByName(fresh).unionByName(fresh2)
+    store = dd.minhash_band_keys(d)
+    return dd.incremental_near_dedup(batch, store)
+
+
+QUERIES["d29_incremental_near_dedup"] = d29_incremental_near_dedup
+
+from python_openetl_spark.workload.llm import (  # noqa: E402
+    _TOKS_SQL,
+    _band_rows_sql,
+    _minhash_sig_sql,
+)
+
+_SHINGLES3_SQL = """
+  CASE WHEN len(toks) >= 3
+       THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       ELSE [] END
+"""
+
+_BANDS_OF = """
+    tk AS (SELECT doc_id, {toks} AS toks FROM {src}),
+    shx AS (SELECT doc_id, {sh} AS sh FROM tk),
+    shf AS (SELECT doc_id, sh FROM shx WHERE len(sh) > 0),
+    ex AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM shf),
+    hashed AS (
+      SELECT doc,
+             (('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647)::BIGINT AS h
+      FROM ex
+    ),
+    sigs AS (SELECT doc, {sig} FROM hashed GROUP BY doc),
+    bands AS ({bands})
+"""
+
+ORACLE["d29_incremental_near_dedup"] = f"""
+    WITH store_docs AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 20000000,
+             concat_ws(' ', 'zqa'||doc_id, 'zqb'||doc_id, 'zqc'||doc_id,
+                            'zqd'||doc_id, 'zqe'||doc_id, 'zqf'||doc_id)
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 30000000,
+             concat_ws(' ', 'zqa'||doc_id, 'zqb'||doc_id, 'zqc'||doc_id,
+                            'zqd'||doc_id, 'zqe'||doc_id, 'zqf'||doc_id)
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    sbands AS (
+      WITH {_BANDS_OF.format(toks=_TOKS_SQL, sh=_SHINGLES3_SQL, src="store_docs",
+                             sig=_minhash_sig_sql(16), bands=_band_rows_sql(4, 4))}
+      SELECT DISTINCT band, k1, k2 FROM bands
+    ),
+    bbands AS (
+      WITH {_BANDS_OF.format(toks=_TOKS_SQL, sh=_SHINGLES3_SQL, src="batch",
+                             sig=_minhash_sig_sql(16), bands=_band_rows_sql(4, 4))}
+      SELECT doc, band, k1, k2 FROM bands
+    ),
+    store_hit AS (
+      SELECT DISTINCT b.doc FROM bbands b
+      JOIN sbands s ON b.band = s.band AND b.k1 = s.k1 AND b.k2 = s.k2
+    ),
+    batch_hit AS (
+      SELECT DISTINCT b.doc FROM bbands a
+      JOIN bbands b ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+                   AND a.doc < b.doc
+    )
+    SELECT bt.doc_id,
+           CASE WHEN sh.doc IS NOT NULL THEN 'near_dup_of_store'
+                WHEN bh.doc IS NOT NULL THEN 'near_dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch bt
+    LEFT JOIN store_hit sh ON bt.doc_id = sh.doc
+    LEFT JOIN batch_hit bh ON bt.doc_id = bh.doc
+"""
