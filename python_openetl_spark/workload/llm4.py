@@ -156,13 +156,18 @@ def d27_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", token_hash60(F.col("w")).alias("wh"))
     )
-    docs_per = win.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
+    # "shared by >=2 docs" == min(doc) != max(doc): map-side-combinable
+    # min/max instead of a COUNT DISTINCT whose per-window distinct state
+    # would concentrate on hot (stop-phrase) windows at scale
+    docs_per = win.groupBy("wh").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("shared")
+    )
     per_doc = (
         win.join(docs_per, "wh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_shared"),
+            F.sum(F.when(F.col("shared"), 1).otherwise(0)).alias("n_shared"),
         )
     )
     return (
