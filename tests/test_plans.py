@@ -194,3 +194,26 @@ def test_orc_roundtrip_pushes_filter_to_orc_scan(spark):
 
     plan = _plan(k03_orc_roundtrip(spark, SF_DIR))
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan, plan
+
+
+def test_waiting_supplier_scans_lineitem_twice_not_thrice(spark):
+    """q35's top-2 rewrite: lineitem feeds one (order, supplier) rollup
+    and one row-level join — the literal EXISTS/NOT-EXISTS plan's third
+    scan must not come back."""
+    from python_openetl_spark.workload.relational import q35_waiting_supplier
+
+    plan = _plan(q35_waiting_supplier(spark, SF_DIR))
+    assert plan.count("FileScan parquet") <= 4, plan  # 2x lineitem + orders + supplier
+    assert "lineitem" in plan
+
+
+def test_driver_window_is_full_and_oracle_backed(spark):
+    """The first 50 queries() entries are what the driver hash-checks:
+    they must be 50 unique names, every one with an oracle."""
+    from python_openetl_spark.workload import all_oracles, all_queries
+
+    q, o = all_queries(), all_oracles()
+    w = list(q)[:50]
+    assert len(set(w)) == 50
+    assert all(n in o for n in w), [n for n in w if n not in o]
+    assert set(o) == set(q)  # every query oracle-backed, no orphans
