@@ -54,6 +54,8 @@ def init_centroids(
         .limit(k)
         .collect()
     )
+    if not rows:
+        return np.zeros((0, 0))
     return _unit_rows(np.array([r[vec_col] for r in rows], dtype=np.float64))
 
 
@@ -83,6 +85,12 @@ def spherical_kmeans(
     src = df.select(id_col, vec_col)
     cents = init_centroids(src, id_col, vec_col, k, seed)
     k = cents.shape[0]  # fewer rows than k: every row seeds a centroid
+    if k == 0:  # empty corpus: no centroids, no assignment rows
+        schema = f"{id_col} long, cell int, cell_rank int"
+        if include_vec:
+            schema += f", {vec_col} array<float>"
+        empty = df.sparkSession.createDataFrame([], schema)
+        return np.zeros((0, 0)), empty
 
     for _ in range(iters):
         c_bc = cents  # closed over; k x dim doubles, broadcast with the task

@@ -62,6 +62,8 @@ def pq_fit(
         .limit(ksub)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_fit: empty corpus (no vectors to learn codebooks from)")
     sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
     ksub = min(ksub, sample.shape[0])
     d = sample.shape[1]

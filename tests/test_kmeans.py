@@ -127,3 +127,17 @@ def test_bloom_incremental_dedup_identical_to_exact(spark):
         map(tuple, incremental_dedup_bloom(batch, store, num_bits=64).collect())
     )
     assert tiny == want
+
+
+def test_kmeans_and_semantic_dedup_on_empty_corpus(spark):
+    import numpy as np
+    import pytest as _pt
+
+    empty = _emb(spark).limit(0)
+    cents, assigned = kmeans.spherical_kmeans(empty, k=4, iters=2)
+    assert cents.shape[0] == 0 and assigned.count() == 0
+    assert kmeans.semantic_dedup(empty, threshold=0.5).count() == 0
+    from python_openetl_spark.operators import pq
+
+    with _pt.raises(ValueError, match="empty corpus"):
+        pq.pq_fit(empty, m=8, ksub=4, iters=1)
