@@ -173,3 +173,59 @@ class DedupIngestSink:
         new_ids.select("fp").write.mode("overwrite").parquet(
             f"{self.store_root}/batch_id={batch_id}"
         )
+
+
+class NearDupIngestSink:
+    """``writeStream.foreachBatch(NearDupIngestSink(corpus_root,
+    store_root))`` — streaming corpus ingest with incremental NEAR-dup
+    rejection: each micro-batch is classified against the persistent
+    LSH band-key store (:func:`operators.dedup.incremental_near_dedup`);
+    only documents with no band collision against the store — and, for
+    collisions inside the batch, the smallest id of each colliding
+    group — land in the corpus, and their band keys extend the store.
+
+    The exactly-once layout is identical to :class:`DedupIngestSink`:
+    both outputs live under ``root/batch_id=N`` partitions, each batch
+    overwrites its own partition, and classification reads only
+    strictly-earlier partitions, so replays rewrite byte-identical
+    output. The store carries ``num_bands`` (band, k1, k2) longs per
+    accepted document — a few dozen bytes regardless of text size.
+    """
+
+    def __init__(self, corpus_root: str, store_root: str,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 *, shingle_n: int = 3, num_hashes: int = 16, num_bands: int = 4):
+        self.corpus_root = corpus_root
+        self.store_root = store_root
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lsh = dict(shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from python_openetl_spark.operators.dedup import (
+            incremental_near_dedup,
+            minhash_band_keys,
+        )
+
+        spark = batch_df.sparkSession
+        if os.path.exists(self.store_root):
+            store = (
+                spark.read.parquet(self.store_root)
+                .filter(F.col("batch_id") < batch_id)
+                .select("band", "k1", "k2")
+            )
+        else:
+            store = spark.createDataFrame([], "band int, k1 long, k2 long")
+        classified = incremental_near_dedup(
+            batch_df, store, self.text_col, self.id_col, **self.lsh
+        )
+        new_ids = classified.filter(F.col("status") == "new").select(self.id_col)
+        new_rows = batch_df.join(new_ids, self.id_col, "left_semi")
+        new_rows.write.mode("overwrite").parquet(
+            f"{self.corpus_root}/batch_id={batch_id}"
+        )
+        minhash_band_keys(new_rows, self.text_col, self.id_col, **self.lsh).select(
+            "band", "k1", "k2"
+        ).write.mode("overwrite").parquet(f"{self.store_root}/batch_id={batch_id}")

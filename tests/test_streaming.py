@@ -289,3 +289,67 @@ def test_upsert_sink_dedups_table_creating_first_batch(spark, tmp_path):
     got = {r["event_id"]: r["value"] for r in table.read(spark).collect()}
     # duplicate pk collapsed on the very first batch (last-write-wins)
     assert got == {1: 2.0, 2: 3.0}
+
+
+def test_neardup_ingest_sink_rejects_near_dups_and_replays(spark, tmp_path):
+    from python_openetl_spark.streaming.sinks import NearDupIngestSink
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines and parquet"),
+         (3, base + " zzz"),          # near-dup of 1 (twin collision)
+         (4, base),                    # exact dup of 1
+         (5, "yet another unrelated document talking about window functions")],
+        "doc_id long, text string",
+    )
+    corpus, store = str(tmp_path / "nd_corpus"), str(tmp_path / "nd_store")
+    sink = NearDupIngestSink(corpus, store)
+    sink(docs.filter(F.col("doc_id") <= 2), batch_id=0)   # keeps 1, 2
+    sink(docs.filter(F.col("doc_id") > 2), batch_id=1)    # 3,4 collide with store; keeps 5
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 2, 5}
+    # crash replay of batch 1: byte-identical rewrite, no duplicates
+    sink(docs.filter(F.col("doc_id") > 2), batch_id=1)
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 2, 5}
+
+
+def test_neardup_ingest_sink_from_real_stream(spark, tmp_path):
+    from python_openetl_spark.streaming.sinks import NearDupIngestSink
+
+    ev = _events(spark).select(
+        F.col("event_id").alias("doc_id"),
+        F.concat(F.col("event_type"), F.lit(" stream content block "),
+                 (F.col("user_id") % 4).cast("string")).alias("text"),
+    ).limit(120)
+    path = stage_replay_dir(ev, str(tmp_path / "replay_nd"), chunks=3, order_col="doc_id")
+    stream = read_file_stream(spark, path, ev.schema)
+    corpus = str(tmp_path / "snd_corpus")
+    sink = NearDupIngestSink(corpus, str(tmp_path / "snd_store"))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(corpus).select("doc_id", "text")
+    # exact duplicates never both survive
+    assert got.count() == got.select("text").distinct().count()
+    # the kept set is pairwise band-disjoint (the sink's core guarantee:
+    # within a batch the min-id of a colliding group wins, across
+    # batches a collision with the store rejects) — so no two surviving
+    # docs share any LSH band key
+    from python_openetl_spark.operators.dedup import minhash_band_keys
+
+    keys = minhash_band_keys(got, "text", "doc_id")
+    a, b = keys.alias("a"), keys.alias("b")
+    collisions = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.k1") == F.col("b.k1"))
+        & (F.col("a.k2") == F.col("b.k2"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).count()
+    assert collisions == 0
+    # and at least one near-dup was actually rejected in this fixture
+    assert got.count() < ev.select("text").distinct().count()
