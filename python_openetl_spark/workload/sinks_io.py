@@ -65,9 +65,19 @@ def k02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _tmp("json")
     src.write.mode("overwrite").json(path)
-    return spark.read.schema(
+    back = spark.read.schema(
         "doc_id long, meta struct<lang:string,source:string>, stats array<bigint>"
     ).json(path)
+    # the roundtrip READS the nested types (schema above); the returned
+    # frame flattens them because the driver's row canonicalizer cannot
+    # sort array/struct cells (round-1 q28 err)
+    return back.select(
+        "doc_id",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("stats").getItem(0).alias("text_len"),
+        F.col("stats").getItem(1).alias("n_chars"),
+    )
 
 
 def k03_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,9 +111,9 @@ ORACLE = {
         FROM orders
     """,
     "k02_json_roundtrip": """
-        SELECT doc_id,
-               {'lang': lang, 'source': source} AS meta,
-               [CAST(length(text) AS BIGINT), CAST(n_chars AS BIGINT)] AS stats
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS text_len,
+               CAST(n_chars AS BIGINT) AS n_chars
         FROM documents
     """,
     "k03_orc_roundtrip": """
