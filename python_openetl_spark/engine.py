@@ -190,6 +190,17 @@ class Dataset:
         s = band_store.df if isinstance(band_store, Dataset) else band_store
         return Dataset(incremental_near_dedup(self.df, s, **kw))
 
+    def build_vocab(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import build_vocab
+
+        return Dataset(build_vocab(self.df, **kw))
+
+    def vocab_encode(self, vocab: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import vocab_encode
+
+        v = vocab.df if isinstance(vocab, Dataset) else vocab
+        return Dataset(vocab_encode(self.df, v, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -327,3 +327,73 @@ def prepare_corpus(
         .join(contamination.select(id_col, "overlap_frac"), id_col)
         .drop(text_col)
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Top-``vocab_size`` corpus vocabulary with contiguous ids.
+
+    ``(tok, tid)`` with tid 1..V assigned by (frequency desc, token) —
+    deterministic across engines and partitionings. The id assignment
+    is a window over the aggregated vocab (V rows, not the corpus), so
+    the single-partition sort touches only the bounded vocabulary.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    return counts.select("tok", F.row_number().over(w).cast("int").alias("tid"))
+
+
+def vocab_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents to token-id sequences against a vocabulary
+    (``build_vocab`` output; OOV tokens map to id 0).
+
+    Returns ``(id_col, token_ids array<int>, n_tokens, n_oov)``. The
+    per-position explode joins the broadcast vocab and reassembles the
+    sequence with an array_sort over (pos, tid) structs — deterministic
+    order without a per-document sort shuffle. The corpus text is
+    tokenized once; the shuffle back to documents carries ints.
+    """
+    from python_openetl_spark.session import scan_parallelism
+
+    ex = (
+        df.repartition(scan_parallelism(df), F.col(id_col))
+        .select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    )
+    tagged = ex.join(F.broadcast(vocab), "tok", "left").select(
+        id_col, "pos", F.coalesce(F.col("tid"), F.lit(0)).alias("tid")
+    )
+    enc = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s.tid
+            ).alias("token_ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(enc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+    )

@@ -354,3 +354,68 @@ ORACLE["d29_incremental_near_dedup"] = f"""
     LEFT JOIN store_hit sh ON bt.doc_id = sh.doc
     LEFT JOIN batch_hit bh ON bt.doc_id = bh.doc
 """
+
+
+def d30_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (operators/prep.build_vocab + vocab_encode):
+    documents as token-id sequences against the top-1000 vocab, OOV=0.
+    The sequences themselves are arrays (which the driver canonicalizer
+    cannot sort), so the hash-checked output carries order-sensitive
+    scalar checksums: a position-weighted id sum pins content AND
+    order; n_tokens/n_oov pin coverage."""
+    from python_openetl_spark.operators import prep
+
+    d = t(spark, sf_dir, "documents")
+    vocab = prep.build_vocab(d, vocab_size=1000)
+    enc = prep.vocab_encode(d, vocab)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.aggregate(
+            F.zip_with(
+                F.col("token_ids"),
+                F.sequence(F.lit(1), F.greatest(F.size("token_ids"), F.lit(1))),
+                lambda tid, pos: tid.cast("long") * pos.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("ids_checksum"),
+    )
+
+
+QUERIES["d30_vocab_encode"] = d30_vocab_encode
+
+ORACLE["d30_vocab_encode"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(toks) AS tok FROM tk)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 1000
+    ),
+    vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS tid
+      FROM counts
+    ),
+    ex AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(1, len(toks) + 1)) AS pos
+      FROM tk
+    ),
+    tagged AS (
+      SELECT e.doc_id, e.pos, COALESCE(v.tid, 0) AS tid
+      FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
+    ),
+    enc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(SUM(CAST(tid AS BIGINT) * pos) AS BIGINT) AS ids_checksum
+      FROM tagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(n_oov, 0) AS n_oov,
+           COALESCE(ids_checksum, 0) AS ids_checksum
+    FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id
+"""

@@ -169,3 +169,27 @@ def test_prepare_corpus_keeps_short_docs(spark):
     )
     kept = {r["doc_id"] for r in prep.prepare_corpus(corpus, bench).collect()}
     assert kept == {1, 2}
+
+
+def test_vocab_encode_roundtrip_invariants(spark):
+    from python_openetl_spark.operators.prep import build_vocab, vocab_encode
+    from python_openetl_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    vocab = build_vocab(d, vocab_size=20)
+    assert vocab.count() == 20
+    ids = [r["tid"] for r in vocab.orderBy("tid").collect()]
+    assert ids == list(range(1, 21))  # contiguous, 1-based
+    enc = vocab_encode(d, vocab)
+    assert enc.count() == d.count()
+    row = enc.select(
+        F.min(F.size("token_ids") == F.col("n_tokens")).alias("len_ok"),
+        F.max(F.array_max("token_ids")).alias("max_tid"),
+        F.min(F.array_min("token_ids")).alias("min_tid"),
+    ).collect()[0]
+    assert row["len_ok"] and 0 <= row["min_tid"] and row["max_tid"] <= 20
+    # OOV accounting: n_oov equals the zeros in the sequence
+    bad = enc.filter(
+        F.size(F.filter("token_ids", lambda x: x == 0)) != F.col("n_oov")
+    ).count()
+    assert bad == 0
