@@ -67,6 +67,8 @@ def merge_upsert(
     delta: DataFrame,
     pk: str | list[str],
     order_col: str | None = None,
+    *,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE: whenMatched → replace all non-pk columns, whenNotMatched →
     insert (exact ON CONFLICT DO UPDATE semantics,
@@ -76,10 +78,19 @@ def merge_upsert(
     shuffles both sides on the pk once; with a small delta AQE converts
     it to a broadcast anti-join, so cost ≈ one pass over the target —
     the same asymptotics as an index-assisted MERGE, but distributed.
+
+    ``evolve_schema``: columns present on only one side survive the
+    merge as NULL on the other (the add-a-column deploy without a
+    backfill rewrite — Delta/Iceberg ``mergeSchema`` semantics on plain
+    DataFrames). Off by default: silent schema drift is usually a bug,
+    so the strict path projects the delta onto the target's columns.
     """
     keys = [pk] if isinstance(pk, str) else list(pk)
     if order_col is not None:
         delta = dedupe_latest(delta, keys, order_col)
+    if evolve_schema:
+        kept = target.join(delta.select(*keys), on=keys, how="left_anti")
+        return kept.unionByName(delta, allowMissingColumns=True)
     delta = delta.select(*target.columns)  # positional/naming hygiene
     return target.join(delta, on=keys, how="left_anti").unionByName(delta)
 

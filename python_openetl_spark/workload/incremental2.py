@@ -67,3 +67,49 @@ ORACLE = {
         SELECT * FROM kept UNION ALL SELECT * FROM ins
     """,
 }
+
+
+def m13_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (merge.merge_upsert
+    evolve_schema=True): the delta carries a column the target never
+    had (`priority_flag`); after the merge, updated/inserted rows carry
+    it and untouched target rows read NULL — the add-a-column deploy
+    without a backfill rewrite (Delta/Iceberg mergeSchema semantics on
+    plain DataFrames)."""
+    from python_openetl_spark.operators.merge import merge_upsert
+    from python_openetl_spark.workload.incremental import _OVERLAP
+
+    target = _target(spark, sf_dir)
+    o = t(spark, sf_dir, "orders")
+    delta = o.filter(F.col("o_orderdate") >= F.lit(_OVERLAP).cast("timestamp_ltz")).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        (F.col("o_orderkey") % 2 == 0).alias("priority_flag"),
+    )
+    return merge_upsert(target, delta, "o_orderkey", evolve_schema=True)
+
+
+QUERIES["m13_schema_evolution_merge"] = m13_schema_evolution_merge
+
+from python_openetl_spark.workload.incremental import _OVERLAP as _OV  # noqa: E402
+
+ORACLE["m13_schema_evolution_merge"] = f"""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+    ),
+    delta AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 2 AS o_totalprice,
+             o_orderkey % 2 = 0 AS priority_flag
+      FROM orders WHERE o_orderdate >= TIMESTAMP '{_OV}'
+    )
+    SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+           CAST(NULL AS BOOLEAN) AS priority_flag
+    FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    UNION ALL
+    SELECT * FROM delta
+"""
