@@ -411,6 +411,12 @@ def incremental_dedup_bloom(
     is forced into the candidate branch so the null-safe join decides
     it.
     """
+    # probe positions range over [0, num_bits); the bitmap allocates
+    # num_bits // 8 bytes — a non-multiple of 8 would index past the end
+    if num_bits <= 0 or num_bits % 8 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 8, got {num_bits}")
+    if num_probes <= 0:
+        raise ValueError(f"num_probes must be positive, got {num_probes}")
     h1 = F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.col("fp"), 16, 15), 16, 10).cast("long")
 

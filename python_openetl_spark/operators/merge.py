@@ -79,17 +79,26 @@ def merge_upsert(
     it to a broadcast anti-join, so cost ≈ one pass over the target —
     the same asymptotics as an index-assisted MERGE, but distributed.
 
-    ``evolve_schema``: columns present on only one side survive the
-    merge as NULL on the other (the add-a-column deploy without a
-    backfill rewrite — Delta/Iceberg ``mergeSchema`` semantics on plain
-    DataFrames). Off by default: silent schema drift is usually a bug,
-    so the strict path projects the delta onto the target's columns.
+    ``evolve_schema``: Delta/Iceberg ``mergeSchema`` semantics on plain
+    DataFrames — delta-only columns appear as NULL on untouched target
+    rows (the add-a-column deploy without a backfill rewrite), and
+    target-only columns are PRESERVED on matched rows (updateAll only
+    updates columns the source actually has; the extra join that
+    fetches them shuffles only ``keys + target_only`` columns, and AQE
+    broadcasts the small side). Off by default: silent schema drift is
+    usually a bug, so the strict path projects the delta onto the
+    target's columns.
     """
     keys = [pk] if isinstance(pk, str) else list(pk)
     if order_col is not None:
         delta = dedupe_latest(delta, keys, order_col)
     if evolve_schema:
         kept = target.join(delta.select(*keys), on=keys, how="left_anti")
+        target_only = [c for c in target.columns if c not in delta.columns]
+        if target_only:
+            delta = delta.join(
+                target.select(*keys, *target_only), on=keys, how="left"
+            )
         return kept.unionByName(delta, allowMissingColumns=True)
     delta = delta.select(*target.columns)  # positional/naming hygiene
     return target.join(delta, on=keys, how="left_anti").unionByName(delta)

@@ -55,6 +55,9 @@ def pq_fit(
     (engine-reproducible); each Lloyd iteration is ONE corpus scan that
     updates every subspace's codebook simultaneously.
     """
+    # codes are one byte (array<tinyint>); decoders mask with & 0xFF,
+    # so 256 centroids are addressable but no more
+    assert 0 < ksub <= 256, f"ksub={ksub} exceeds one-byte code range"
     src = df.select(id_col, vec_col)
     rows = (
         src.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -132,8 +135,13 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """One scan -> ``(id, codes array<tinyint>, vnorm double)``."""
+    """One scan -> ``(id, codes array<tinyint>, vnorm double)``.
+
+    Codes for cells 128..255 wrap negative in int8 storage; decoders
+    must mask with ``& 0xFF`` before using them as codebook indices.
+    """
     m, ksub, dsub = books.shape
+    assert ksub <= 256, f"ksub={ksub} exceeds one-byte code range"
     b_bc = books
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -197,7 +205,9 @@ def pq_topk(
     def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sub_idx = np.arange(m)
         for pdf in batches:
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            # & 0xFF: int8 storage wraps cells 128..255 negative; mask
+            # back to unsigned before LUT indexing
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64) & 0xFF  # (n, m)
             vnorm = pdf["vnorm"].to_numpy()
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_s = [], [], []

@@ -25,8 +25,6 @@ def _norm_cell(v: Any) -> Any:
         v = v.item()
     if isinstance(v, float) and math.isnan(v):
         return None
-    if isinstance(v, decimal.Decimal):
-        return float(v)
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime()
     if isinstance(v, (list, tuple, np.ndarray)):
@@ -39,7 +37,7 @@ def _sort_key(row: tuple) -> tuple:
     for v in row:
         if v is None:
             key.append((0, ""))
-        elif isinstance(v, (int, float)):
+        elif isinstance(v, (int, float, decimal.Decimal)):
             key.append((1, f"{float(v):+.10e}"))
         elif isinstance(v, (_dt.date, _dt.datetime)):
             key.append((2, v.isoformat()))
@@ -62,6 +60,13 @@ def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
         return len(a) == len(b) and all(_cells_equal(x, y, rel, abs_) for x, y in zip(a, b))
     if isinstance(a, bool) or isinstance(b, bool):
         return bool(a) == bool(b)
+    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+        # driver-faithful: cells are hashed STRINGIFIED, so a Spark
+        # DECIMAL ('205941.60') against the oracle's float64
+        # ('205941.6') is a red even when numerically equal (r3
+        # k01/k03). A query that wants numeric comparison must cast
+        # both sides to DOUBLE (module design rule).
+        return str(a) == str(b)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         # dtype-strict: the driver hashes STRINGIFIED values, so an integer
         # column on one engine vs float on the other ("12" vs "12.0") is a

@@ -57,6 +57,45 @@ _MODULES = (
     sinks_io,
 )
 
+# Round 4's window (_WINDOW_R4), per the r3 verdict's plan:
+#   1. the two queries that have NEVER had a driver row (d30/m13 landed
+#      after _WINDOW_R3 froze) + the two r3 reds k01/k03 (decimal
+#      canonicalization fixed: comparison projection now DOUBLE on both
+#      sides) + the new k04 staging-swap parquet row;
+#   2. every relational q* row whose only driver check predates the
+#      round-2 fixture timestamp regeneration (43 rows), with the
+#      date-predicate-heavy TPC-H shapes FIRST (q01, q30, q31,
+#      q39-q44 — the most likely silent casualties of the regen),
+#      plus the r1-only merges m03/m04.
+# That is exactly 50. Still-stale r1 rows (mm01-03, u01-03, d02-05,
+# d07-11, d13, d15-17, x01-04, x06) are pytest-green under r4-current
+# fixtures via the local oracle replica; rotate them in _WINDOW_R5.
+_WINDOW_R4 = (
+    # never driver-checked / fixed reds / new
+    "d30_vocab_encode", "m13_schema_evolution_merge",
+    "k01_csv_roundtrip", "k03_orc_roundtrip", "k04_parquet_roundtrip",
+    # date-predicate-heavy TPC-H, stale since r1
+    "q01_pricing_summary", "q30_volume_shipping", "q31_market_share",
+    "q39_returned_item_revenue", "q40_profit_by_nation_year",
+    "q41_small_quantity_revenue", "q42_large_volume_orders",
+    "q43_disjunctive_predicates", "q44_promo_revenue",
+    # r1-only merge rows (timestamp-touching)
+    "m03_propagate_deletes", "m04_safe_append_conflicts",
+    # remaining stale-r1 relational rows
+    "q00_full_scan", "q03_top_orders", "q04_revenue_by_nation",
+    "q05_top_order_per_customer", "q06_running_total", "q07_set_ops",
+    "q08_distinct_counts", "q09_customers_without_orders",
+    "q10_conditional_agg", "q11_string_functions", "q13_json_extract",
+    "q14_in_list", "q15_union_distinct", "q16_rollup", "q17_having",
+    "q18_exists_subquery", "q19_theta_join_ranges", "q20_cube",
+    "q21_grouping_sets", "q22_pivot", "q23_percentiles",
+    "q25_lateral_explode", "q26_scalar_subquery", "q29_histogram",
+    "q32_profile", "q33_binned_range_join", "q34_custdist",
+    "q35_waiting_supplier", "q36_global_sales_opportunity",
+    "q38_unpivot", "q45_top_supplier", "q46_best_supplier_per_part",
+    "q48_stats_aggs", "q49_argmax_per_group",
+)
+
 _WINDOW_R3 = (
     # fixed this round (driver-red in r02)
     "m02_delta_dedup_latest", "s04_first_arrival_dedup", "q37_sessionize",
@@ -93,9 +132,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R3 if n not in out]
+    missing = [n for n in _WINDOW_R4 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R3}
+    ordered = {n: out[n] for n in _WINDOW_R4}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 

@@ -372,14 +372,21 @@ def d30_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_oov",
-        F.aggregate(
-            F.zip_with(
-                F.col("token_ids"),
-                F.sequence(F.lit(1), F.greatest(F.size("token_ids"), F.lit(1))),
-                lambda tid, pos: tid.cast("long") * pos.cast("long"),
+        # coalesce: a zero-token doc zips token_ids=[] against sequence
+        # [1], padding a NULL tid whose acc+NULL propagates NULL — the
+        # oracle COALESCEs to 0, so match it (fixtures currently have
+        # >=10 tokens/doc, but testdata regenerates between rounds)
+        F.coalesce(
+            F.aggregate(
+                F.zip_with(
+                    F.col("token_ids"),
+                    F.sequence(F.lit(1), F.greatest(F.size("token_ids"), F.lit(1))),
+                    lambda tid, pos: tid.cast("long") * pos.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
             ),
             F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
         ).alias("ids_checksum"),
     )
 
