@@ -14,6 +14,13 @@ per-query number is the MIN (the least-noise estimator of the plan's
 true cost — Catalyst planning and JIT variance only ever add time), and
 medians ship alongside under "queries_median" for round-over-round
 comparability.
+
+Trend: when a previous snapshot exists at ./bench_out.json with the
+same sf, per-query deltas are printed to stderr and queries >25%
+slower than the snapshot are listed in the JSON line under
+"regressions" — a regression is visible in the round it lands, not at
+judge time. Refresh the snapshot with
+``python bench.py > bench_out.json`` after a clean run.
 """
 
 from __future__ import annotations
@@ -88,20 +95,55 @@ def main() -> None:
         total += runs[0]
         print(f"# {name}: {n} rows, min {runs[0]}s of {runs}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "workload_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "repeats": repeats,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    regressions = _trend_vs_snapshot(timings, medians, sf_val)
+    out = {
+        "metric": "workload_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "repeats": repeats,
+        "sf": sf_val,
+    }
+    if regressions is not None:
+        out["regressions"] = regressions
+    print(json.dumps(out))
     spark.stop()
+
+
+def _trend_vs_snapshot(
+    timings: dict[str, float], medians: dict[str, float], sf: float | str
+) -> list[str] | None:
+    """Compare this run's medians to the committed ./bench_out.json
+    (median-to-median — min-to-min is noise-asymmetric). Returns the
+    names >25% AND >0.2s slower, or None when no comparable snapshot."""
+    snap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    try:
+        with open(snap_path) as f:
+            snap = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if snap.get("sf") != sf:
+        return None
+    prev = snap.get("queries_median") or snap.get("queries") or {}
+    regressions: list[str] = []
+    for name in sorted(set(prev) & set(medians)):
+        old, new = prev[name], medians[name]
+        delta = new - old
+        if old > 0 and delta / old > 0.25 and delta > 0.2:
+            regressions.append(name)
+            tag = "  <-- REGRESSION"
+        elif old > 0 and delta / old < -0.25 and -delta > 0.2:
+            tag = "  (improved)"
+        else:
+            continue
+        print(f"# trend {name}: {old}s -> {new}s ({delta:+.2f}s){tag}", file=sys.stderr)
+    new_queries = sorted(set(medians) - set(prev))
+    if new_queries:
+        print(f"# trend: {len(new_queries)} queries with no snapshot baseline: "
+              f"{', '.join(new_queries)}", file=sys.stderr)
+    return regressions
 
 
 if __name__ == "__main__":

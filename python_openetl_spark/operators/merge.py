@@ -93,6 +93,25 @@ def merge_upsert(
     if order_col is not None:
         delta = dedupe_latest(delta, keys, order_col)
     if evolve_schema:
+        # incompatible type changes fail HERE with a clear message, not
+        # at execution time as an ANSI cast error deep in the union
+        # (Spark resolves long|string to bigint and only explodes when
+        # a non-numeric string flows through). Numeric widening
+        # (int->long->double, decimal->double) is allowed — Spark's
+        # least-common-type union handles it, same as Delta mergeSchema.
+        from pyspark.sql.types import NumericType
+
+        delta_fields = {f.name: f.dataType for f in delta.schema.fields}
+        for f in target.schema.fields:
+            other = delta_fields.get(f.name)
+            if other is not None and other != f.dataType and not (
+                isinstance(f.dataType, NumericType) and isinstance(other, NumericType)
+            ):
+                raise ValueError(
+                    f"merge_upsert(evolve_schema=True): column {f.name!r} has "
+                    f"incompatible types target={f.dataType.simpleString()} "
+                    f"delta={other.simpleString()}"
+                )
         kept = target.join(delta.select(*keys), on=keys, how="left_anti")
         target_only = [c for c in target.columns if c not in delta.columns]
         if target_only:

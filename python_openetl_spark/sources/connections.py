@@ -187,7 +187,9 @@ def bigquery_spec(
     raw JSON (base64-wrapped for the connector); omitted → application
     default credentials, as the reference's ``bigquery.Client()`` does.
     The spec is executed by ``sources.registry.read`` when the connector
-    jar is present; building it requires nothing.
+    jar is present; building it requires nothing. Production classpath:
+    ``spark.jars.packages=com.google.cloud.spark:spark-bigquery-with-dependencies_2.13:0.42.1``
+    (Spark 4 is Scala 2.13; see ``registry.BIGQUERY_JAR_COORDINATE``).
     """
     if (table is None) == (query is None):
         raise ValueError("exactly one of table= or query= is required")

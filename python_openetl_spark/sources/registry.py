@@ -71,12 +71,18 @@ def _read_avro(spark: SparkSession, spec: dict) -> DataFrame:
         ) from e
 
 
-def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
-    """Executes the option-complete spec built by
-    ``sources.connections.bigquery_spec`` (parentProject, table|query,
-    materializationDataset, viewsEnabled, credentials[File]) — every
-    spec key except ``format`` passes through as a connector option."""
-    reader = spark.read.format("bigquery")
+#: Production classpath for the BigQuery handler (Spark 4 = Scala 2.13):
+#: ``spark.jars.packages=com.google.cloud.spark:spark-bigquery-with-dependencies_2.13:0.42.1``
+BIGQUERY_JAR_COORDINATE = (
+    "com.google.cloud.spark:spark-bigquery-with-dependencies_2.13:0.42.1"
+)
+
+
+def bigquery_reader_plan(spec: dict) -> tuple[dict, str | None]:
+    """The exact ``(options, load_path)`` the gated handler submits to
+    ``spark.read.format("bigquery")`` — pure, so tests can pin the
+    submitted option dict without the connector jar present."""
+    options: dict = {}
     load_path = None
     for k, v in spec.items():
         if k == "format":
@@ -84,13 +90,23 @@ def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
         if k == "table":
             load_path = v
             continue
-        reader = reader.option(k, str(v) if not isinstance(v, str) else v)
+        options[k] = v if isinstance(v, str) else str(v)
+    return options, load_path
+
+
+def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
+    """Executes the option-complete spec built by
+    ``sources.connections.bigquery_spec`` (parentProject, table|query,
+    materializationDataset, viewsEnabled, credentials[File]) — every
+    spec key except ``format`` passes through as a connector option."""
+    options, load_path = bigquery_reader_plan(spec)
+    reader = spark.read.format("bigquery").options(**options)
     try:
         return reader.load(load_path) if load_path else reader.load()
     except Exception as e:  # connector jar absent in this environment
         raise SourceError(
             "BigQuery source requires the spark-bigquery-connector jar "
-            "(spark.jars.packages=com.google.cloud.spark:spark-bigquery-with-dependencies...); "
+            f"(spark.jars.packages={BIGQUERY_JAR_COORDINATE}); "
             f"underlying error: {e}"
         ) from e
 

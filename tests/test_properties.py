@@ -201,6 +201,70 @@ def test_text_shingles_equals_canonical_on_arbitrary_text(spark, texts, n):
     assert bad == 0
 
 
+_uniq_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=-5, max_value=5),
+    ),
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(target=_uniq_rows, delta=_rows)
+@_settings
+def test_merge_upsert_evolves_schema_on_both_sides(spark, target, delta):
+    """Columns added on BOTH sides simultaneously: delta-only columns
+    read NULL on untouched target rows; target-only columns are
+    PRESERVED on matched rows (updateAll semantics) and NULL on
+    inserts."""
+    t_df = spark.createDataFrame(
+        [(pk, ver, val, pk * 100) for pk, ver, val in target],
+        "pk long, ver long, val long, t_only long",
+    )
+    d_df = spark.createDataFrame(
+        [(pk, ver, val, f"d{val}") for pk, ver, val in delta],
+        "pk long, ver long, val long, d_only string",
+    )
+    merged = merge_upsert(t_df, d_df, "pk", order_col="ver", evolve_schema=True)
+    assert sorted(merged.columns) == ["d_only", "pk", "t_only", "val", "ver"]
+    rows = {r["pk"]: r for r in merged.collect()}
+
+    t_pks = {pk for pk, _, _ in target}
+    d_pks = {pk for pk, _, _ in delta}
+    assert set(rows) == t_pks | d_pks
+    for pk, r in rows.items():
+        if pk in d_pks:
+            best_ver = max(v for p, v, _ in delta if p == pk)
+            assert r["ver"] == best_ver
+            # matched rows keep the target-only column; inserts read NULL
+            assert r["t_only"] == (pk * 100 if pk in t_pks else None)
+            assert r["d_only"] is not None and r["d_only"].startswith("d")
+        else:  # untouched target row: delta-only column reads NULL
+            tver, tval = next((v, x) for p, v, x in target if p == pk)
+            assert (r["ver"], r["val"], r["t_only"], r["d_only"]) == (
+                tver, tval, pk * 100, None,
+            )
+
+
+def test_merge_upsert_evolve_widens_numerics(spark):
+    t_df = spark.createDataFrame([(1, 2)], "pk long, val long")
+    d_df = spark.createDataFrame([(2, 3.5)], "pk long, val double")
+    out = merge_upsert(t_df, d_df, "pk", evolve_schema=True)
+    assert dict(out.dtypes)["val"] == "double"
+    assert {r["pk"]: r["val"] for r in out.collect()} == {1: 2.0, 2: 3.5}
+
+
+def test_merge_upsert_evolve_rejects_incompatible_types(spark):
+    import pytest
+
+    t_df = spark.createDataFrame([(1, 2)], "pk long, val long")
+    d_df = spark.createDataFrame([(2, "x")], "pk long, val string")
+    with pytest.raises(ValueError, match="incompatible types"):
+        merge_upsert(t_df, d_df, "pk", evolve_schema=True)
+
+
 def test_dedupe_latest_breaks_ties_deterministically(spark):
     """Equal order_col rows resolve by remaining columns (name-sorted,
     desc) — stable under any partition layout."""

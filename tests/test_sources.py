@@ -148,6 +148,33 @@ def test_bigquery_registry_gated_with_full_spec(spark):
         registry.read(spark, spec)
 
 
+def test_bigquery_reader_plan_pins_submitted_options():
+    """The exact option dict + load path the gated handler submits,
+    asserted without the connector jar (r3 verdict item 6)."""
+    table_spec = connections.bigquery_spec(project="p", table="ds.t")
+    opts, path = registry.bigquery_reader_plan(table_spec)
+    assert path == "ds.t"
+    assert opts == {"parentProject": "p", "viewsEnabled": "true"}
+
+    query_spec = connections.bigquery_spec(
+        project="p", query="SELECT a FROM ds.t", materialization_dataset="scratch",
+        credentials_file="/secrets/sa.json",
+    )
+    opts, path = registry.bigquery_reader_plan(query_spec)
+    assert path is None
+    assert opts == {
+        "parentProject": "p",
+        "query": "SELECT a FROM ds.t",
+        "materializationDataset": "scratch",
+        "viewsEnabled": "true",
+        "credentialsFile": "/secrets/sa.json",
+    }
+    # every option is already a string — the connector's option API
+    # stringifies, so non-strings here would hide type bugs
+    assert all(isinstance(v, str) for v in opts.values())
+    assert "_2.13:" in registry.BIGQUERY_JAR_COORDINATE  # Spark 4 Scala line
+
+
 def test_catalog_queries_reject_hostile_identifiers():
     for bad in ("ord'ers", 'o"rders', "orders; drop table x", "a b"):
         with pytest.raises(ValueError, match="identifier"):
