@@ -11,6 +11,15 @@ matches the scale config.
 Scale properties are the same as v1: one shuffle on the grouping key
 per micro-batch, state size O(distinct keys). TTL moves eviction into
 the state store itself (per-item timestamps) rather than kernel code.
+
+Activation: the state-server protocol needs the ``protobuf`` runtime
+(``pip install protobuf>=4.25``) — pyspark ships only the generated
+``StateMessage_pb2`` stubs, which import ``google.protobuf`` at
+call time. ``transform_with_state_available()`` detects it; the
+protocol round-trip test auto-unskips once installed. The kernel
+logic itself is protocol-independent and unit-tested against a fake
+state handle (tests/test_streaming.py), so only the wire protocol is
+environment-gated, not the operator.
 """
 
 from __future__ import annotations

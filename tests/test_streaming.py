@@ -191,6 +191,65 @@ def test_foreachbatch_scd2_sink_builds_history(spark, tmp_path):
     assert table.read(spark).count() == before
 
 
+def test_stateful_v2_kernel_without_protocol():
+    """Drive RunningTotalsProcessor directly with a fake state handle —
+    the kernel logic (state init, per-batch accumulation, emission)
+    executes even where google.protobuf is absent and the state-server
+    protocol test above skips. The protocol round-trip itself stays
+    env-gated (transform_with_state_available)."""
+    import pandas as pd
+
+    from python_openetl_spark.streaming.stateful_v2 import (
+        _STATE_SCHEMA,
+        RunningTotalsProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+            self.ttls = {}
+
+        def getValueState(self, name, schema, ttl_ms=None):
+            assert schema == _STATE_SCHEMA
+            self.ttls[name] = ttl_ms
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = RunningTotalsProcessor("value", ttl_ms=60_000)
+    handle = FakeHandle()
+    proc.init(handle)
+    assert handle.ttls == {"totals": 60_000}  # TTL reaches the store
+
+    # micro-batch 1: two chunks for the same key accumulate
+    out1 = list(proc.handleInputRows(
+        (7,),
+        iter([pd.DataFrame({"value": [1.0, 2.0]}), pd.DataFrame({"value": [3.0]})]),
+        None,
+    ))
+    assert len(out1) == 1
+    assert out1[0].iloc[0].to_dict() == {"user_id": 7, "n_events": 3, "total_value": 6.0}
+
+    # micro-batch 2: state persists across batches
+    out2 = list(proc.handleInputRows(
+        (7,), iter([pd.DataFrame({"value": [4.0]})]), None
+    ))
+    assert out2[0].iloc[0].to_dict() == {"user_id": 7, "n_events": 4, "total_value": 10.0}
+    assert handle.states["totals"].get() == (4, 10.0)
+    proc.close()
+
+
 def test_stateful_v2_running_totals(spark, tmp_path):
     import pytest
 
