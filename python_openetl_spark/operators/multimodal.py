@@ -71,14 +71,19 @@ def decode_images(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_fake_decode(bytes(b)) for b in pdf[payload_col]]
+            # NULL payloads (missing/corrupt blobs — routine at 100 TB)
+            # decode to NULL metadata instead of crashing the task
+            decoded = [
+                None if b is None else _fake_decode(bytes(b))
+                for b in pdf[payload_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
-                    "channels": [d["channels"] for d in decoded],
-                    "thumbnail": [d["thumbnail"] for d in decoded],
+                    "width": [d["width"] if d else None for d in decoded],
+                    "height": [d["height"] if d else None for d in decoded],
+                    "channels": [d["channels"] if d else None for d in decoded],
+                    "thumbnail": [d["thumbnail"] if d else None for d in decoded],
                 }
             )
 

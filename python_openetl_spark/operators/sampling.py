@@ -61,3 +61,57 @@ def train_test_split(
     bucket = sample_bucket(F.col(key_col), salt)
     cut = int(test_fraction * SAMPLE_D)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    test_fraction: float = 0.1,
+    val_fraction: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Train/val/test assignment by DUPLICATE CLUSTER, not by document.
+
+    A plain per-document hash split leaks: near-duplicate pairs straddle
+    the boundary and the eval set silently contains paraphrases of
+    training rows — the classic train/test contamination failure of web
+    corpora. Here every document inherits the hash bucket of its dup
+    cluster's representative (min reachable id via connected components;
+    singletons represent themselves), so an entire near-dup cluster
+    always lands on ONE side.
+
+    Returns ``(id_col, rep_id, split)`` with split in
+    {'train','val','test'}. Deterministic under any partitioning (the
+    bucket is a content hash of rep_id), and stable as the corpus grows
+    *except* where new edges merge clusters — which is exactly the case
+    where re-assignment is the safe behavior.
+
+    Scale shape: the pair graph is orders of magnitude smaller than the
+    corpus (it only contains near-dup candidates); components run on it
+    alone, then one broadcast-friendly left join attaches rep_id to the
+    corpus — document text never shuffles.
+    """
+    from python_openetl_spark.operators.cluster import connected_components
+
+    comps = connected_components(pairs, a_col, b_col)
+    rep = docs.select(id_col).join(
+        comps, docs[id_col] == comps["id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("rep_id"),
+    )
+    bucket = sample_bucket(F.col("rep_id"), salt)
+    test_cut = int(test_fraction * SAMPLE_D)
+    val_cut = test_cut + int(val_fraction * SAMPLE_D)
+    return rep.select(
+        id_col,
+        "rep_id",
+        F.when(bucket < test_cut, F.lit("test"))
+        .when(bucket < val_cut, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -42,3 +42,48 @@ def quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, fingerprint(text_col).alias("fp"))
+
+
+def unigram_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram language-model score: the mean negative log
+    probability of the document's tokens under the corpus's own unigram
+    distribution (the CCNet/KenLM-filter proxy, one tier above d04's
+    surface heuristics — gibberish and boilerplate both score as
+    outliers of the corpus distribution).
+
+    Cross-engine determinism: the per-token ``-ln p`` is rounded to 9
+    decimals, summed as exact DECIMAL (order-independent under any
+    partitioning), and the mean rounded to 6 — the d17 device.
+
+    Scale shape: one explode feeds both the frequency table and the
+    scoring join; the frequency side is vocabulary-sized (broadcastable,
+    AQE decides), the corpus total is a 1-row broadcast. Zero-token and
+    NULL-text documents score (0, 0.0) instead of dropping out.
+    """
+    ex = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
+    total = ex.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    scored = (
+        ex.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__nlp", F.round(-F.log(F.col("__n") / F.col("__total")), 9))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__nlp").cast("decimal(24,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neglogp"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("avg_neglogp", F.lit(0.0)).alias("avg_neglogp"),
+        )
+    )

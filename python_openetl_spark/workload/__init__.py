@@ -25,7 +25,9 @@ from python_openetl_spark.workload import (
     llm2,
     llm3,
     llm4,
+    llm5,
     relational,
+    relational2,
     scale,
     sinks_io,
     streaming2,
@@ -55,6 +57,9 @@ _MODULES = (
     llm3,
     llm4,
     sinks_io,
+    # round-4 additions (after the frozen window; rotate into R5)
+    llm5,
+    relational2,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

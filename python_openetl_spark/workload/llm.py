@@ -304,7 +304,13 @@ def d15_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(_RK_B) + token_hash60(x) % F.lit(_RK_M)) % F.lit(_RK_M),
     )
-    return d.select("doc_id", fold.alias("rolling_fp"))
+    # coalesce: NULL text -> NULL token array -> NULL fold, while the
+    # oracle's list_prepend(0, NULL) folds to 0; a NULL here also turns
+    # the whole pandas column float64 and dtype-mismatches every row
+    # (hostile-fixture suite finding)
+    return d.select(
+        "doc_id", F.coalesce(fold, F.lit(0).cast("long")).alias("rolling_fp")
+    )
 
 
 def d16_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -774,7 +780,8 @@ ORACLE = {
         SELECT doc_id,
                64 + ('0x' || substr(hx, 1, 2))::INT % 192 AS width,
                64 + ('0x' || substr(hx, 3, 2))::INT % 192 AS height,
-               3 AS channels,
+               -- NULL payload decodes to NULL metadata (not a constant 3)
+               CAST(CASE WHEN hx IS NULL THEN NULL ELSE 3 END AS INT) AS channels,
                substr(hx, 1, 8) AS thumb_hex
         FROM h
     """,

@@ -1,0 +1,146 @@
+"""Differential robustness: document/embedding queries vs their DuckDB
+oracles on HOSTILE synthetic fixtures.
+
+The driver regenerates /root/testdata between rounds, and every driver
+red so far was a fixture-shape change the engine's assumptions didn't
+cover (r2: TIMESTAMP_NTZ; r3: decimal stringification; r3 advice: a
+zero-token document NULLing d30's checksum). This suite pre-plays that
+game: it writes a documents/embeddings fixture full of edge shapes the
+generator COULD emit — empty text, whitespace-only, single-token, NULL
+text, CJK/unicode, exact and near duplicate pairs, quote/newline-laden
+metadata, duplicate and negative embeddings — and asserts every query
+that reads only those two tables still hash-matches its oracle there.
+
+A query passing at sf0.01 but failing here is a latent driver red, not
+a test artifact: both engines run the same semantics on the same rows,
+so any divergence is a NULL/empty/unicode edge where the Spark plan
+and the SQL disagree.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from python_openetl_spark.testing import assert_frames_match
+from python_openetl_spark.workload import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLE = all_oracles()
+
+_OTHER_TABLES = re.compile(
+    r"\b(region|nation|customer|supplier|part|orders|lineitem|events)\b"
+)
+_DOC_TABLES = re.compile(r"\b(documents|embeddings)\b")
+
+#: Every oracle-checked query that touches ONLY documents/embeddings.
+DOC_QUERIES = sorted(
+    name
+    for name, sql in ORACLE.items()
+    if _DOC_TABLES.search(sql) and not _OTHER_TABLES.search(sql)
+)
+
+# Operators whose contract legitimately excludes degenerate corpora are
+# listed here WITH the reason; everything else must survive.
+SKIP: dict[str, str] = {}
+
+
+def _hostile_documents() -> pa.Table:
+    rows = [
+        # (doc_id, text, lang, source)
+        (0, "", "en", "src1"),                        # empty text
+        (1, "   \t  ", "en", "src1"),                 # whitespace-only
+        (2, "hello", "en", "src2"),                   # single token
+        (3, None, "en", "src2"),                      # NULL text
+        (4, "hello", "de", "src3"),                   # exact dup of 2
+        (5, "the quick brown fox jumps over the lazy dog", "en", "src3"),
+        (6, "the quick brown fox jumps over the lazy cat", "en", "src4"),  # near-dup of 5
+        (7, "word " * 50, "en", "src4"),              # one token repeated
+        (8, "中文 文本 处理 测试 中文 文本", "zh", "src5"),  # CJK
+        (9, "naïve café résumé — emoji 🙂 mixed", "fr", "src5"),
+        (10, 'quotes "double" and \'single\' and, commas', "en", 'sr"c6'),
+        (11, "line\nbreak\ttab carriage\rreturn", "en", "src6"),
+        (12, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "src7"),
+        (13, "123 456 789 0 numbers only 42 42 42", "en", "src7"),
+        (14, "!!! ??? ... ,,, ;;; ::: ---", "en", "src8"),  # punctuation-only
+        (15, "ALLCAPS TEXT SHOUTING LOUDLY HERE", "en", "src8"),
+    ]
+    # normal filler so clustering/sampling/vocab ops have real mass
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "theta",
+             "kappa", "lambda", "zeta"]
+    for i in range(16, 64):
+        n = int(rng.integers(3, 30))
+        text = " ".join(rng.choice(words, size=n))
+        rows.append((i, text, ["en", "de", "fr", "zh"][i % 4], f"src{i % 9}"))
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _hostile_embeddings(dim: int = 64) -> pa.Table:
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(dim).astype(np.float32) for _ in range(56)]
+    dup = vecs[0].copy()                                # exact duplicate pair
+    near = vecs[1] + np.float32(1e-4)                   # near-duplicate pair
+    tiny = (rng.standard_normal(dim) * 1e-6).astype(np.float32)  # near-zero norm
+    negative = (-np.abs(rng.standard_normal(dim))).astype(np.float32)
+    huge = (rng.standard_normal(dim) * 1e6).astype(np.float32)
+    vecs += [dup, near, tiny, negative, huge]
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([i % 5 for i in range(len(vecs))], pa.int32()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_fixture")
+    pq.write_table(_hostile_documents(), str(d / "documents.parquet"))
+    pq.write_table(_hostile_embeddings(), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def hostile_duck(hostile_dir):
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * "
+            f"FROM read_parquet('{hostile_dir}/{tbl}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_doc_query_selection_is_nontrivial():
+    # the regex selection must keep finding the families this suite
+    # exists for; if a rename empties it, fail loudly
+    assert len(DOC_QUERIES) >= 25, DOC_QUERIES
+    assert "d30_vocab_encode" in DOC_QUERIES
+    assert "d01_exact_dedup" in DOC_QUERIES
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_query_survives_hostile_fixture(name, spark, hostile_dir, hostile_duck):
+    if name in SKIP:
+        pytest.skip(SKIP[name])
+    spark_pdf = QUERIES[name](spark, hostile_dir).toPandas()
+    oracle_pdf = hostile_duck.execute(ORACLE[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"hostile:{name}")
