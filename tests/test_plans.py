@@ -217,3 +217,34 @@ def test_driver_window_is_full_and_oracle_backed(spark):
     assert len(set(w)) == 50
     assert all(n in o for n in w), [n for n in w if n not in o]
     assert set(o) == set(q)  # every query oracle-backed, no orphans
+
+
+def test_q56_broadcasts_part_and_excluded_suppliers(spark):
+    """q56's part projection and negative-balance supplier list must
+    both broadcast — the only shuffle is the distinct-count rollup."""
+    from python_openetl_spark.workload.relational2 import q56_supplier_cnt_by_part
+
+    plan = _plan(q56_supplier_cnt_by_part(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q57_nested_semi_joins_broadcast(spark):
+    """q57: the part filter broadcasts into the lineitem semi join and
+    the surviving supplier keys broadcast into the final semi join —
+    the supplier table itself never shuffles."""
+    from python_openetl_spark.workload.relational2 import q57_part_promotion_suppliers
+
+    plan = _plan(q57_part_promotion_suppliers(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_q54_semi_join_with_date_pushdown(spark):
+    """q54: the order-date slice reaches the parquet scan; the lateness
+    test is a semi join (no row duplication before the count)."""
+    from python_openetl_spark.workload.relational2 import q54_order_priority_checking
+
+    plan = _plan(q54_order_priority_checking(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LeftSemi" in plan, plan
