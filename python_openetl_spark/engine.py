@@ -212,6 +212,11 @@ class Dataset:
 
         return Dataset(unigram_logprob_score(self.df, **kw))
 
+    def cms_heavy_hitters(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.sketches import cms_heavy_hitters
+
+        return Dataset(cms_heavy_hitters(self.df, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -46,9 +46,21 @@ def d32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(t(spark, sf_dir, "documents"))
 
 
+def d33_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters (operators/sketches.py): exact
+    top-20 tokens annotated with their CMS estimates. The sketch's
+    row-salted md5 hashing is engine-portable, so the oracle rebuilds
+    the IDENTICAL sketch in SQL and the driver hash-checks actual
+    sketch contents — plus the in-plan one-sided guarantee boolean."""
+    from python_openetl_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(t(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "d31_leakage_safe_split": d31_leakage_safe_split,
     "d32_unigram_logprob": d32_unigram_logprob,
+    "d33_cms_heavy_hitters": d33_cms_heavy_hitters,
 }
 
 ORACLE = {
@@ -92,5 +104,39 @@ ORACLE = {
                COALESCE(n_tokens, 0) AS n_tokens,
                COALESCE(avg_neglogp, 0.0) AS avg_neglogp
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    # the oracle rebuilds the sketch itself: same row-salted 60-bit md5
+    # buckets, same depth=4/width=2048, so cms_est matches bit-for-bit
+    "d33_cms_heavy_hitters": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        ex AS (SELECT unnest(toks) AS tok FROM tk),
+        js AS (SELECT unnest(range(4)) AS j),
+        cells AS (
+          SELECT j,
+                 ('0x' || substr(md5('cms' || j || ':' || tok), 1, 15))::UBIGINT
+                   % 2048 AS bucket
+          FROM ex CROSS JOIN js
+        ),
+        cms AS (SELECT j, bucket, COUNT(*) AS cnt FROM cells GROUP BY j, bucket),
+        top AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count
+          FROM ex GROUP BY tok
+          ORDER BY true_count DESC, tok LIMIT 20
+        ),
+        probes AS (
+          SELECT t.tok, t.true_count, js.j,
+                 ('0x' || substr(md5('cms' || js.j || ':' || t.tok), 1, 15))::UBIGINT
+                   % 2048 AS bucket
+          FROM top t CROSS JOIN js
+        ),
+        est AS (
+          SELECT p.tok, p.true_count,
+                 CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
+          FROM probes p LEFT JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+          GROUP BY p.tok, p.true_count
+        )
+        SELECT tok, true_count, cms_est,
+               cms_est >= true_count AS overestimates
+        FROM est
     """,
 }

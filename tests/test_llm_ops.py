@@ -195,3 +195,43 @@ def test_leakage_safe_split_no_pair_straddles(spark):
         assert again.exceptAll(split).count() == 0
     finally:
         split.unpersist()
+
+
+def test_cms_sketch_properties(spark):
+    """CMS invariants on the fixture corpus: every estimate >= its true
+    count (one-sided error), the sketch's total mass equals depth x
+    stream length (it's a linear sketch), and the table never exceeds
+    depth x width rows regardless of vocabulary size."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.functions.text import tokens
+    from python_openetl_spark.operators.sketches import (
+        CMS_DEPTH, CMS_WIDTH, cms_build, cms_estimate,
+    )
+    from python_openetl_spark.workload.util import t
+    from tests.conftest import SF_DIR
+
+    docs = t(spark, SF_DIR, "documents")
+    cms = cms_build(docs).cache()
+    try:
+        n_cells = cms.count()
+        assert n_cells <= CMS_DEPTH * CMS_WIDTH
+        stream_len = docs.select(F.explode(tokens("text"))).count()
+        mass = cms.groupBy("row").agg(F.sum("cnt").alias("m")).collect()
+        assert len(mass) == CMS_DEPTH
+        assert all(r["m"] == stream_len for r in mass)  # linearity per row
+
+        # one-sided guarantee over the ENTIRE vocabulary, not just top-k
+        vocab = (
+            docs.select(F.explode(tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+        )
+        est = cms_estimate(cms, vocab, "tok")
+        violations = est.filter(F.col("cms_est") < F.col("true_count")).count()
+        assert violations == 0
+        # a token never seen gets a pure-collision estimate, never an error
+        ghost = spark.createDataFrame([("zqxjkvvvnotatoken",)], "tok string")
+        g = cms_estimate(cms, ghost, "tok").collect()[0]
+        assert g["cms_est"] >= 0
+    finally:
+        cms.unpersist()
