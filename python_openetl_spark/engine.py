@@ -217,6 +217,18 @@ class Dataset:
 
         return Dataset(cms_heavy_hitters(self.df, **kw))
 
+    def exact_contamination(self, benchmark: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import exact_contamination
+
+        b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
+        return Dataset(exact_contamination(self.df, b, **kw))
+
+    def neardup_contamination(self, benchmark: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.prep import neardup_contamination
+
+        b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
+        return Dataset(neardup_contamination(self.df, b, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -147,6 +147,107 @@ def contamination_check(
     )
 
 
+def exact_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_needle_chars: int = 20,
+) -> DataFrame:
+    """Exact-substring decontamination: flag corpus documents whose
+    normalized text CONTAINS any benchmark document's normalized text
+    verbatim — the strictest contamination tier (a benchmark item
+    quoted wholesale inside a training document), complementing
+    :func:`contamination_check`'s n-gram overlap.
+
+    Benchmark needles shorter than ``min_needle_chars`` after
+    normalization are dropped: tiny strings (and the empty string,
+    which would match EVERYTHING) flag half the corpus with false
+    positives; real benchmark items are sentences.
+
+    Plan shape for 100 TB: benchmark sets are small, so the distinct
+    normalized needles broadcast and each corpus document runs B
+    substring tests in one codegen'd projection pass (broadcast
+    nested-loop join — here that's the RIGHT plan: there is no
+    equi-key, and the loop side is the broadcast one). The corpus text
+    never shuffles; output rows are (id, count, flag).
+    """
+    from python_openetl_spark.functions.text import normalized_text
+
+    needles = (
+        benchmark.select(normalized_text(text_col).alias("__needle"))
+        .filter(F.length("__needle") >= min_needle_chars)
+        .distinct()
+    )
+    hay = corpus.select(F.col(id_col), normalized_text(text_col).alias("__hay"))
+    hits = (
+        hay.join(
+            F.broadcast(needles),
+            F.expr("instr(__hay, __needle) > 0"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(F.count("__needle").alias("n_exact_hits"))
+    )
+    return hits.select(
+        id_col,
+        "n_exact_hits",
+        (F.col("n_exact_hits") > 0).alias("contaminated"),
+    )
+
+
+def neardup_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Cross-corpus NEAR-duplicate decontamination: flag corpus
+    documents that LSH-collide with any benchmark document — the tier
+    between :func:`contamination_check` (n-gram overlap fraction) and
+    :func:`exact_contamination` (verbatim quoting): it catches
+    lightly-edited benchmark rewrites that share MinHash bands.
+
+    Plan shape for 100 TB: both sides reduce to band keys (two packed
+    longs per band per document — operators/dedup.minhash_band_keys);
+    the benchmark's key set is tiny and broadcasts; the join output is
+    distinct-counted per corpus doc. Corpus text never shuffles, and
+    the corpus side is one scan.
+    """
+    from python_openetl_spark.operators.dedup import minhash_band_keys
+
+    kw = dict(
+        shingle_n=shingle_n, num_hashes=num_hashes, num_bands=num_bands
+    )
+    corp_keys = minhash_band_keys(corpus, text_col, id_col, **kw)
+    bench_keys = (
+        minhash_band_keys(benchmark, text_col, id_col, **kw)
+        .select("band", "k1", "k2", F.col("doc").alias("__bench"))
+    )
+    hits = (
+        corp_keys.join(F.broadcast(bench_keys), ["band", "k1", "k2"], "left")
+        .groupBy("doc")
+        .agg(F.count_distinct("__bench").alias("n_bench_neardups"))
+    )
+    # docs with no shingles emit no band keys; restore them as clean
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bench_neardups", F.lit(0).cast("long")).alias(
+                "n_bench_neardups"
+            ),
+            (F.coalesce("n_bench_neardups", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def redact_pii(
     df: DataFrame,
     *,

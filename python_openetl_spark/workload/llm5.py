@@ -15,15 +15,22 @@ heuristics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.llm import (
     _COMPONENTS_SQL,
     _TOKS_SQL,
     _TWINS_SQL,
+    _band_rows_sql,
     _docs_with_twins,
     _jaccard_pairs,
+    _minhash_sig_sql,
 )
+from python_openetl_spark.workload.llm4 import _BANDS_OF, _SHINGLES3_SQL
 from python_openetl_spark.workload.util import t
+
+#: Planted-doc id offset for the e02/e03 contamination fixtures.
+_E_OFF = 10_000_000
 
 
 def d31_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,10 +64,56 @@ def d33_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(t(spark, sf_dir, "documents"))
 
 
+def _bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 50th doc stands in for the held-out benchmark (the
+    d19/e01 convention)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.filter(F.col("doc_id") % 50 == 0)
+
+
+def e02_exact_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (prep.exact_contamination): the
+    corpus is the non-benchmark docs PLUS one planted quoting doc per
+    benchmark item (the benchmark text wrapped in filler), so the
+    verbatim-quote positive path is exercised, not just the all-clean
+    negative."""
+    from python_openetl_spark.operators import prep
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = _bench(spark, sf_dir)
+    planted = bench.select(
+        (F.col("doc_id") + _E_OFF).alias("doc_id"),
+        F.concat(F.lit("quoted verbatim "), F.col("text"), F.lit(" end quote")).alias(
+            "text"
+        ),
+    )
+    corpus = d.filter(F.col("doc_id") % 50 != 0).unionByName(planted)
+    return prep.exact_contamination(corpus, bench)
+
+
+def e03_neardup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup decontamination
+    (prep.neardup_contamination): planted docs are lightly-EDITED
+    benchmark copies (suffix appended — the d06 twin device), which
+    exact matching misses but MinHash bands catch."""
+    from python_openetl_spark.operators import prep
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = _bench(spark, sf_dir)
+    planted = bench.select(
+        (F.col("doc_id") + _E_OFF).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = d.filter(F.col("doc_id") % 50 != 0).unionByName(planted)
+    return prep.neardup_contamination(corpus, bench)
+
+
 QUERIES = {
     "d31_leakage_safe_split": d31_leakage_safe_split,
     "d32_unigram_logprob": d32_unigram_logprob,
     "d33_cms_heavy_hitters": d33_cms_heavy_hitters,
+    "e02_exact_contamination": e02_exact_contamination,
+    "e03_neardup_contamination": e03_neardup_contamination,
 }
 
 ORACLE = {
@@ -139,4 +192,67 @@ ORACLE = {
                cms_est >= true_count AS overestimates
         FROM est
     """,
+    "e02_exact_contamination": f"""
+        WITH base AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT doc_id + {_E_OFF} AS doc_id,
+                 'quoted verbatim ' || text || ' end quote' AS text
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        norm_bench AS (
+          SELECT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS needle
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        needles AS (
+          SELECT DISTINCT needle FROM norm_bench WHERE length(needle) >= 20
+        ),
+        hay AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+          FROM base
+        ),
+        hits AS (
+          SELECT h.doc_id, CAST(COUNT(n.needle) AS BIGINT) AS n_exact_hits
+          FROM hay h LEFT JOIN needles n ON instr(h.nt, n.needle) > 0
+          GROUP BY h.doc_id
+        )
+        SELECT doc_id, n_exact_hits, n_exact_hits > 0 AS contaminated
+        FROM hits
+    """,
+    "e03_neardup_contamination": f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+          UNION ALL
+          SELECT doc_id + {_E_OFF} AS doc_id, text || ' zzz' AS text
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        cb AS (
+          WITH {{cbands}}
+          SELECT doc, band, k1, k2 FROM bands
+        ),
+        bb AS (
+          WITH {{bbands}}
+          SELECT DISTINCT doc AS bench_doc, band, k1, k2 FROM bands
+        ),
+        hits AS (
+          SELECT c.doc, CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n
+          FROM cb c JOIN bb b ON c.band = b.band AND c.k1 = b.k1 AND c.k2 = b.k2
+          GROUP BY c.doc
+        )
+        SELECT d.doc_id,
+               COALESCE(n, 0) AS n_bench_neardups,
+               COALESCE(n, 0) > 0 AS contaminated
+        FROM corpus d LEFT JOIN hits ON d.doc_id = hits.doc
+    """.format(
+        cbands=_BANDS_OF.format(
+            toks=_TOKS_SQL, sh=_SHINGLES3_SQL, src="corpus",
+            sig=_minhash_sig_sql(16), bands=_band_rows_sql(4, 4),
+        ),
+        bbands=_BANDS_OF.format(
+            toks=_TOKS_SQL, sh=_SHINGLES3_SQL, src="bench",
+            sig=_minhash_sig_sql(16), bands=_band_rows_sql(4, 4),
+        ),
+    ),
 }
