@@ -229,3 +229,68 @@ class NearDupIngestSink:
         minhash_band_keys(new_rows, self.text_col, self.id_col, **self.lsh).select(
             "band", "k1", "k2"
         ).write.mode("overwrite").parquet(f"{self.store_root}/batch_id={batch_id}")
+
+
+class CmsIngestSink:
+    """``writeStream.foreachBatch(CmsIngestSink(store_root))`` —
+    continuously-maintained heavy-hitter counting over a document
+    stream, in fixed memory per batch.
+
+    Exploits the Count-Min Sketch's LINEARITY (operators/sketches.py):
+    cms(A ∪ B) = cms(A) + cms(B) cell-wise, so each micro-batch writes
+    only its own partial sketch to ``store_root/batch_id=N`` and the
+    up-to-date sketch is one ``groupBy(row, bucket).sum`` over the
+    partitions — no read-modify-write of global state, no state-store
+    operator, and the merged result is BIT-IDENTICAL to a batch build
+    over everything ingested (pinned in tests/test_streaming.py).
+
+    Exactly-once without a marker: a batch's partial sketch depends on
+    nothing but the batch itself, so a replay overwrites its own
+    partition with identical bytes (the DedupIngestSink layout, minus
+    even the strictly-earlier read).
+
+    Scale shape: each partial is ≤ depth x width rows (16 KiB of longs
+    at the defaults) regardless of batch size; merging S batches
+    shuffles ≤ S·depth·width counter rows, never tokens. Compact the
+    partition dirs periodically by rewriting their sum — linearity
+    again — if S grows unbounded.
+    """
+
+    def __init__(self, store_root: str, text_col: str = "text", *,
+                 depth: int | None = None, width: int | None = None):
+        from python_openetl_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+        self.store_root = store_root
+        self.text_col = text_col
+        self.depth = depth if depth is not None else CMS_DEPTH
+        self.width = width if width is not None else CMS_WIDTH
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from python_openetl_spark.operators.sketches import cms_build
+
+        part = cms_build(
+            batch_df, self.text_col, depth=self.depth, width=self.width
+        )
+        part.write.mode("overwrite").parquet(
+            f"{self.store_root}/batch_id={batch_id}"
+        )
+
+    def merged(self, spark) -> DataFrame:
+        """The current sketch: cell-wise sum over every ingested batch."""
+        from pyspark.sql import functions as F
+
+        return (
+            spark.read.parquet(self.store_root)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+
+    def estimate(self, spark, candidates: DataFrame, tok_col: str = "tok") -> DataFrame:
+        """Point estimates for candidate tokens against the current
+        merged sketch (same one-sided guarantee as the batch path)."""
+        from python_openetl_spark.operators.sketches import cms_estimate
+
+        return cms_estimate(
+            self.merged(spark), candidates, tok_col,
+            depth=self.depth, width=self.width,
+        )

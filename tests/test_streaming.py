@@ -412,3 +412,55 @@ def test_neardup_ingest_sink_from_real_stream(spark, tmp_path):
     assert collisions == 0
     # and at least one near-dup was actually rejected in this fixture
     assert got.count() < ev.select("text").distinct().count()
+
+
+def test_cms_ingest_sink_merges_to_batch_sketch(spark, tmp_path):
+    """Streaming CMS maintenance: replay the documents table in 4
+    micro-batches through CmsIngestSink; the merged sketch must be
+    BIT-IDENTICAL to one batch build over the whole corpus (linearity),
+    estimates must carry the one-sided guarantee, and replaying a batch
+    must change nothing (idempotent partition overwrite)."""
+    from python_openetl_spark.io import load_table
+    from python_openetl_spark.operators.sketches import cms_build
+    from python_openetl_spark.streaming.sinks import CmsIngestSink
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sink = CmsIngestSink(str(tmp_path / "cms_store"))
+    path = stage_replay_dir(
+        docs, str(tmp_path / "replay"), chunks=4, order_col="doc_id"
+    )
+    stream = read_file_stream(spark, path, docs.schema)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = sink.merged(spark)
+    batch = cms_build(docs)
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0
+
+    # one-sided guarantee through the streaming path
+    from python_openetl_spark.functions.text import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    est = sink.estimate(spark, vocab)
+    assert est.filter(F.col("cms_est") < F.col("true_count")).count() == 0
+
+    # crash-replay idempotence, self-contained: drive a fresh sink by
+    # hand, snapshot the merged sketch, re-apply one batch, compare
+    sink2 = CmsIngestSink(str(tmp_path / "cms_store2"))
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink2(b0, 0)
+    sink2(b1, 1)
+    snapshot = sink2.merged(spark).collect()
+    sink2(b0, 0)  # replay after a simulated failure
+    again = {(r["row"], r["bucket"]): r["cnt"] for r in sink2.merged(spark).collect()}
+    assert again == {(r["row"], r["bucket"]): r["cnt"] for r in snapshot}
