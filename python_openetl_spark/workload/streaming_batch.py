@@ -84,9 +84,12 @@ ORACLE = {
     """,
     "s03_session_window": """
         WITH ordered AS (
+          -- strict >: Spark's session_window treats an event at EXACTLY
+          -- last_ts + gap as part of the same session (the session's
+          -- [start, last+gap] range touches it) — hostile-star finding
           SELECT user_id, ts, value,
                  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                           >= INTERVAL 30 MINUTES
+                           > INTERVAL 30 MINUTES
                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                       THEN 1 ELSE 0 END AS new_session
           FROM events

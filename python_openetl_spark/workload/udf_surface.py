@@ -106,9 +106,16 @@ ORACLE = {
         FROM embeddings
     """,
     "u02_apply_in_pandas_zscore": """
+        -- degenerate groups (single row -> NULL stddev, constant values
+        -- -> 0 stddev) z-score to 0.0, matching the kernel's guard
         SELECT event_id, event_type,
-               ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-                     / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 6) AS z
+               ROUND(CASE WHEN COALESCE(
+                              STDDEV_SAMP(value) OVER (PARTITION BY event_type), 0
+                            ) = 0
+                          THEN 0.0
+                          ELSE (value - AVG(value) OVER (PARTITION BY event_type))
+                               / STDDEV_SAMP(value) OVER (PARTITION BY event_type)
+                     END, 6) AS z
         FROM events
     """,
     "u03_python_udf_priority": """

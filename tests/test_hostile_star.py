@@ -1,0 +1,246 @@
+"""Differential robustness for the RELATIONAL workload: every query
+that reads only the TPC-H-ish star tables (+ events) runs against its
+DuckDB oracle on a HOSTILE synthetic fixture — the star-schema
+counterpart of test_hostile_fixtures.py's documents/embeddings suite.
+
+Planted shapes a regenerated fixture could legally contain:
+- a region with no nations, a nation with no customers/suppliers,
+  orphan FK values (nationkey 99, lineitems whose order is absent)
+- a customer with no orders; an order with NO lineitems
+- zero quantities, zero/100% discounts, 0.0 prices and balances,
+  negative account balances
+- date rows sitting EXACTLY on every predicate boundary the workload
+  uses (1996-07-01, 1996-10-01, 1997-01-01, the m-query cutoff
+  2000-01-01 / overlap 1999-01-01, and a lineitem shipped exactly
+  90 days after its order for q54's strict >)
+- event streams with a single-event user, same-timestamp ties, a gap
+  of exactly 30 minutes (q37's session threshold is strict >), and
+  props JSON edges (empty object, missing keys, null values, empty
+  string)
+
+Any divergence is a latent driver red: both engines run the same
+semantics over the same rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from python_openetl_spark.testing import assert_frames_match
+from python_openetl_spark.workload import all_oracles, all_queries
+
+QUERIES = all_queries()
+ORACLE = all_oracles()
+
+_STAR_TABLES = {"region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events"}
+_DOC_TABLES = re.compile(r"\b(documents|embeddings)\b")
+_ANY_TABLE = re.compile(
+    r"\b(region|nation|customer|supplier|part|orders|lineitem|events|documents|embeddings)\b"
+)
+
+#: Every oracle-checked query whose SQL references only star tables.
+STAR_QUERIES = sorted(
+    name
+    for name, sql in ORACLE.items()
+    if not _DOC_TABLES.search(sql) and _ANY_TABLE.search(sql)
+)
+
+SKIP: dict[str, str] = {}
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _star_tables() -> dict[str, pa.Table]:
+    region = {
+        "r_regionkey": [0, 1, 2],  # 2 = region with no nations
+        "r_name": ["AMERICA", "EUROPE", "EMPTYREG"],
+    }
+    nation = {
+        "n_nationkey": [0, 1, 2, 3],
+        "n_name": ["USA", "FRANCE", "GERMANY", "LONELY"],  # LONELY: no members
+        "n_regionkey": [0, 1, 1, 99],  # 99 = orphan region
+    }
+    customer = {
+        "c_custkey": list(range(1, 9)),
+        "c_name": [f"Customer#{i}" for i in range(1, 8)] + ["Customer#1"],  # dup name
+        "c_nationkey": [0, 0, 1, 1, 2, 2, 99, 0],  # 99 = orphan nation
+        "c_acctbal": [100.0, -50.0, 0.0, 9999.99, 1.5, -0.01, 42.0, 7.0],
+        "c_mktsegment": ["BUILDING", "AUTOMOBILE", "BUILDING", "MACHINERY",
+                         "HOUSEHOLD", "FURNITURE", "BUILDING", "AUTOMOBILE"],
+        # c_custkey 8 will have NO orders
+    }
+    supplier = {
+        "s_suppkey": [1, 2, 3, 4],
+        "s_name": [f"Supplier#{i:09d}" for i in range(1, 5)],
+        "s_nationkey": [0, 1, 2, 99],
+        "s_acctbal": [10.0, -5.0, 0.0, 3.3],  # negative = q56's NOT IN branch
+    }
+    part = {
+        "p_partkey": list(range(1, 9)),
+        "p_name": ["blue rod", "blue widget", "large bolt", "small bolt",
+                   "red widget", "green gear", "blue bolt", "cold gear"],
+        "p_brand": ["Brand#13", "Brand#13", "Brand#1", "Brand#2",
+                    "Brand#1", "Brand#2", "Brand#13", "Brand#9"],
+        "p_type": ["ECONOMY", "LARGE", "SMALL", "STANDARD", "PROMO", "PROMO",
+                   "MEDIUM", "ECONOMY"],
+        "p_size": [1, 50, 25, 26, 10, 10, 3, 7],  # 25/26 straddle q56's <= 25
+        "p_retailprice": [0.0, 10.5, 99.99, 1.0, 2.5, 1000.0, 5.0, 3.0],
+    }
+
+    # orders: boundary dates + one customer with many orders + statuses
+    o_rows = [
+        # (okey, ckey, status, totalprice, orderdate, priority)
+        (1, 1, "F", 100.0, "1996-07-01", "1-URGENT"),    # ON q54's >= boundary
+        (2, 1, "O", 0.0, "1996-09-30", "2-HIGH"),        # zero price, in range
+        (3, 1, "F", 50.5, "1996-10-01", "3-MEDIUM"),     # ON q54's < bound (excluded)
+        (4, 2, "P", 10.0, "1997-01-01", "4-NOT SPECIFIED"),  # q55 >= boundary
+        (5, 2, "F", 20.0, "1997-12-31", "5-LOW"),
+        (6, 3, "O", 30.0, "1998-01-01", "1-URGENT"),     # q55 < bound (excluded)
+        (7, 4, "F", 1e7, "1995-01-01", "2-HIGH"),        # huge price, range min
+        (8, 5, "F", 40.0, "1999-01-01", "3-MEDIUM"),     # ON overlap boundary
+        (9, 6, "O", 60.0, "1999-12-31", "1-URGENT"),
+        (10, 6, "F", 70.0, "2000-01-01", "2-HIGH"),      # ON m-cutoff boundary
+        (11, 7, "F", 80.0, "2001-08-01", "5-LOW"),       # range max
+        (12, 1, "F", 90.0, "1996-08-15", "1-URGENT"),    # no lineitems at all
+        (13, 1, "O", 15.0, "1996-08-15", "1-URGENT"),    # same date tie
+    ]
+    orders = {
+        "o_orderkey": [r[0] for r in o_rows],
+        "o_custkey": [r[1] for r in o_rows],
+        "o_orderstatus": [r[2] for r in o_rows],
+        "o_totalprice": [r[3] for r in o_rows],
+        "o_orderdate": [_ts(r[4]) for r in o_rows],
+        "o_orderpriority": [r[5] for r in o_rows],
+    }
+
+    # lineitem: every numeric edge + exact q54 90-day boundary + orphan
+    l_rows = [
+        # (okey, pkey, skey, ln, qty, extprice, disc, tax, rf, ls, shipdate)
+        (1, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "A", "F", "1996-09-29"),      # 90d exactly
+        (1, 2, 2, 2, 5.0, 55.5, 1.0, 0.08, "N", "O", "1996-12-30"),    # 100% discount
+        (2, 3, 1, 1, 49.0, 100.0, 0.5, 0.0, "R", "F", "1996-10-05"),
+        (2, 4, 3, 2, 1.0, 1.0, 0.0, 0.07, "A", "F", "1997-01-01"),     # q55 boundary
+        (3, 5, 2, 1, 30.0, 300.0, 0.1, 0.02, "N", "O", "1996-10-02"),
+        (4, 6, 1, 1, 260.0, 2600.0, 0.0, 0.0, "R", "F", "1996-06-01"), # q57 >250 blue? p6=green
+        (4, 1, 4, 2, 300.0, 900.0, 0.2, 0.01, "A", "F", "1996-05-05"), # blue rod, >250
+        (5, 7, 2, 1, 251.0, 50.0, 0.3, 0.03, "N", "O", "1996-03-03"),  # blue bolt, just over
+        (6, 8, 3, 1, 250.0, 75.0, 0.0, 0.0, "R", "F", "1996-04-04"),   # exactly 250 (excluded)
+        (7, 2, 1, 1, 7.0, 10.0, 0.05, 0.04, "A", "F", "1995-06-06"),
+        (8, 3, 2, 1, 2.0, 4.0, 0.0, 0.0, "N", "F", "1999-02-02"),
+        (9, 4, 3, 1, 3.0, 6.0, 0.15, 0.0, "R", "O", "2000-02-02"),
+        (10, 5, 1, 1, 4.0, 8.0, 0.0, 0.06, "A", "F", "2000-03-03"),
+        (11, 6, 2, 1, 6.0, 12.0, 0.25, 0.0, "N", "O", "2001-11-04"),   # shipdate max
+        (999, 7, 1, 1, 9.0, 18.0, 0.0, 0.0, "R", "F", "1997-07-07"),   # ORPHAN order
+    ]
+    lineitem = {
+        "l_orderkey": [r[0] for r in l_rows],
+        "l_partkey": [r[1] for r in l_rows],
+        "l_suppkey": [r[2] for r in l_rows],
+        "l_linenumber": [r[3] for r in l_rows],
+        "l_quantity": [r[4] for r in l_rows],
+        "l_extendedprice": [r[5] for r in l_rows],
+        "l_discount": [r[6] for r in l_rows],
+        "l_tax": [r[7] for r in l_rows],
+        "l_returnflag": [r[8] for r in l_rows],
+        "l_linestatus": [r[9] for r in l_rows],
+        "l_shipdate": [_ts(r[10]) for r in l_rows],
+    }
+
+    # events: session/tie/JSON edges
+    base = _ts("2024-01-01 00:00:00")
+
+    def mins(m: float) -> dt.datetime:
+        return base + dt.timedelta(minutes=m)
+
+    e_rows = [
+        # (eid, ts, user, type, value, props)
+        (1, mins(0), 1, "click", 1.0, '{"page": "a", "ms": 120}'),
+        (2, mins(29), 1, "view", 0.0, '{"page": "b"}'),          # < 30min gap
+        (3, mins(59), 1, "click", -1.0, '{}'),                   # exactly 30min gap
+        (4, mins(90), 1, "purchase", 2.5, '{"page": null}'),     # 31min gap: new session
+        (5, mins(0), 2, "click", 5.0, ''),                       # single... no, user 2 two rows
+        (6, mins(0), 2, "click", 5.0, '{"ms": "notanint"}'),     # full (ts,value) tie
+        (7, mins(500), 3, "signup", 0.0, '{"deep": {"k": 1}}'),  # single-event user
+        (8, mins(1000), 4, "error", 1e9, '{"page": "x", "ms": 0}'),
+        (9, mins(1001), 4, "click", -1e9, '{"page": "x"}'),
+    ]
+    events = {
+        "event_id": [r[0] for r in e_rows],
+        "ts": [r[1] for r in e_rows],
+        "user_id": [r[2] for r in e_rows],
+        "event_type": [r[3] for r in e_rows],
+        "value": [r[4] for r in e_rows],
+        "props": [r[5] for r in e_rows],
+    }
+
+    def tbl(d: dict, int32_cols: tuple = ()) -> pa.Table:
+        arrays = {}
+        for k, v in d.items():
+            if v and isinstance(v[0], dt.datetime):
+                arrays[k] = pa.array(v, pa.timestamp("us"))
+            elif k in int32_cols:
+                arrays[k] = pa.array(v, pa.int32())
+            elif v and isinstance(v[0], bool):
+                arrays[k] = pa.array(v, pa.bool_())
+            elif v and isinstance(v[0], float):
+                arrays[k] = pa.array(v, pa.float64())
+            elif v and isinstance(v[0], int):
+                arrays[k] = pa.array(v, pa.int64())
+            else:
+                arrays[k] = pa.array(v, pa.string())
+        return pa.table(arrays)
+
+    return {
+        "region": tbl(region, ("r_regionkey",)),
+        "nation": tbl(nation, ("n_nationkey", "n_regionkey")),
+        "customer": tbl(customer, ("c_nationkey",)),
+        "supplier": tbl(supplier, ("s_nationkey",)),
+        "part": tbl(part, ("p_size",)),
+        "orders": tbl(orders),
+        "lineitem": tbl(lineitem, ("l_linenumber",)),
+        "events": tbl(events),
+    }
+
+
+@pytest.fixture(scope="module")
+def star_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hostile_star")
+    for name, table in _star_tables().items():
+        pq.write_table(table, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def star_duck(star_dir):
+    con = duckdb.connect()
+    for t in _STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{star_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_star_query_selection_is_nontrivial():
+    assert len(STAR_QUERIES) >= 50, STAR_QUERIES
+    for must in ("q01_pricing_summary", "q37_sessionize", "m01_merge_upsert",
+                 "q54_order_priority_checking"):
+        assert must in STAR_QUERIES
+
+
+@pytest.mark.parametrize("name", STAR_QUERIES)
+def test_query_survives_hostile_star(name, spark, star_dir, star_duck):
+    if name in SKIP:
+        pytest.skip(SKIP[name])
+    spark_pdf = QUERIES[name](spark, star_dir).toPandas()
+    oracle_pdf = star_duck.execute(ORACLE[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"hostile-star:{name}")
