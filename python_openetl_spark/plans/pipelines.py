@@ -73,6 +73,16 @@ class ParquetTable:
         # Write fully (materializes the plan — safe even when df reads
         # from self.path, since staging != source), then swap.
         writer.parquet(staging)
+        if partition_by and not any(
+            name.endswith(".parquet")
+            for _dir, _sub, files in os.walk(staging)
+            for name in files
+        ):
+            # a 0-row partitioned write emits no data files at all, so a
+            # later read can't infer the schema; append one empty
+            # root-level file carrying the full schema (incl. the
+            # partition columns as regular columns)
+            df.limit(0).write.mode("append").parquet(staging)
         backup = f"{self.path}.bak-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, backup)

@@ -244,3 +244,48 @@ def test_query_survives_hostile_star(name, spark, star_dir, star_duck):
     spark_pdf = QUERIES[name](spark, star_dir).toPandas()
     oracle_pdf = star_duck.execute(ORACLE[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"hostile-star:{name}")
+
+
+# ---------------------------------------------------------------- empty --
+
+#: Engine-level divergences on EMPTY input, impossible on generated
+#: fixtures (the driver always emits rows) and intractable to paper
+#: over: Spark's rollup/cube/grouping-sets emit NO grand-total row over
+#: empty input, while DuckDB follows the SQL standard (the () grouping
+#: set yields one all-NULL row with count 0).
+EMPTY_SKIP = {
+    "q16_rollup": "Spark rollup emits no grand-total row on empty input",
+    "q20_cube": "Spark cube emits no grand-total row on empty input",
+    "q21_grouping_sets": "Spark grouping sets emit no () row on empty input",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_star_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_star")
+    for name, table in _star_tables().items():
+        pq.write_table(table.slice(0, 0), str(d / f"{name}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_star_duck(empty_star_dir):
+    con = duckdb.connect()
+    for t in _STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{empty_star_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STAR_QUERIES)
+def test_query_survives_empty_tables(name, spark, empty_star_dir, empty_star_duck):
+    """Zero-row tables: aggregates, joins, windows, and the write paths
+    must all degrade to empty (or standard-NULL) results identically on
+    both engines — no crashes, no schema loss."""
+    if name in EMPTY_SKIP:
+        pytest.skip(EMPTY_SKIP[name])
+    spark_pdf = QUERIES[name](spark, empty_star_dir).toPandas()
+    oracle_pdf = empty_star_duck.execute(ORACLE[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"empty-star:{name}")

@@ -142,3 +142,26 @@ def test_ingest_tarball(spark, tmp_path):
     assert len(orgs) == 2
     # *_at column was timestamp-coerced; unparseable → NULL (R11)
     assert orgs[0]["founded_at"] is not None and orgs[1]["founded_at"] is None
+
+
+def test_parquet_table_overwrite_empty_partitioned_keeps_schema(spark, tmp_path):
+    """A 0-row partitioned publish must still leave a readable table:
+    Spark's partitioned writer emits no data files for empty input, so
+    overwrite() appends a schema-carrying empty root file (hostile
+    empty-fixture finding via k04)."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    df = spark.createDataFrame([], "id long, status string, price double")
+    table = ParquetTable(str(tmp_path / "empty_part"))
+    table.overwrite(df, partition_by=["status"])
+    back = table.read(spark)
+    assert back.count() == 0
+    assert set(back.columns) == {"id", "status", "price"}
+    # and a later non-empty publish over it still works
+    table.overwrite(
+        spark.createDataFrame([(1, "F", 2.0)], "id long, status string, price double"),
+        partition_by=["status"],
+    )
+    assert table.read(spark).count() == 1
