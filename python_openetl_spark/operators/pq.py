@@ -254,3 +254,145 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS ``IVFPQ`` architecture): a coarse
+    inverted-file quantizer prunes WHICH vectors are scored, PQ codes
+    shrink WHAT is read per scored vector, ADC scores them with table
+    lookups, and an exact re-rank fixes the shortlist.
+
+    At 100 TB this is the only shape that works: ``nprobe/nlist`` of
+    the corpus is touched per query (cell = partition key, so probing
+    is partition pruning), and what is touched is ~16-byte codes
+    instead of kilobyte vectors — the two approximations multiply to
+    a ~100-1000x scan reduction, then the exact re-rank touches only
+    ``rerank_factor * k`` full vectors per query. Codebooks here are
+    trained on raw vectors (FAISS-style residual encoding would reuse
+    the same dataflow with ``x - centroid[cell]`` inside the kernels).
+
+    One corpus scan assigns cells AND encodes codes; recall is
+    tunable with (nlist, nprobe, m, ksub, rerank_factor) — pinned
+    settings and bounds live in tests/test_pq.py.
+    """
+    from python_openetl_spark.functions.vectors import cosine
+
+    spark = corpus.sparkSession
+    books = pq_fit(
+        corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    # coarse centroids: the deterministic xxhash64-ordered sample device
+    # (similarity.ivf_topk), offset seed so coarse != PQ seeds
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )
+    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    dsub = books.shape[2]
+
+    def encode_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            mn = mat / np.maximum(norms[:, None], 1e-300)
+            cell = (mn @ cnorm.T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for s in range(m):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                c = books[s]
+                codes[:, s] = (2.0 * x @ c.T - (c * c).sum(axis=1)).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell,
+                    "codes": list((codes & 0xFF).astype(np.int8)),
+                    "vnorm": norms,
+                }
+            )
+
+    enc = corpus.select(id_col, vec_col).mapInPandas(
+        encode_assign, schema=f"{id_col} long, cell int, codes array<tinyint>, vnorm double"
+    )
+
+    qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
+    qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qn = qmat / np.maximum(qnorms[:, None], 1e-300)
+    probe = np.argsort(-(qn @ cnorm.T), axis=1)[:, :nprobe]
+    probe_df = spark.createDataFrame(
+        [(int(q), int(c)) for q, row in zip(qids, probe) for c in row],
+        f"{query_id_col} long, cell int",
+    )
+    lut = np.einsum("qsd,scd->qsc", qmat.reshape(len(qids), m, dsub), books)
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    shortlist = max(k * rerank_factor, k)
+
+    def adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sub_idx = np.arange(m)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64) & 0xFF
+            qidx = pdf[query_id_col].map(qpos).to_numpy()
+            dots = lut[qidx[:, None], sub_idx[None, :], codes].sum(axis=1)
+            score = dots / np.maximum(pdf["vnorm"].to_numpy() * qnorms[qidx], 1e-300)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col],
+                    id_col: pdf[id_col],
+                    "adc_score": score,
+                }
+            )
+
+    cand_rows = (
+        enc.join(F.broadcast(probe_df), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "codes", "vnorm")
+        .mapInPandas(adc, schema=f"{query_id_col} long, {id_col} long, adc_score double")
+    )
+    w_short = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    cand = (
+        cand_rows.withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, queries_pdf[vec_col])],
+        f"{query_id_col} long, __qv array<float>",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,160 @@
+"""Distributed BM25 full-text retrieval over a documents table.
+
+The missing sibling of the similarity family (operators/similarity.py
+covers dense-vector search; this covers sparse lexical search): build
+an inverted index (postings) with one shuffle, then score a query set
+against it with Okapi BM25 and return the top-k documents per query.
+In a training-data pipeline this is the workhorse for benchmark
+decontamination sweeps (query = eval question, hits = candidate
+contaminated docs — the lexical complement of e02/e03's n-gram paths)
+and for quality-targeted retrieval of pretraining subsets.
+
+Reference context: the reference engine (tmccall8829/python-openetl)
+has no text retrieval at all — this is a BASELINE.json north-star
+extension; the tokenizer is the shared engine-wide one
+(functions/text.py TOKEN_SPLIT_RE) so postings compose with the dedup
+and text-stats operators.
+
+Scale shape (the 100 TB story):
+- The corpus is touched exactly twice, both embarrassingly parallel
+  scans: once for the (N, sum_dl) scalar aggregate (map-side partial,
+  two longs per partition), once to build postings.
+- Postings are built per-document JVM-side (explode -> groupBy term,
+  doc) and immediately SEMI-PRUNED to the query vocabulary via a
+  broadcast join BEFORE the term/doc shuffle, so the only rows that
+  ever shuffle are (query-term, doc_id, tf) triples — for a bounded
+  query set this is a vanishing fraction of the corpus, and raw text
+  never shuffles at all.
+- Document frequencies are computed on the pruned postings (one more
+  shuffle on term, rows = pruned postings).
+- The query set is broadcast everywhere it appears; the final top-k is
+  a per-query window over candidate docs only.
+- No Python UDFs anywhere: the whole plan is whole-stage-codegen
+  expressions.
+
+Determinism contract (the oracle story): per-(query,term,doc) score
+contributions are doubles computed by the IDENTICAL expression tree in
+Spark and the DuckDB oracle — every input (tf, df, dl, N, sum_dl) is
+an exact integer and avgdl enters as one IEEE division, so the only
+non-portable step is ln(); the idf is therefore rounded to 9 decimals
+and the final contribution to 7 decimals, then cast to DECIMAL(20,7)
+*before* the per-document SUM — making the sum exact and
+order-independent (partition-layout-proof), the same convention as the
+rest of the workload (workload/__init__.py module docstring). Ranking
+ties break on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_openetl_spark.functions.text import tokens
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverted-index postings ``(term, doc_id, tf)``.
+
+    One explode + one (term, doc_id) hash aggregate; the aggregate's
+    map-side partial combine collapses within-document repeats before
+    the shuffle, so shuffled rows are bounded by distinct
+    (term, document) pairs, never raw token streams.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token count ``(doc_id, dl)`` — no shuffle."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+) -> DataFrame:
+    """Okapi BM25 top-k: ``(query_id, doc_id, score, rank)``.
+
+    ``score`` uses the Lucene idf variant ``ln(1 + (N - df + .5)/(df + .5))``
+    (always positive, so stop-word query terms dilute rather than
+    invert rankings). ``queries`` must be driver-bounded (it is
+    broadcast); the corpus side is unbounded.
+    """
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    qvocab = qterms.select("term").distinct()
+
+    # corpus scalars: one map-side-combined scan -> a single broadcast row
+    dl = doc_lengths(docs, text_col, id_col)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    # prune postings to the query vocabulary BEFORE any term shuffle
+    postings = build_postings(docs, text_col, id_col).join(
+        F.broadcast(qvocab), "term"
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    # idf rounded to 9 decimals: ln() is the one step whose last ulp is
+    # not guaranteed identical across engines (module docstring)
+    idf = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    # written with explicit literals/parenthesization mirrored verbatim
+    # in the SQL oracle so every double op is the same IEEE op
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    tfn = F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
+    contrib = F.round(idf * tfn, 7).cast("decimal(20,7)")
+
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_dec").cast("double").alias("score"),
+            "rank",
+        )
+    )

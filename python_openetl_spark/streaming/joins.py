@@ -54,3 +54,36 @@ def interval_join(
         & (rc(right_ts) > lc(left_ts) - F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, "inner").drop(rc(by))
+
+
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Left-outer stream-stream interval join: like :func:`interval_join`
+    but every left row is emitted exactly once even with no match —
+    NULL right columns — after the watermark proves no match can still
+    arrive. The streaming shape behind "every purchase, with its
+    preceding click if any": inner joins silently drop unmatched rows,
+    which for audit/attribution pipelines is data loss.
+
+    Same bounded-state story as the inner join; the only extra cost is
+    that unmatched left rows are held until the right watermark passes
+    ``left_ts``, so emission latency for NULL rows is the watermark
+    delay. In batch (the oracle twin) this is exactly a left join.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("__ij_l")
+    r = right.withWatermark(right_ts, watermark).alias("__ij_r")
+    lc, rc = (lambda c: F.col(f"__ij_l.{c}")), (lambda c: F.col(f"__ij_r.{c}"))
+    cond = (
+        (lc(by) == rc(by))
+        & (rc(right_ts) <= lc(left_ts))
+        & (rc(right_ts) > lc(left_ts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "left_outer").drop(rc(by))

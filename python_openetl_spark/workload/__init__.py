@@ -26,8 +26,10 @@ from python_openetl_spark.workload import (
     llm3,
     llm4,
     llm5,
+    llm6,
     relational,
     relational2,
+    relational3,
     scale,
     sinks_io,
     streaming2,
@@ -60,6 +62,8 @@ _MODULES = (
     # round-4 additions (after the frozen window; rotate into R5)
     llm5,
     relational2,
+    llm6,
+    relational3,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

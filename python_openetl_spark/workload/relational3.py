@@ -1,0 +1,88 @@
+"""Round-4 session-2 relational additions: mergeable-sketch analytics.
+
+Registered after ``llm6`` in ``_MODULES`` so the frozen ``_WINDOW_R4``
+is unchanged; locally oracle-gated now, rotates into ``_WINDOW_R5``.
+
+q58: HyperLogLog distinct-count via Spark's built-in Apache DataSketches
+functions (``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate``). The 100 TB story is REAGGREGATION: per-
+(nation, year) sketches are tiny fixed-size binaries that can be stored
+with a rollup table and merged later to any coarser grain WITHOUT
+rescanning the fact table — the d33 CMS linearity story, for distinct
+counts. The driver-hashable contract is the x05/d33 invariant-boolean
+pattern: exact distinct counts anchor the row values, and the sketch
+estimate (merged across years) must land within the published HLL error
+envelope — a broken sketch/merge path flips the boolean and
+hash-mismatches, while legitimate approximation noise cannot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+#: default lgConfigK=12 gives ~1.6% relative standard error; 5% is a
+#: >3-sigma acceptance envelope (and small-range HLL is near-exact).
+_HLL_TOL = 0.05
+
+
+def q58_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordering customers per nation, exact + sketch-merged.
+
+    Plan shape: one fact shuffle for the (nation, year) sketch build
+    (map-side partial sketch update — per-partition state is the
+    sketch, not the rows), one tiny shuffle of 25·years sketch
+    binaries for the union, and the nation dim broadcasts. The exact
+    branch is the audit anchor only — at production scale you'd ship
+    just the sketch branch.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    per_year = fact.groupBy("n_name", "yr").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_year.groupBy("n_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = fact.groupBy("n_name").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    return (
+        exact.join(merged, "n_name")
+        .select(
+            "n_name",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers").cast("double"))
+                / F.col("exact_customers").cast("double")
+                <= F.lit(_HLL_TOL)
+            ).alias("est_ok"),
+        )
+        .orderBy("n_name")
+    )
+
+
+QUERIES = {"q58_hll_distinct_sketch": q58_hll_distinct_sketch}
+
+ORACLE = {
+    # the estimate itself is approximate -> the oracle states the exact
+    # anchors and the invariant (x05/d33 pattern)
+    "q58_hll_distinct_sketch": """
+        SELECT n_name,
+               COUNT(DISTINCT o_custkey) AS exact_customers,
+               TRUE AS est_ok
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+}

@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.streaming.joins import enrich_with_static, interval_join
+from python_openetl_spark.streaming.joins import (
+    enrich_with_static,
+    interval_join,
+    interval_join_outer,
+)
 from python_openetl_spark.workload.util import t
 
 
@@ -53,9 +57,37 @@ def s06_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s07_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join, batch twin: EVERY
+    purchase emitted exactly once, with NULL click columns when no
+    click preceded it within the hour. The genuinely-streaming part —
+    NULL emission deferred until the watermark proves no match can
+    still arrive — is exercised by the sentinel-flushed replay in
+    tests/test_streaming.py; the batch plan is a plain left join on
+    the same condition, which is what DuckDB states."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("r_ts")
+    )
+    out = interval_join_outer(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="r_ts", max_delay="1 hour"
+    )
+    return out.select(
+        "p_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "c_id",
+        F.unix_micros("r_ts").alias("click_us"),
+    )
+
+
 QUERIES = {
     "s05_stream_static_enrichment": s05_stream_static_enrichment,
     "s06_interval_join": s06_interval_join,
+    "s07_outer_interval_join": s07_outer_interval_join,
 }
 
 ORACLE = {
@@ -74,6 +106,17 @@ ORACLE = {
         FROM events p JOIN events c
           ON p.user_id = c.user_id
          AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+    """,
+    "s07_outer_interval_join": """
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               c.event_id AS c_id,
+               epoch_us(c.ts) AS click_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
          AND epoch_us(c.ts) <= epoch_us(p.ts)
          AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
     """,

@@ -14,6 +14,10 @@ oracle-checkable query:
   executor — fine for bounded-cardinality keys, NOT for power-law keys).
 - u03: **row-at-a-time Python UDF** — the slow path, kept for parity
   and documented as such; serialization per row, never in a hot loop.
+- u04: **Python UDTF** (Spark 4 table function) — one input row →
+  many output rows from Python, the lateral-join extension point for
+  tokenizers/parsers that genuinely need Python; composes with SQL
+  (registered + invoked via LATERAL) and aggregates JVM-side after.
 
 Float policy: numpy/pandas use pairwise/BLAS summation while DuckDB
 folds sequentially, so double results are rounded (6 decimals) on both
@@ -93,10 +97,50 @@ def u03_python_udf_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def term_counts_udtf():
+    """Python UDTF: text → (term, tf) rows, the engine-wide tokenizer
+    (functions/text.py TOKEN_SPLIT_RE) re-expressed as a table function.
+    Built lazily — decoration needs an active SparkSession."""
+
+    @F.udtf(returnType="term string, tf int")
+    class TermCounts:
+        def eval(self, text):
+            if text is None:
+                return
+            import re
+            from collections import Counter
+
+            toks = [x for x in re.split("[^a-z0-9]+", text.lower()) if x]
+            for term, tf in sorted(Counter(toks).items()):
+                yield term, tf
+
+    return TermCounts
+
+
+def u04_python_udtf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term document/occurrence counts over a deterministic corpus
+    slice, exploded by the UDTF in a LATERAL join and aggregated
+    JVM-side. The Python boundary handles only the slice (1/13th of
+    docs), and each input row crosses it once — the aggregation after
+    the explosion is whole-stage-codegen."""
+    spark.udtf.register("term_counts", term_counts_udtf())
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0).createOrReplaceTempView(
+        "u04_docs"
+    )
+    return spark.sql(
+        """
+        SELECT tc.term, COUNT(*) AS n_docs, CAST(SUM(tc.tf) AS BIGINT) AS total_tf
+        FROM u04_docs d, LATERAL term_counts(d.text) tc
+        GROUP BY tc.term
+        """
+    )
+
+
 QUERIES = {
     "u01_pandas_udf_norm": u01_pandas_udf_norm,
     "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
     "u03_python_udf_priority": u03_python_udf_priority,
+    "u04_python_udtf_terms": u04_python_udtf_terms,
 }
 
 ORACLE = {
@@ -122,5 +166,20 @@ ORACLE = {
         SELECT o_orderkey,
                CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_rank
         FROM orders
+    """,
+    "u04_python_udtf_terms": """
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents WHERE doc_id % 13 = 0
+        ),
+        per_doc AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+          GROUP BY doc_id, term
+        )
+        SELECT term, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM per_doc GROUP BY term
     """,
 }

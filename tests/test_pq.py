@@ -87,3 +87,56 @@ def test_pq_topk_full_recall_at_fixture_scale(spark):
         ).collect()
     }
     assert approx == exact
+
+
+def test_ivf_pq_topk_full_probe_full_recall(spark):
+    """nprobe = nlist (no cell pruning) + a 100-candidate shortlist:
+    the composed IVF+PQ path must reproduce the exact ranking — any
+    divergence is a bug in the cell assignment, code encoding, LUT
+    scoring or re-rank, not approximation noise. The x09 driver row
+    asserts only the recall-floor invariant so it stays green at any
+    sf and nprobe < nlist."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in pq.ivf_pq_topk(
+            emb,
+            q.toPandas(),
+            k=5,
+            nlist=8,
+            nprobe=8,
+            m=M,
+            ksub=KSUB,
+            iters=ITERS,
+            rerank_factor=20,
+        ).collect()
+    }
+    assert approx == exact
+
+
+def test_ivf_pq_topk_pruned_recall_floor(spark):
+    """Production-shaped settings (nprobe < nlist, small shortlist)
+    still clear a 0.6 recall@5 floor on the fixtures."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in pq.ivf_pq_topk(
+            emb, q.toPandas(), k=5, nlist=16, nprobe=12, m=M, ksub=KSUB,
+            rerank_factor=8,
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6

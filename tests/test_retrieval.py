@@ -1,0 +1,73 @@
+"""BM25 retrieval operator: hand-computed scores + plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from python_openetl_spark.operators.retrieval import bm25_topk, build_postings
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_postings(spark, corpus):
+    rows = {(r.term, r.doc_id): r.tf for r in build_postings(corpus).collect()}
+    assert rows[("apple", 1)] == 2
+    assert rows[("cherry", 3)] == 3
+    assert rows[("banana", 2)] == 1
+    assert len(rows) == 6
+
+
+def test_bm25_hand_computed(spark, corpus):
+    """N=3, avgdl=3; query 'apple cherry' -> doc1 > doc3 > doc2 with
+    the Lucene-idf Okapi scores computed by hand below."""
+    queries = spark.createDataFrame([(10, "apple cherry")], "query_id long, qtext string")
+    out = bm25_topk(corpus, queries, k=3).orderBy("rank").collect()
+    assert [r.doc_id for r in out] == [1, 3, 2]
+    assert [r.rank for r in out] == [1, 2, 3]
+
+    idf_apple = round(math.log((3 - 1 + 0.5) / (1 + 0.5) + 1.0), 9)
+    idf_cherry = round(math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0), 9)
+    exp = {
+        # doc1: tf(apple)=2, dl=3: tfn = 2*2.2 / (2 + 1.2*(0.25+0.75*1))
+        1: round(idf_apple * (2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * (3 / 3)))), 7),
+        # doc3: tf(cherry)=3, dl=4
+        3: round(idf_cherry * (3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * (4 / 3)))), 7),
+        # doc2: tf(cherry)=1, dl=2
+        2: round(idf_cherry * (1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * (2 / 3)))), 7),
+    }
+    for r in out:
+        assert r.score == pytest.approx(exp[r.doc_id], abs=1e-9)
+
+
+def test_bm25_unknown_terms_and_ties(spark, corpus):
+    queries = spark.createDataFrame(
+        [(1, "zzz qqq"), (2, "banana")], "query_id long, qtext string"
+    )
+    out = bm25_topk(corpus, queries, k=5)
+    rows = out.collect()
+    # query 1 has no term in the corpus -> zero candidate docs
+    assert not [r for r in rows if r.query_id == 1]
+    # 'banana' hits docs 1 and 2 with tf=1 each; dl breaks the score,
+    # equal scores would break on doc_id
+    q2 = sorted((r.rank, r.doc_id) for r in rows if r.query_id == 2)
+    assert [d for _, d in q2] == [2, 1]  # shorter doc scores higher
+
+
+def test_bm25_plan_broadcasts_query_side(spark, corpus):
+    queries = spark.createDataFrame([(10, "apple")], "query_id long, qtext string")
+    plan = bm25_topk(corpus, queries, k=3)._jdf.queryExecution().executedPlan().toString()
+    # query terms, query vocab, dfreq and the stats row all broadcast;
+    # the corpus side must never be broadcast-collected
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -133,6 +133,75 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == want and want > 0
 
 
+def test_stream_stream_outer_interval_join_flushes_nulls(spark, tmp_path):
+    """Left-outer interval join emits unmatched purchases with NULL
+    click columns — but only once the watermark proves no match can
+    arrive. A far-future sentinel row appended to BOTH streams as a
+    final micro-batch advances both watermarks past all real data, so
+    every real unmatched purchase must have been flushed when the
+    query stops (without the sentinel batch, rows near stream end
+    would legitimately stay buffered — that is the semantics, not a
+    bug)."""
+    import os
+
+    from python_openetl_spark.streaming.joins import interval_join_outer
+
+    ev = _events(spark)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("r_ts")
+    )
+    flush_ts = "3000-01-01 00:00:00"
+
+    def staged(df, name, ts_col):
+        path = stage_replay_dir(
+            df, str(tmp_path / name), chunks=2, order_col=df.schema.fieldNames()[0]
+        )
+        sentinel = spark.createDataFrame(
+            [(-1, -1, flush_ts)], df.schema.fieldNames()
+        ).select(
+            F.col(df.schema.fieldNames()[0]).cast("long"),
+            F.col("user_id").cast("long"),
+            F.col(ts_col).cast("timestamp"),
+        )
+        # written after the real chunks -> later mod time -> processed
+        # as the final micro-batch
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "chunk=zz")
+        )
+        return read_file_stream(spark, path, df.schema)
+
+    joined = interval_join_outer(
+        staged(purchases, "l", "ts"),
+        staged(clicks, "r", "r_ts"),
+        by="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        max_delay="1 hour",
+        watermark="1 minute",
+    )
+    _run_to_completion(joined, "append", tmp_path, "sojoin")
+    got = spark.sql("SELECT * FROM sojoin WHERE user_id >= 0").toPandas()
+    want = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.r_ts") <= F.col("p.ts"))
+            & (F.col("c.r_ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .count()
+    )
+    assert len(got) == want
+    # outer semantics actually exercised: some purchases are unmatched,
+    # and every purchase id appears
+    assert got["c_id"].isna().sum() > 0
+    assert set(got["p_id"]) == {r.p_id for r in purchases.collect()}
+
+
 def test_foreachbatch_upsert_sink(spark, tmp_path):
     ev = _events(spark).select("event_id", "ts", "value")
     stream = _replay_stream(spark, tmp_path, ev, chunks=3)
