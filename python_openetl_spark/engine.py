@@ -229,6 +229,17 @@ class Dataset:
         b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
         return Dataset(neardup_contamination(self.df, b, **kw))
 
+    def bm25_topk(self, queries: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.retrieval import bm25_topk
+
+        q = queries.df if isinstance(queries, Dataset) else queries
+        return Dataset(bm25_topk(self.df, q, **kw))
+
+    def ivf_pq_topk(self, queries_pdf, **kw) -> "Dataset":
+        from python_openetl_spark.operators.pq import ivf_pq_topk
+
+        return Dataset(ivf_pq_topk(self.df, queries_pdf, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

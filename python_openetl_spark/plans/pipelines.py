@@ -98,6 +98,47 @@ class ParquetTable:
         """DROP TABLE IF EXISTS parity (/root/reference/pyopenetl/operations.py:357-366)."""
         shutil.rmtree(self.path, ignore_errors=True)
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        predicate: str,
+        partition_by: list[str] | None = None,
+        validate: bool = True,
+    ) -> None:
+        """Replace only the slice matching ``predicate`` (Delta
+        ``replaceWhere`` semantics): final table = existing rows NOT
+        matching the predicate + ``df``. With ``validate`` (default), a
+        ``df`` row that does NOT match the predicate raises ValueError
+        — the Delta contract that stops a backfill from silently
+        leaking rows outside its target slice.
+
+        The reference's closest verb is the delete-window + re-append
+        update path (/root/reference/pyopenetl/operations.py:539-560);
+        this is its set-based generalization. Here the swap is the
+        staged atomic rewrite (the whole table's durability story); at
+        production scale with ``partition_by`` covering the predicate
+        columns this maps to Spark's dynamic partition overwrite
+        (``spark.sql.sources.partitionOverwriteMode=dynamic``), which
+        rewrites ONLY the touched partitions — same semantics, no full
+        rewrite. Rows outside the predicate are never shuffled either
+        way: the kept side is a pure filter scan.
+        """
+        if validate:
+            bad = df.filter(f"NOT ({predicate})").limit(21)
+            n_bad = bad.count()
+            if n_bad:
+                raise ValueError(
+                    f"overwrite_where: {n_bad}{'+' if n_bad > 20 else ''} "
+                    f"replacement rows violate predicate {predicate!r}"
+                )
+        if self.exists():
+            spark = df.sparkSession
+            kept = self.read(spark).filter(f"NOT ({predicate})")
+            out = kept.unionByName(df)
+        else:
+            out = df
+        self.overwrite(out, partition_by=partition_by)
+
     def compact(
         self,
         spark: SparkSession,

@@ -113,3 +113,59 @@ ORACLE["m13_schema_evolution_merge"] = f"""
     UNION ALL
     SELECT * FROM delta
 """
+
+
+def m14_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ParquetTable.overwrite_where`` (Delta ``replaceWhere``
+    semantics) end-to-end: publish a monthly revenue rollup partitioned
+    by month, then atomically REPLACE one month's slice with a
+    recomputed version (here: July 1996 rebuilt from finalized-status
+    orders only, so the replacement genuinely differs from the
+    original and a silent no-op path hash-mismatches). Every other
+    month's rows must survive byte-identically; the oracle states the
+    spliced final table."""
+    import tempfile
+
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    o = t(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        )
+
+    table = ParquetTable(tempfile.mkdtemp(prefix="poe_m14_") + "/t")
+    table.overwrite(rollup(o), partition_by=["o_month"])
+    repl = rollup(
+        o.filter(
+            (F.date_format("o_orderdate", "yyyy-MM") == "1996-07")
+            & (F.col("o_orderstatus") == "F")
+        )
+    )
+    table.overwrite_where(repl, "o_month = '1996-07'", partition_by=["o_month"])
+    return table.read(spark).select(
+        "o_month", "n_orders", F.col("rev_dec").cast("double").alias("revenue")
+    )
+
+
+QUERIES["m14_partition_overwrite"] = m14_partition_overwrite
+
+ORACLE["m14_partition_overwrite"] = """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_orderstatus, o_totalprice
+      FROM orders
+    )
+    SELECT o_month, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM m WHERE o_month <> '1996-07'
+    GROUP BY o_month
+    UNION ALL
+    SELECT o_month, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM m WHERE o_month = '1996-07' AND o_orderstatus = 'F'
+    GROUP BY o_month
+"""

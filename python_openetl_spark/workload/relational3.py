@@ -70,7 +70,36 @@ def q58_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q58_hll_distinct_sketch": q58_hll_distinct_sketch}
+def q59_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median per return flag via Spark's
+    ``percentile_approx`` (GK-style rank sketch; partial sketches merge
+    across partitions, which IS the distributed story — one pass, no
+    sort). Driver contract: the exact interpolated median anchors the
+    row (identical linear-interpolation formula on both engines,
+    rounded to 6), and the sketch value must land inside the exact
+    [0.45, 0.55] quantile envelope — far looser than the sketch's rank
+    guarantee at accuracy 10000, so only a broken sketch/merge path can
+    flip it."""
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("qa"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("exact_median", 6).alias("exact_median"),
+        ((F.col("qa") >= F.col("lo")) & (F.col("qa") <= F.col("hi"))).alias(
+            "sketch_ok"
+        ),
+    )
+
+
+QUERIES = {
+    "q58_hll_distinct_sketch": q58_hll_distinct_sketch,
+    "q59_approx_quantile_sketch": q59_approx_quantile_sketch,
+}
 
 ORACLE = {
     # the estimate itself is approximate -> the oracle states the exact
@@ -84,5 +113,11 @@ ORACLE = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
         ORDER BY n_name
+    """,
+    "q59_approx_quantile_sketch": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_median,
+               TRUE AS sketch_ok
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

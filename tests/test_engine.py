@@ -99,3 +99,15 @@ def test_prep_operator_methods(eng, spark):
     assert cont.count() == 2
     mixed = docs.mixture_resample({"en": 0.5, "de": 0.5}, target_fraction=1.0)
     assert mixed.count() >= 1
+
+
+def test_retrieval_operator_method(eng, spark):
+    docs = Dataset(
+        spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry durian")],
+            "doc_id long, text string",
+        )
+    )
+    q = spark.createDataFrame([(10, "apple")], "query_id long, qtext string")
+    out = docs.bm25_topk(q, k=2).collect()
+    assert [r.doc_id for r in out] == [1]

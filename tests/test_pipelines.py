@@ -165,3 +165,48 @@ def test_parquet_table_overwrite_empty_partitioned_keeps_schema(spark, tmp_path)
         partition_by=["status"],
     )
     assert table.read(spark).count() == 1
+
+
+def test_overwrite_where_replaces_only_matching_slice(spark, tmp_path):
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    schema = "id long, status string, price double"
+    table = ParquetTable(str(tmp_path / "ow"))
+    table.overwrite(
+        spark.createDataFrame(
+            [(1, "F", 1.0), (2, "F", 2.0), (3, "O", 3.0), (4, "P", 4.0)], schema
+        ),
+        partition_by=["status"],
+    )
+    table.overwrite_where(
+        spark.createDataFrame([(9, "F", 9.0)], schema),
+        "status = 'F'",
+        partition_by=["status"],
+    )
+    got = {(r.id, r.status, r.price) for r in table.read(spark).collect()}
+    assert got == {(9, "F", 9.0), (3, "O", 3.0), (4, "P", 4.0)}
+    # an empty replacement deletes the slice
+    table.overwrite_where(
+        spark.createDataFrame([], schema), "status = 'O'", partition_by=["status"]
+    )
+    assert {r.status for r in table.read(spark).collect()} == {"F", "P"}
+
+
+def test_overwrite_where_validates_replacement_rows(spark, tmp_path):
+    import pytest as _pytest
+
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    schema = "id long, status string, price double"
+    table = ParquetTable(str(tmp_path / "owv"))
+    table.overwrite(spark.createDataFrame([(1, "F", 1.0)], schema))
+    with _pytest.raises(ValueError, match="violate predicate"):
+        table.overwrite_where(
+            spark.createDataFrame([(2, "O", 2.0)], schema), "status = 'F'"
+        )
+    # table unchanged after the rejected write
+    assert [r.id for r in table.read(spark).collect()] == [1]
+    # fresh-create path: predicate overwrite on a non-existent table
+    t2 = ParquetTable(str(tmp_path / "ow_new"))
+    t2.overwrite_where(spark.createDataFrame([(5, "F", 5.0)], schema), "status = 'F'")
+    assert t2.read(spark).count() == 1
