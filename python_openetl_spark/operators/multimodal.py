@@ -113,3 +113,83 @@ def sample_frames(
     return df.select(
         id_col, F.posexplode(offsets).alias("frame_idx", "byte_offset")
     )
+
+
+#: bytes per millisecond assumed by the fake audio "decoder"
+#: (16 kHz mono 16-bit PCM = 32 bytes/ms)
+AUDIO_BYTES_PER_MS = 32
+
+#: frame stride assumed by the fake video "decoder"
+VIDEO_FRAME_BYTES = 64
+
+
+def dispatch_modalities(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    modality_col: str = "modality",
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Route a HETEROGENEOUS corpus through per-modality decode kernels
+    in ONE Arrow pass: each mapInPandas batch is split by the modality
+    column and each slice runs its own kernel (image → dimensions,
+    audio → duration, video → frame count), emitting a unified feature
+    schema ``(id, modality, feat_a, feat_b)``.
+
+    This is the shape a mixed image/audio/video training corpus needs
+    at 100 TB: one scan, no per-modality job fan-out, no shuffle — the
+    routing is within-batch — and a modality the kernel table doesn't
+    know yields NULL features instead of failing the scan. Real codecs
+    are stubbed as in :func:`decode_images`; the fake kernels derive
+    features deterministically (image dims from the content hash,
+    audio/video from byte length), so the whole dispatch dataflow is
+    value-checkable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image/audio/video codecs are not available in this environment; "
+            "pass fake=True to run the deterministic fake kernels"
+        )
+
+    def _image(b: bytes) -> tuple:
+        d = _fake_decode(b)
+        return d["width"], d["height"]
+
+    def _audio(b: bytes) -> tuple:
+        return len(b) // AUDIO_BYTES_PER_MS, None
+
+    def _video(b: bytes) -> tuple:
+        return -(-len(b) // VIDEO_FRAME_BYTES), None
+
+    kernels = {"image": _image, "audio": _audio, "video": _video}
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feat_a: list = [None] * len(pdf)
+            feat_b: list = [None] * len(pdf)
+            payloads = pdf[payload_col].to_numpy()
+            for mod, idx in pdf.groupby(modality_col, dropna=False).indices.items():
+                fn = kernels.get(mod)
+                if fn is None:
+                    continue  # unknown modality -> NULL features
+                for i in idx:
+                    b = payloads[i]
+                    if b is None:
+                        continue  # missing blob -> NULL features
+                    feat_a[i], feat_b[i] = fn(bytes(b))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    modality_col: pdf[modality_col].to_numpy(),
+                    "feat_a": pd.array(feat_a, dtype="Int64"),
+                    "feat_b": pd.array(feat_b, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, modality_col, payload_col).mapInPandas(
+        kernel,
+        schema=f"{id_col} long, {modality_col} string, feat_a long, feat_b long",
+    )

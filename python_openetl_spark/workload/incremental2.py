@@ -131,11 +131,16 @@ def m14_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
 
     def rollup(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
-        ).agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+        # repartition on the partition column -> exactly one file per
+        # month directory instead of one per (shuffle task x month);
+        # for a rollup this small the write cost IS the file count
+        return (
+            df.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("o_month"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec"),
+            )
+            .repartition("o_month")
         )
 
     table = ParquetTable(tempfile.mkdtemp(prefix="poe_m14_") + "/t")

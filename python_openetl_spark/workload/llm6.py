@@ -81,7 +81,33 @@ def x09_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"d34_bm25_topk": d34_bm25_topk, "x09_ivf_pq_topk": x09_ivf_pq_topk}
+def mm04_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-corpus modality routing
+    (operators/multimodal.py dispatch_modalities): one Arrow pass
+    splits each batch by a modality column and runs the matching fake
+    decode kernel — image dims from the content hash (the mm02
+    device), audio duration / video frame count from byte length.
+    Every fake kernel's arithmetic is integer-exact, so the whole
+    dispatch (routing, NULL-payload skip, unknown-modality NULLs) is
+    value-hash oracle-checked."""
+    from python_openetl_spark.operators.multimodal import dispatch_modalities
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("pdf")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    return dispatch_modalities(d, fake=True)
+
+
+QUERIES = {
+    "d34_bm25_topk": d34_bm25_topk,
+    "x09_ivf_pq_topk": x09_ivf_pq_topk,
+    "mm04_modality_dispatch": mm04_modality_dispatch,
+}
 
 # Literals below mirror operators/retrieval.py's expression tree op for
 # op (module docstring there has the determinism contract): k1=1.2,
@@ -129,5 +155,28 @@ ORACLE = {
     "x09_ivf_pq_topk": """
         SELECT vec_id AS query_id, CAST(5 AS INT) AS k, TRUE AS recall_ok
         FROM embeddings WHERE vec_id IN (1, 5, 9)
+    """,
+    # mirrors the fake kernels in operators/multimodal.py: image dims =
+    # the mm02 sha-hex device; audio = bytes // 32 (16 kHz mono 16-bit
+    # PCM ms); video = ceil(bytes / 64) frames; 'pdf' has no kernel ->
+    # NULLs; NULL payload -> NULLs
+    "mm04_modality_dispatch": """
+        WITH b AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS n,
+                 sha256(text) AS hx,
+                 ['image','audio','video','pdf'][(doc_id % 4 + 1)::INT] AS modality
+          FROM documents
+        )
+        SELECT doc_id, modality,
+               CAST(CASE WHEN n IS NULL THEN NULL
+                    WHEN modality = 'image' THEN 64 + ('0x' || substr(hx, 1, 2))::INT % 192
+                    WHEN modality = 'audio' THEN n // 32
+                    WHEN modality = 'video' THEN (n + 63) // 64
+                    ELSE NULL END AS BIGINT) AS feat_a,
+               CAST(CASE WHEN n IS NULL THEN NULL
+                    WHEN modality = 'image' THEN 64 + ('0x' || substr(hx, 3, 2))::INT % 192
+                    ELSE NULL END AS BIGINT) AS feat_b
+        FROM b
     """,
 }

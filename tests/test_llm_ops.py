@@ -152,6 +152,28 @@ def test_multimodal_decode_stub(spark):
     assert frames.count() >= 20
 
 
+def test_modality_dispatch_routes_kernels_and_nulls(spark):
+    rows = [
+        (0, b"x" * 100, "image"),
+        (1, b"x" * 100, "audio"),
+        (2, b"x" * 100, "video"),
+        (3, b"x" * 100, "pdf"),   # no kernel -> NULL feats
+        (4, None, "audio"),       # missing blob -> NULL feats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, modality string")
+    with pytest.raises(NotImplementedError):
+        multimodal.dispatch_modalities(df).collect()
+    got = {r["doc_id"]: (r["feat_a"], r["feat_b"]) for r in
+           multimodal.dispatch_modalities(df, fake=True).collect()}
+    import hashlib
+    h = hashlib.sha256(b"x" * 100).digest()
+    assert got[0] == (64 + h[0] % 192, 64 + h[1] % 192)
+    assert got[1] == (100 // 32, None)
+    assert got[2] == (2, None)  # ceil(100/64)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+
 def test_incremental_dedup_classifies_null_text(spark):
     from python_openetl_spark.operators.dedup import incremental_dedup
 

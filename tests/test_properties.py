@@ -265,6 +265,56 @@ def test_merge_upsert_evolve_rejects_incompatible_types(spark):
         merge_upsert(t_df, d_df, "pk", evolve_schema=True)
 
 
+_corpus_texts = st.lists(
+    st.text(alphabet="ab c", max_size=16), min_size=1, max_size=8
+)
+
+
+@given(texts=_corpus_texts, qtext=st.text(alphabet="ab c", max_size=8))
+@_settings
+def test_bm25_matches_bruteforce(spark, texts, qtext):
+    """bm25_topk agrees with a pure-Python Okapi scorer on arbitrary
+    tiny corpora — empty docs, whitespace-only queries, every doc
+    identical, single-term vocabularies."""
+    import math
+    import re
+    from collections import Counter
+
+    from python_openetl_spark.operators.retrieval import bm25_topk
+
+    k1, b = 1.2, 0.75
+    docs = [(i, t) for i, t in enumerate(texts)]
+    toks = {i: [x for x in re.split("[^a-z0-9]+", t.lower()) if x] for i, t in docs}
+    qterms = sorted({x for x in re.split("[^a-z0-9]+", qtext.lower()) if x})
+    n = len(docs)
+    sum_dl = sum(len(v) for v in toks.values())
+    avgdl = sum_dl / n
+    dfreq = Counter(t for v in toks.values() for t in set(v) if t in qterms)
+    want = {}
+    for i, v in toks.items():
+        tf = Counter(v)
+        s = 0
+        for term in qterms:
+            if tf[term] == 0:
+                continue
+            idf = round(math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0), 9)
+            tfn = tf[term] * (k1 + 1.0) / (
+                tf[term] + k1 * (1.0 - b + b * (len(v) / avgdl))
+            )
+            s += round(idf * tfn, 7)
+        if s or any(tf[t] for t in qterms):
+            want[i] = round(s, 7)
+    expected = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    q = spark.createDataFrame([(0, qtext)], "query_id long, qtext string")
+    got = [
+        (r.doc_id, round(r.score, 7))
+        for r in bm25_topk(sdf, q, k=3).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
 def test_dedupe_latest_breaks_ties_deterministically(spark):
     """Equal order_col rows resolve by remaining columns (name-sorted,
     desc) — stable under any partition layout."""
