@@ -112,9 +112,16 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
 
-    # prune postings to the query vocabulary BEFORE any term shuffle
-    postings = build_postings(docs, text_col, id_col).join(
-        F.broadcast(qvocab), "term"
+    # prune to the query vocabulary BEFORE the (term, doc) aggregate:
+    # the broadcast join runs map-side on the exploded tokens, so only
+    # query-term rows ever reach the shuffle (a join placed after the
+    # groupBy would not be pushed below the aggregate by Catalyst)
+    postings = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(qvocab), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 

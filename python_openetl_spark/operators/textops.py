@@ -87,3 +87,50 @@ def unigram_logprob_score(
             F.coalesce("avg_neglogp", F.lit(0.0)).alias("avg_neglogp"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window chunking step between cleaning (d18-d20) and packing
+    (d21): long documents become ``ceil((n - overlap) / stride)``
+    chunks of ``chunk_tokens`` tokens, consecutive chunks sharing
+    ``overlap`` tokens so no span is ever cut mid-context.
+
+    Pure JVM expressions (sequence + posexplode + slice — the mm03
+    1-to-N device applied to token arrays): no shuffle at all, the
+    expansion happens inside the scan, so at 100 TB chunking is free
+    parallelism. Each chunk carries an md5 fingerprint of its token
+    span (the d05 device) so downstream chunk-level dedup composes
+    directly. A zero-token document emits one empty chunk (the row is
+    kept — dropping it would silently shrink the corpus); NULL text
+    emits no rows (there is nothing to train on).
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, f"overlap {overlap} must be < chunk_tokens {chunk_tokens}"
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(F.col("__toks")) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    span = F.slice(F.col("__toks"), F.col("start_tok"), chunk_tokens)
+    return (
+        df.select(F.col(id_col).alias(id_col), tokens(text_col).alias("__toks"))
+        # NULL text -> no rows; without this Spark's NULL-skipping
+        # greatest() would fabricate a [1] start list for a NULL array
+        .filter(F.col("__toks").isNotNull())
+        .select(id_col, "__toks", F.posexplode(starts).alias("chunk_idx", "start_tok"))
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.size(span).alias("chunk_len"),
+            F.md5(F.array_join(span, " ")).alias("chunk_fp"),
+        )
+    )

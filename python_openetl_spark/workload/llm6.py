@@ -1,16 +1,21 @@
-"""Round-4 session-2 LLM-data queries: sparse lexical retrieval.
+"""Round-4 session-2 LLM-data queries.
 
 Registered after ``relational2`` in ``_MODULES`` so the frozen
-``_WINDOW_R4`` is unchanged; locally oracle-gated now, rotates into
+``_WINDOW_R4`` is unchanged; locally oracle-gated now, rotate into
 ``_WINDOW_R5``.
 
-d34: BM25 top-k retrieval over an inverted index
-(operators/retrieval.py) — the sparse complement of the dense ANN
-family (x01–x08) and the retrieval tier of decontamination (e02/e03
-find n-gram overlap; BM25 finds lexical near-matches that share no
-exact n-gram). The query set is derived deterministically from the
-corpus itself (every 211th document's first six tokens), so the
-workload needs no external fixture and scales with sf.
+- d34: BM25 top-k retrieval over an inverted index
+  (operators/retrieval.py) — the sparse complement of the dense ANN
+  family (x01–x08) and the retrieval tier of decontamination (e02/e03
+  find n-gram overlap; BM25 finds lexical near-matches that share no
+  exact n-gram). The query set is derived deterministically from the
+  corpus itself (every 211th document's first six tokens), so the
+  workload needs no external fixture and scales with sf.
+- x09: composed IVF+PQ ANN (the FAISS IVFPQ architecture).
+- mm04: single-pass per-modality decode dispatch.
+- d35: context-window chunking with overlap.
+- e04: the four-stage training-set build composite
+  (prepare → chunk → split → shard stats).
 """
 
 from __future__ import annotations
@@ -103,10 +108,70 @@ def mm04_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dispatch_modalities(d, fake=True)
 
 
+def d35_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/textops.py chunk_documents):
+    32-token windows, 8-token overlap — the split step between
+    cleaning and packing. Shuffle-free 1→N expansion inside the scan;
+    each chunk carries an md5 span fingerprint so chunk-level dedup
+    composes with d01."""
+    from python_openetl_spark.operators.textops import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+def e04_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-set build: e01's preparation composite
+    (exact dedup → repetition gate → decontamination → PII redaction)
+    → d35's context-window chunking of the REDACTED text → d10's
+    deterministic hash split (80/10/10 by document, so every chunk of
+    a document lands on one side of the boundary) → per-split shard
+    statistics (docs, chunks, tokens, distinct chunk fingerprints —
+    the chunk-level dup rate a packing job needs). Four pipeline
+    stages, one driver row; every stage keeps its individual scale
+    shape and the corpus text crosses the wire only once (the PII
+    projection inside prepare_corpus)."""
+    from python_openetl_spark.operators import prep
+    from python_openetl_spark.operators.sampling import sample_bucket
+    from python_openetl_spark.operators.textops import chunk_documents
+
+    d = t(spark, sf_dir, "documents")
+    prepared = prep.prepare_corpus(
+        d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0)
+    )
+    chunks = chunk_documents(
+        prepared.select("doc_id", F.col("text_redacted").alias("text")),
+        chunk_tokens=32,
+        overlap=8,
+    )
+    bucket = sample_bucket(F.col("doc_id"))
+    split = prepared.select(
+        "doc_id",
+        F.when(bucket < 8000, "train")
+        .when(bucket < 9000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        chunks.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("chunk_len").cast("long")).alias("sum_tokens"),
+            F.count_distinct("chunk_fp").alias("n_unique_chunks"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "d34_bm25_topk": d34_bm25_topk,
     "x09_ivf_pq_topk": x09_ivf_pq_topk,
     "mm04_modality_dispatch": mm04_modality_dispatch,
+    "d35_chunk_documents": d35_chunk_documents,
+    "e04_build_training_set": e04_build_training_set,
 }
 
 # Literals below mirror operators/retrieval.py's expression tree op for
@@ -179,4 +244,76 @@ ORACLE = {
                     ELSE NULL END AS BIGINT) AS feat_b
         FROM b
     """,
+    # mirrors chunk_documents: starts = 1, 1+24, ... up to
+    # greatest(n - overlap, 1) inclusive (DuckDB range is end-exclusive
+    # -> +1); chunk = 32-token slice; fp = md5 of the space-joined span
+    "d35_chunk_documents": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (
+          SELECT doc_id, toks,
+                 range(1, greatest(len(toks) - 8, 1) + 1, 24) AS starts
+          FROM tk WHERE toks IS NOT NULL
+        )
+        SELECT doc_id,
+               u.idx AS chunk_idx,
+               u.st AS start_tok,
+               CAST(len(list_slice(toks, u.st, u.st + 31)) AS INT) AS chunk_len,
+               -- DuckDB array_to_string([]) is NULL (Spark array_join is '')
+               md5(COALESCE(array_to_string(list_slice(toks, u.st, u.st + 31), ' '), '')) AS chunk_fp
+        FROM (
+          SELECT doc_id, toks,
+                 unnest(list_transform(range(1, len(starts) + 1),
+                                       i -> {{'idx': (i - 1)::INT, 'st': starts[i]::INT}})) AS u
+          FROM s
+        )
+    """,
 }
+
+# e04 composes e01's full preparation oracle as a CTE, then mirrors
+# d35's chunking over text_redacted and d24's portable md5 hash-bucket
+# device (sample_bucket with empty salt = token_hash60(':' || id)).
+from python_openetl_spark.workload.llm3 import ORACLE as _L3_ORACLE  # noqa: E402
+
+ORACLE["e04_build_training_set"] = f"""
+    WITH prepared AS ({_L3_ORACLE["e01_prepare_corpus"]}),
+    ptk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text_redacted), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM prepared
+    ),
+    s AS (
+      SELECT doc_id, toks, range(1, greatest(len(toks) - 8, 1) + 1, 24) AS starts
+      FROM ptk WHERE toks IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id,
+             len(list_slice(toks, u.st, u.st + 31)) AS chunk_len,
+             md5(COALESCE(array_to_string(list_slice(toks, u.st, u.st + 31), ' '), '')) AS chunk_fp
+      FROM (
+        SELECT doc_id, toks,
+               unnest(list_transform(range(1, len(starts) + 1),
+                                     i -> {{'st': starts[i]::INT}})) AS u
+        FROM s
+      )
+    ),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN b < 8000 THEN 'train'
+                  WHEN b < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               (('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT
+                 % 10000 AS b
+        FROM prepared
+      )
+    )
+    SELECT s.split,
+           COUNT(DISTINCT c.doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(c.chunk_len) AS BIGINT) AS sum_tokens,
+           COUNT(DISTINCT c.chunk_fp) AS n_unique_chunks
+    FROM chunks c JOIN split s ON c.doc_id = s.doc_id
+    GROUP BY s.split ORDER BY s.split
+"""
