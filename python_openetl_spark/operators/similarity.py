@@ -78,6 +78,10 @@ def cosine_topk_arrow(
     global top-k. Shuffle volume: O(batches · queries · k), not O(n·m).
     """
     spark = corpus.sparkSession
+    if queries_pdf.empty:  # empty query set -> empty result, not a stack error
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cos_sim double, rank int"
+        )
     qids = np.asarray(queries_pdf["query_id"], dtype=np.int64)
     qmat = np.stack(queries_pdf["embedding"].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -245,6 +249,12 @@ def ivf_topk(
         .limit(nlist)
         .collect()
     )
+    if queries_pdf.empty or not cent_rows:
+        # no queries, or an empty corpus (no centroids to probe):
+        # degrade to an empty result instead of a driver-side stack error
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
     cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 

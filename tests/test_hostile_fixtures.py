@@ -144,3 +144,50 @@ def test_query_survives_hostile_fixture(name, spark, hostile_dir, hostile_duck):
     spark_pdf = QUERIES[name](spark, hostile_dir).toPandas()
     oracle_pdf = hostile_duck.execute(ORACLE[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, f"hostile:{name}")
+
+
+# ---------------------------------------------------------------- empty --
+
+#: Operators whose CONTRACT is an explicit raise on an empty corpus
+#: (pinned at operator level in their own test files) — listed here
+#: with the reason; everything else must degrade to an empty result
+#: identically on both engines.
+EMPTY_SKIP: dict[str, str] = {
+    "x08_pq_topk": "pq_fit raises ValueError on an empty corpus by "
+    "contract (tests/test_pq.py pins it)",
+    "x09_ivf_pq_topk": "pq_fit raises ValueError on an empty corpus by "
+    "contract (tests/test_pq.py pins it)",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_doc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_doc_fixture")
+    pq.write_table(_hostile_documents().slice(0, 0), str(d / "documents.parquet"))
+    pq.write_table(_hostile_embeddings().slice(0, 0), str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_doc_duck(empty_doc_dir):
+    con = duckdb.connect()
+    for tbl in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * "
+            f"FROM read_parquet('{empty_doc_dir}/{tbl}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_query_survives_empty_doc_tables(name, spark, empty_doc_dir, empty_doc_duck):
+    """Zero-row documents/embeddings: every query must produce an empty
+    (or deterministic-constant) result on both engines — no crashes, no
+    NULL-propagation divergence (the star-schema twin is
+    test_hostile_star.py::test_query_survives_empty_tables)."""
+    if name in EMPTY_SKIP:
+        pytest.skip(EMPTY_SKIP[name])
+    spark_pdf = QUERIES[name](spark, empty_doc_dir).toPandas()
+    oracle_pdf = empty_doc_duck.execute(ORACLE[name]).df()
+    assert_frames_match(spark_pdf, oracle_pdf, f"empty-doc:{name}")
