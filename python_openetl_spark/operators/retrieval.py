@@ -16,9 +16,11 @@ extension; the tokenizer is the shared engine-wide one
 and text-stats operators.
 
 Scale shape (the 100 TB story):
-- The corpus is touched exactly twice, both embarrassingly parallel
-  scans: once for the (N, sum_dl) scalar aggregate (map-side partial,
-  two longs per partition), once to build postings.
+- The corpus is touched by three embarrassingly parallel column-pruned
+  scans: postings build, per-doc length, and the (N, sum_dl) scalar
+  aggregate (map-side partial, two longs per partition) — in a
+  materialized-index deployment the last two ship with the index and
+  query time touches only postings.
 - Postings are built per-document JVM-side (explode -> groupBy term,
   doc) and immediately SEMI-PRUNED to the query vocabulary via a
   broadcast join BEFORE the term/doc shuffle, so the only rows that
@@ -123,7 +125,13 @@ def bm25_topk(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count over the pruned postings —
+    # a groupBy+join here would make Spark recompute the whole postings
+    # subtree (a second corpus scan); the window repartitions only the
+    # pruned (query-term, doc, tf) triples
+    postings = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
 
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     # idf rounded to 9 decimals: ln() is the one step whose last ulp is
@@ -146,7 +154,6 @@ def bm25_topk(
 
     scored = (
         postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
         .join(dl.hint("shuffle_hash"), "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
