@@ -81,6 +81,25 @@ def doc_lengths(
     )
 
 
+def update_postings(
+    store: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merged inverted index after ingesting a document batch: the
+    materialized postings store unioned with postings built from the
+    BATCH ONLY — the indexed corpus is never re-read or re-tokenized
+    (the d23/d29 incremental story, for the retrieval index). Document
+    frequency and corpus scalars update additively (df' = df + batch
+    df; Σdl' = Σdl + batch Σdl), which is what makes the inverted
+    index maintainable at 100 TB: ingest cost scales with the batch,
+    not the corpus. Deletions compose as a left-anti on doc_id (the
+    same shape as merge.propagate_deletes).
+    """
+    return store.unionByName(build_postings(batch_docs, text_col, id_col))
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

@@ -166,8 +166,54 @@ def e04_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Planted-doc id offset for the d36 ingest batch.
+_OFF36 = 20_000_000
+
+
+def d36_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance
+    (operators/retrieval.py update_postings): a batch of edited
+    re-ingested documents (every 5th doc, id-offset, two planted new
+    tokens) is tokenized ALONE and merged into the postings store;
+    the output states, per term the batch touches, the document
+    frequency before and after plus the new-posting count — so a
+    maintenance path that silently re-scans, drops, or double-counts
+    postings hash-mismatches. The planted 'zzz' term proves the
+    new-to-corpus path (df_before = 0)."""
+    from python_openetl_spark.operators.retrieval import build_postings, update_postings
+
+    d = t(spark, sf_dir, "documents")
+    store = build_postings(d)
+    batch = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _OFF36).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz zzz")).alias("text"),
+    )
+    merged = update_postings(store, batch)
+    bvocab = build_postings(batch).select("term").distinct()
+    before = (
+        store.join(F.broadcast(bvocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_before"))
+    )
+    after = (
+        merged.join(F.broadcast(bvocab), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_after"))
+    )
+    return (
+        after.join(before, "term", "left")
+        .select(
+            "term",
+            F.coalesce("df_before", F.lit(0)).alias("df_before"),
+            "df_after",
+            (F.col("df_after") - F.coalesce("df_before", F.lit(0))).alias("n_new"),
+        )
+    )
+
+
 QUERIES = {
     "d34_bm25_topk": d34_bm25_topk,
+    "d36_incremental_postings": d36_incremental_postings,
     "x09_ivf_pq_topk": x09_ivf_pq_topk,
     "mm04_modality_dispatch": mm04_modality_dispatch,
     "d35_chunk_documents": d35_chunk_documents,
@@ -268,6 +314,40 @@ ORACLE = {
         )
     """,
 }
+
+ORACLE["d36_incremental_postings"] = f"""
+    WITH store_tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    store AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM store_tk)
+      GROUP BY term, doc_id
+    ),
+    batch AS (
+      SELECT doc_id + {_OFF36} AS doc_id, text || ' zzz zzz' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    batch_tk AS (SELECT doc_id, {_TOKS} AS toks FROM batch),
+    bpost AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM batch_tk)
+      GROUP BY term, doc_id
+    ),
+    bvocab AS (SELECT DISTINCT term FROM bpost),
+    merged AS (SELECT * FROM store UNION ALL SELECT * FROM bpost),
+    before AS (
+      SELECT term, COUNT(*) AS df_before FROM store
+      WHERE term IN (SELECT term FROM bvocab) GROUP BY term
+    ),
+    after AS (
+      SELECT term, COUNT(*) AS df_after FROM merged
+      WHERE term IN (SELECT term FROM bvocab) GROUP BY term
+    )
+    SELECT a.term,
+           COALESCE(b.df_before, 0) AS df_before,
+           a.df_after,
+           a.df_after - COALESCE(b.df_before, 0) AS n_new
+    FROM after a LEFT JOIN before b ON a.term = b.term
+"""
 
 # e04 composes e01's full preparation oracle as a CTE, then mirrors
 # d35's chunking over text_redacted and d24's portable md5 hash-bucket

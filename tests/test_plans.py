@@ -248,3 +248,18 @@ def test_q54_semi_join_with_date_pushdown(spark):
     plan = _plan(q54_order_priority_checking(spark, SF_DIR))
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_d34_bm25_prunes_before_shuffle_and_bounds_scans(spark):
+    """d34: the query-vocabulary broadcast join must sit BELOW the
+    (term, doc) aggregate (only query-term rows shuffle), document
+    frequency must not duplicate the postings subtree, and the whole
+    plan stays at <= 5 column-pruned corpus scans."""
+    from python_openetl_spark.workload.llm6 import QUERIES
+
+    plan = _plan(QUERIES["d34_bm25_topk"](spark, SF_DIR))
+    assert plan.count("FileScan") <= 5, plan
+    # exactly one corpus-side token explode (df via window, not a
+    # recomputed second postings branch)
+    assert plan.count("Generate explode(toks") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
