@@ -229,6 +229,22 @@ class Dataset:
         b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
         return Dataset(neardup_contamination(self.df, b, **kw))
 
+    def chunk_documents(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.textops import chunk_documents
+
+        return Dataset(chunk_documents(self.df, **kw))
+
+    def dispatch_modalities(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.multimodal import dispatch_modalities
+
+        return Dataset(dispatch_modalities(self.df, **kw))
+
+    def update_postings(self, batch_docs: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.retrieval import update_postings
+
+        b = batch_docs.df if isinstance(batch_docs, Dataset) else batch_docs
+        return Dataset(update_postings(self.df, b, **kw))
+
     def bm25_topk(self, queries: "Dataset | DataFrame", **kw) -> "Dataset":
         from python_openetl_spark.operators.retrieval import bm25_topk
 
