@@ -100,6 +100,59 @@ def update_postings(
     return store.unionByName(build_postings(batch_docs, text_col, id_col))
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    topk: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09): fused score =
+    Σ over rankings of ``1 / (k + rank)``. The standard way to combine
+    a lexical (BM25) and a dense (embedding) ranking without score
+    calibration — ranks are comparable where raw scores are not.
+
+    Scale shape: each input ranking is already top-k-per-query (tiny);
+    the fusion is a union + one aggregate on (query, doc) over
+    O(queries × k × #rankings) rows — negligible next to the rankings
+    themselves. Determinism: each reciprocal contribution is one IEEE
+    division rounded to 9 decimals, summed as exact DECIMAL; ties
+    break on doc id.
+    """
+    contribs = [
+        r.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.round(
+                F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double")), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("c"),
+        )
+        for r in rankings
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        allc.groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_dec"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_dec").cast("double").alias("rrf_score"),
+            "rank",
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

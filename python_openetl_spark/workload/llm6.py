@@ -211,8 +211,39 @@ def d36_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x10_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 and exact dense cosine
+    top-10 fused by reciprocal-rank fusion
+    (operators/retrieval.py rrf_fuse, k=60) — the standard
+    two-tower-search shape where rank fusion sidesteps score
+    calibration. Queries are the derived-doc set restricted to ids
+    that also carry an embedding, so both rankings exist for every
+    query; the lexical side naturally retrieves the query doc itself
+    (rank 1) while the dense side excludes self — the oracle mirrors
+    both conventions exactly."""
+    from python_openetl_spark.operators import similarity
+    from python_openetl_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qdocs = _derived_queries(docs).join(
+        F.broadcast(emb.select(F.col("vec_id").alias("query_id"))), "query_id"
+    )
+    lexical = bm25_topk(docs, qdocs, k=10)
+    dense = similarity.cosine_topk(
+        emb,
+        emb.join(
+            F.broadcast(qdocs.select("query_id")),
+            emb.vec_id == F.col("query_id"),
+        ).select("query_id", "embedding"),
+        k=10,
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lexical.select("query_id", "doc_id", "rank"), dense], topk=5)
+
+
 QUERIES = {
     "d34_bm25_topk": d34_bm25_topk,
+    "x10_hybrid_search_rrf": x10_hybrid_search_rrf,
     "d36_incremental_postings": d36_incremental_postings,
     "x09_ivf_pq_topk": x09_ivf_pq_topk,
     "mm04_modality_dispatch": mm04_modality_dispatch,
@@ -314,6 +345,80 @@ ORACLE = {
         )
     """,
 }
+
+ORACLE["x10_hybrid_search_rrf"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM tk),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    q AS (SELECT doc_id AS query_id, list_slice(toks, 1, {_Q_LEN}) AS qt
+          FROM tk WHERE doc_id % {_Q_MOD} = 0
+            AND doc_id IN (SELECT vec_id FROM embeddings)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
+    qvocab AS (SELECT DISTINCT term FROM qterms),
+    post AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM tk
+      ) WHERE term IN (SELECT term FROM qvocab)
+      GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    bscored AS (
+      SELECT query_id, doc_id,
+             SUM(CAST(ROUND(
+               ROUND(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+             , 7) AS DECIMAL(20,7))) AS score_dec
+      FROM post
+      JOIN qterms USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY query_id, doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 10
+    ),
+    eq AS (SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+           FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dscored AS (
+      SELECT eq.query_id, c.vec_id AS doc_id,
+             list_dot_product(c.v, eq.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(eq.qv, eq.qv))) AS cos_sim
+      FROM c, eq WHERE c.vec_id <> eq.query_id
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rank
+        FROM dscored
+      ) WHERE rank <= 10
+    ),
+    contrib AS (
+      SELECT query_id, doc_id,
+             CAST(ROUND(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS c
+      FROM lex
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(ROUND(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS c
+      FROM dense
+    ),
+    fused AS (SELECT query_id, doc_id, SUM(c) AS score_dec
+              FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, CAST(score_dec AS DOUBLE) AS rrf_score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 5
+"""
 
 ORACLE["d36_incremental_postings"] = f"""
     WITH store_tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
