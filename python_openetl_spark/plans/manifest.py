@@ -1,0 +1,101 @@
+"""File-level data-skipping manifest: Delta/Iceberg-style min/max file
+statistics for a plain-parquet table, enabling file pruning beyond
+directory partition pruning.
+
+Parquet already carries row-group min/max, but Spark must still OPEN
+every file footer to use them; with millions of files at 100 TB the
+footer reads alone dominate short scans. A manifest — one row per file
+with per-column min/max/count — lets the planner select the file list
+BEFORE any footer is touched: the same reason Delta keeps add-file
+stats in the log and Iceberg keeps them in manifest files. Combined
+with `ParquetTable.compact(sort_by=...)` (which makes per-file ranges
+tight and disjoint), a range predicate on the sort column touches
+O(result) files instead of O(table).
+
+The reference's closest concept is rebuilding source btree indexes
+after a load (/root/reference/pyopenetl/operations.py:461-471); this
+is the columnar-lake equivalent: layout + statistics instead of a
+secondary index structure.
+
+Scale shape: the manifest build is one distributed scan (per-file
+aggregate keyed by ``input_file_name`` — map-side combined, one row
+per file out); the manifest itself is a tiny table you persist next to
+the data and UPDATE incrementally on ingest (append new file rows;
+drop rows for compacted-away files). Pruning collects only the
+matching file PATHS (bounded by file count, never data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_manifest(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """One row per data file: ``(file, n_rows, <c>_min, <c>_max ...)``.
+
+    Stats are collected for ``columns`` only — manifest width is an
+    explicit choice (Delta's ``dataSkippingNumIndexedCols``), because
+    every indexed column adds two cells per file forever.
+    """
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        df.select(F.input_file_name().alias("file"), *columns)
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def prune_files(
+    manifest: DataFrame, column: str, lo, hi
+) -> list[str]:
+    """File paths whose ``[min, max]`` range intersects ``[lo, hi]``.
+
+    A file with NULL stats (all-NULL column chunk) cannot satisfy a
+    range predicate and is skipped — same convention as parquet
+    row-group filtering. The collect is one row per *surviving file
+    path* — bounded by file count.
+    """
+    sel = manifest.filter(
+        (F.col(f"{column}_max") >= F.lit(lo)) & (F.col(f"{column}_min") <= F.lit(hi))
+    )
+    return [r["file"] for r in sel.select("file").collect()]
+
+
+def pruned_read(
+    spark: SparkSession,
+    manifest: DataFrame,
+    column: str,
+    lo,
+    hi,
+    table_path: str | None = None,
+) -> DataFrame:
+    """Scan ONLY the files whose stats admit ``column BETWEEN lo AND hi``,
+    then re-apply the exact predicate (file stats admit false positives,
+    never false negatives — the filter keeps correctness independent of
+    manifest staleness in the too-many-files direction).
+
+    Returns an empty, correctly-typed frame when no file qualifies.
+    """
+    files = prune_files(manifest, column, lo, hi)
+    if not files:
+        # derive the schema from one manifest-listed file (cheap:
+        # footer only), or from the table itself for a zero-row table
+        # whose manifest is empty (no data files -> no manifest rows)
+        any_file = [r["file"] for r in manifest.select("file").limit(1).collect()]
+        if not any_file:
+            if table_path is None:
+                raise ValueError(
+                    "pruned_read: empty manifest and no table_path fallback"
+                )
+            return spark.read.parquet(table_path).filter(F.lit(False))
+        return spark.read.parquet(any_file[0]).filter(F.lit(False))
+    return (
+        spark.read.parquet(*files)
+        .filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
+    )

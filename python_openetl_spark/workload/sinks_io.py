@@ -134,11 +134,44 @@ def k04_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).filter(F.col("o_custkey") > 0)
 
 
+def k05_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping scan through the data-skipping manifest
+    (plans/manifest.py): publish orders, compact sorted by order date
+    (tight disjoint per-file ranges), build the per-file min/max
+    manifest, then answer a date-range rollup reading ONLY the files
+    the manifest admits. tests/test_plans.py pins that the pruning
+    actually skips files; this row proves end-to-end value equality
+    with an unpruned scan (false positives filtered, no false
+    negatives possible)."""
+    from python_openetl_spark.plans.manifest import build_manifest, pruned_read
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    table = ParquetTable(_tmp("manifest"))
+    table.overwrite(src)
+    table.compact(spark, num_files=8, sort_by=["o_orderdate"])
+    man = build_manifest(spark, table.path, ["o_orderdate"])
+    pr = pruned_read(
+        spark, man, "o_orderdate", "1996-04-01", "1996-07-01", table_path=table.path
+    )
+    return pr.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 QUERIES = {
     "k01_csv_roundtrip": k01_csv_roundtrip,
     "k02_json_roundtrip": k02_json_roundtrip,
     "k03_orc_roundtrip": k03_orc_roundtrip,
     "k04_parquet_roundtrip": k04_parquet_roundtrip,
+    "k05_manifest_pruned_scan": k05_manifest_pruned_scan,
 }
 
 ORACLE = {
@@ -165,5 +198,14 @@ ORACLE = {
                o_orderstatus AS status,
                CAST(o_totalprice AS DOUBLE) AS o_price
         FROM orders WHERE o_custkey > 0
+    """,
+    "k05_manifest_pruned_scan": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+          AND o_orderdate <= TIMESTAMP '1996-07-01'
+        GROUP BY o_month
     """,
 }

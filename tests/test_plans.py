@@ -263,3 +263,37 @@ def test_d34_bm25_prunes_before_shuffle_and_bounds_scans(spark):
     # recomputed second postings branch)
     assert plan.count("Generate explode(toks") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_manifest_prunes_files_and_matches_full_scan(spark, tmp_path):
+    """Manifest over a date-sorted compaction: a narrow range must
+    select a strict subset of files, and the pruned read must equal the
+    full-scan filter exactly. All-NULL stat files are skipped."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.io import load_table
+    from python_openetl_spark.plans.manifest import build_manifest, prune_files, pruned_read
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    table = ParquetTable(str(tmp_path / "man_tbl"))
+    table.overwrite(src)
+    table.compact(spark, num_files=6, sort_by=["o_orderdate"])
+    man = build_manifest(spark, table.path, ["o_orderdate"])
+    n_files = man.count()
+    assert n_files == 6
+    lo, hi = "1996-04-01", "1996-07-01"
+    picked = prune_files(man, "o_orderdate", lo, hi)
+    assert 0 < len(picked) < n_files  # skipping actually happened
+    got = pruned_read(spark, man, "o_orderdate", lo, hi)
+    want = table.read(spark).filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # a range outside the data selects nothing and still returns typed-empty
+    empty = pruned_read(spark, man, "o_orderdate", "2099-01-01", "2099-12-31")
+    assert empty.count() == 0
+    assert set(empty.columns) == set(want.columns)
