@@ -294,3 +294,76 @@ class CmsIngestSink:
             self.merged(spark), candidates, tok_col,
             depth=self.depth, width=self.width,
         )
+
+
+class ChunkIngestSink:
+    """``writeStream.foreachBatch(ChunkIngestSink(chunks_root, store_root))``
+    — streaming ingest that context-window-CHUNKS incoming documents
+    (:func:`operators.textops.chunk_documents`) and keeps only
+    first-seen chunks by span fingerprint: the streaming form of
+    chunk-level dedup (documents repeat boilerplate spans long before
+    they repeat wholesale; chunk-grain dedup catches both).
+
+    Exactly-once protocol = DedupIngestSink's batch-partition scheme:
+    both outputs are ``root/batch_id=N`` partitions overwritten by
+    their own batch; the fingerprint store is read partition-pruned at
+    ``batch_id < N``, so replays are byte-identical. Within a batch,
+    the first (doc_id, chunk_idx) owner of a fingerprint wins —
+    deterministic under any partitioning.
+
+    Scale shape: chunking is in-scan expansion (no shuffle); the only
+    shuffles are the 16-byte fingerprint anti-join against the store
+    and the within-batch first-wins window, both on chunk_fp.
+    """
+
+    def __init__(self, chunks_root: str, store_root: str,
+                 text_col: str = "text", id_col: str = "doc_id", *,
+                 chunk_tokens: int = 32, overlap: int = 8):
+        self.chunks_root = chunks_root
+        self.store_root = store_root
+        self.text_col = text_col
+        self.id_col = id_col
+        self.chunk_tokens = chunk_tokens
+        self.overlap = overlap
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from python_openetl_spark.operators.textops import chunk_documents
+
+        spark = batch_df.sparkSession
+        chunks = chunk_documents(
+            batch_df,
+            chunk_tokens=self.chunk_tokens,
+            overlap=self.overlap,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+        if os.path.exists(self.store_root):
+            from pyspark.sql import functions as _F
+
+            seen = (
+                spark.read.parquet(self.store_root)
+                .filter(_F.col("batch_id") < batch_id)
+                .select("fp")
+            )
+        else:
+            seen = spark.createDataFrame([], "fp string")
+        fresh = chunks.join(
+            seen.withColumnRenamed("fp", "chunk_fp"), "chunk_fp", "left_anti"
+        )
+        w = Window.partitionBy("chunk_fp").orderBy(
+            F.col(self.id_col).asc(), F.col("chunk_idx").asc()
+        )
+        firsts = (
+            fresh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        firsts.write.mode("overwrite").parquet(
+            f"{self.chunks_root}/batch_id={batch_id}"
+        )
+        firsts.select(F.col("chunk_fp").alias("fp")).write.mode("overwrite").parquet(
+            f"{self.store_root}/batch_id={batch_id}"
+        )

@@ -533,3 +533,47 @@ def test_cms_ingest_sink_merges_to_batch_sketch(spark, tmp_path):
     sink2(b0, 0)  # replay after a simulated failure
     again = {(r["row"], r["bucket"]): r["cnt"] for r in sink2.merged(spark).collect()}
     assert again == {(r["row"], r["bucket"]): r["cnt"] for r in snapshot}
+
+
+def test_chunk_ingest_sink_chunk_level_dedup_and_replay(spark, tmp_path):
+    """ChunkIngestSink: chunks land once per distinct span fingerprint
+    across batches (boilerplate shared BETWEEN different docs is kept
+    once), first (doc_id, chunk_idx) owner wins, and a replayed batch
+    rewrites its partition byte-identically."""
+    from python_openetl_spark.streaming.sinks import ChunkIngestSink
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 2
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + "unique tail one"),
+            (2, boiler + "unique tail two"),   # shares doc 1's leading chunks
+            (3, "totally different content here"),
+            (4, boiler + "unique tail one"),   # exact dup of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    chunks_root, store = str(tmp_path / "chunks"), str(tmp_path / "cstore")
+    sink = ChunkIngestSink(chunks_root, store, chunk_tokens=8, overlap=2)
+    sink(docs.filter(F.col("doc_id") <= 2), batch_id=0)
+    sink(docs.filter(F.col("doc_id") > 2), batch_id=1)
+    got = spark.read.parquet(chunks_root)
+    # every stored fingerprint appears exactly once
+    assert got.count() == got.select("chunk_fp").distinct().count()
+    # doc 4 (exact dup of doc 1, later batch) contributed nothing
+    assert got.filter(F.col("doc_id") == 4).count() == 0
+    # doc 2 contributed only its non-shared chunks
+    from python_openetl_spark.operators.textops import chunk_documents
+
+    all_chunks = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    n_distinct = all_chunks.select("chunk_fp").distinct().count()
+    assert got.count() == n_distinct
+    # shared chunks are owned by the smallest doc_id
+    shared_owner = got.filter(F.col("chunk_idx") == 0).orderBy("chunk_fp").collect()
+    assert all(r["doc_id"] in (1, 3) for r in shared_owner)
+    # crash replay of batch 1: byte-identical state
+    before = sorted((r["chunk_fp"], r["doc_id"]) for r in got.collect())
+    sink(docs.filter(F.col("doc_id") > 2), batch_id=1)
+    after = sorted(
+        (r["chunk_fp"], r["doc_id"]) for r in spark.read.parquet(chunks_root).collect()
+    )
+    assert before == after

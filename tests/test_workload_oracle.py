@@ -21,6 +21,11 @@ ORACLE = all_oracles()
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
+    # scale lint: no workload plan may contain an unpruned cartesian
+    # product (broadcast-nested-loop with a 1-row/stats build side is
+    # fine; CartesianProduct is the O(n*m) shuffle one)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     if name not in ORACLE:
         assert df.count() >= 0  # rows-only smoke (non-SQL-expressible op)
         return
