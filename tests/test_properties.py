@@ -323,3 +323,44 @@ def test_dedupe_latest_breaks_ties_deterministically(spark):
     for layout in (df, df.repartition(7), df.coalesce(1)):
         got = {r["pk"]: (r["ver"], r["val"]) for r in dedupe_latest(layout, "pk", "ver").collect()}
         assert got == {1: (5, 9), 2: (5, 7)}
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc d", max_size=40), min_size=1, max_size=5),
+    chunk=st.integers(min_value=2, max_value=10),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+@_settings
+def test_chunk_documents_reconstructs_token_stream(spark, texts, chunk, overlap):
+    """Chunking invariant: dropping each chunk's leading `overlap`
+    tokens (except chunk 0) and concatenating in chunk order yields
+    exactly the original token stream — no token lost, duplicated, or
+    reordered, for any (chunk_tokens, overlap) with stride > 0."""
+    import re
+
+    from python_openetl_spark.operators.textops import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    # spans recomputed locally from start_tok/chunk_len against the
+    # same tokenizer (the frame carries only fingerprints)
+    rows = (
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    )
+    toks = {
+        i: [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+        for i, t in enumerate(texts)
+    }
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        span = toks[r["doc_id"]][r["start_tok"] - 1 : r["start_tok"] - 1 + chunk]
+        assert len(span) == r["chunk_len"]
+        acc = per_doc.setdefault(r["doc_id"], [])
+        acc.extend(span if r["chunk_idx"] == 0 else span[overlap:])
+    for i, t in enumerate(texts):
+        assert per_doc.get(i, []) == toks[i]
