@@ -115,3 +115,48 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def quantile_banded_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    rates: dict[int, float],
+    *,
+    bands: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum-style banded sampling: rows are banded by exact score
+    quantiles (band 1 = lowest scores) and each band keeps its own
+    hash-membership rate — the standard way to shape a training mixture
+    by a quality signal (keep the mid-distribution, thin the tails)
+    without a global sort.
+
+    Scale shape: ONE scalar aggregate computes the ``bands-1``
+    interpolated quantile thresholds (map-side partial rank sketch...
+    exact percentile here — swap in ``percentile_approx`` at extreme
+    scale), broadcast to every row; banding is a comparison chain and
+    membership is the engine-portable md5 bucket — no shuffle at all
+    beyond the 1-row threshold aggregate. Thresholds and scores are
+    rounded to 6 decimals so banding is engine-reproducible.
+
+    Bands missing from ``rates`` are dropped (same convention as
+    ``stratified_hash_sample``).
+    """
+    probs = [i / bands for i in range(1, bands)]
+    th = df.agg(
+        *[
+            F.round(F.expr(f"percentile({score_col}, {p})"), 6).alias(f"__t{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    x = df.crossJoin(F.broadcast(th))
+    band = F.lit(1)
+    for i in range(len(probs)):
+        band = band + (F.col(score_col) > F.col(f"__t{i}")).cast("int")
+    x = x.withColumn("band", band)
+    bucket = sample_bucket(F.col(key_col), salt)
+    cond = F.lit(False)
+    for b, frac in rates.items():
+        cond = cond | ((F.col("band") == b) & (bucket < int(frac * SAMPLE_D)))
+    return x.filter(cond).drop(*[f"__t{i}" for i in range(len(probs))])

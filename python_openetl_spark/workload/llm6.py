@@ -241,8 +241,25 @@ def x10_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lexical.select("query_id", "doc_id", "rank"), dense], topk=5)
 
 
+def d37_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum mixture: documents banded by exact quartiles
+    of their unigram-LM score (d32) and resampled per band —
+    keep the mid-distribution, thin both tails
+    (operators/sampling.py quantile_banded_sample: one broadcast
+    threshold row + hash membership, no global sort, no shuffle)."""
+    from python_openetl_spark.operators.sampling import quantile_banded_sample
+    from python_openetl_spark.operators.textops import unigram_logprob_score
+
+    scored = unigram_logprob_score(t(spark, sf_dir, "documents"))
+    out = quantile_banded_sample(
+        scored, "avg_neglogp", "doc_id", {1: 0.25, 2: 1.0, 3: 1.0, 4: 0.25}
+    )
+    return out.select("doc_id", F.col("band").alias("quartile"), "avg_neglogp")
+
+
 QUERIES = {
     "d34_bm25_topk": d34_bm25_topk,
+    "d37_curriculum_mixture": d37_curriculum_mixture,
     "x10_hybrid_search_rrf": x10_hybrid_search_rrf,
     "d36_incremental_postings": d36_incremental_postings,
     "x09_ivf_pq_topk": x09_ivf_pq_topk,
@@ -345,6 +362,38 @@ ORACLE = {
         )
     """,
 }
+
+# d37 composes d32's oracle as the scores CTE, exact interpolated
+# quartile thresholds (the q59 parity device, rounded to 6), and the
+# d24/d10 portable md5 hash-bucket membership
+from python_openetl_spark.workload.llm5 import ORACLE as _L5_ORACLE  # noqa: E402
+
+ORACLE["d37_curriculum_mixture"] = f"""
+    WITH scores AS ({_L5_ORACLE["d32_unigram_logprob"]}),
+    th AS (
+      SELECT round(quantile_cont(avg_neglogp, 0.25), 6) AS t0,
+             round(quantile_cont(avg_neglogp, 0.5), 6) AS t1,
+             round(quantile_cont(avg_neglogp, 0.75), 6) AS t2
+      FROM scores
+    ),
+    banded AS (
+      SELECT s.doc_id, s.avg_neglogp,
+             1 + (s.avg_neglogp > t.t0)::INT
+               + (s.avg_neglogp > t.t1)::INT
+               + (s.avg_neglogp > t.t2)::INT AS quartile
+      FROM scores s CROSS JOIN th t
+    ),
+    b AS (
+      SELECT *,
+             (('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT
+               % 10000 AS bucket
+      FROM banded
+    )
+    SELECT doc_id, quartile, avg_neglogp FROM b
+    WHERE (quartile = 1 AND bucket < 2500)
+       OR quartile IN (2, 3)
+       OR (quartile = 4 AND bucket < 2500)
+"""
 
 ORACLE["x10_hybrid_search_rrf"] = f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
