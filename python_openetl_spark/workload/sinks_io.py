@@ -150,8 +150,12 @@ def k05_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
     table = ParquetTable(_tmp("manifest"))
-    table.overwrite(src)
-    table.compact(spark, num_files=8, sort_by=["o_orderdate"])
+    # publish date-sorted directly (range partition + in-file sort =
+    # exactly what compact(sort_by=...) produces, in ONE write; the
+    # compact path itself is exercised by tests/test_plans.py)
+    table.overwrite(
+        src.repartitionByRange(8, "o_orderdate").sortWithinPartitions("o_orderdate")
+    )
     man = build_manifest(spark, table.path, ["o_orderdate"])
     pr = pruned_read(
         spark, man, "o_orderdate", "1996-04-01", "1996-07-01", table_path=table.path
