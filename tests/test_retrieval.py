@@ -71,3 +71,27 @@ def test_bm25_plan_broadcasts_query_side(spark, corpus):
     # query terms, query vocab, dfreq and the stats row all broadcast;
     # the corpus side must never be broadcast-collected
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from python_openetl_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r.doc_id: (r.rank, r.rrf_score) for r in rrf_fuse([lex, dense], topk=4).collect()}
+    # doc 11 appears in both (ranks 2 and 1) and must fuse on top
+    exp = {
+        11: round(round(1 / 62, 9) + round(1 / 61, 9), 9),
+        10: round(1 / 61, 9),
+        13: round(1 / 62, 9),
+        12: round(1 / 63, 9),
+    }
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in order] == [11, 10, 13, 12]
+    for rank, (doc, score) in enumerate(order, start=1):
+        assert out[doc][0] == rank
+        assert abs(out[doc][1] - score) < 1e-12
