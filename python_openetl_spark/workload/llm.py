@@ -136,13 +136,13 @@ def x03_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x04_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH near-pairs (approximate scale path). Same
-    recall-1.0-on-fixtures settings as d14 (planes=3/tables=10,
+    recall-1.0-on-fixtures settings as d14 (planes=3/tables=20,
     deterministic seeded planes; pinned in tests), so the found pairs
     equal the exact x02 set and the JVM-expression cosine verify makes
     the values bit-identical to the SQL oracle — a full hash row for
     the approximate path."""
     return similarity.lsh_cosine_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=3, num_tables=10
+        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=3, num_tables=20
     )
 
 
@@ -272,7 +272,7 @@ def d14_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair generator is the LSH-bucketed scale path (bucket join, not
     O(n²) cross join); candidates are verified with exact cosine, so
-    precision is 1.0 by construction. planes=3/tables=10 is empirically
+    precision is 1.0 by construction. planes=3/tables=20 is empirically
     recall-1.0 on the fixture corpora (deterministic seeded planes;
     asserted in tests/test_llm_ops.py::test_d14_lsh_recall_total), which
     keeps the exact-pairs SQL oracle green. At 100 TB recall<1 is the
@@ -280,7 +280,7 @@ def d14_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.cluster import connected_components
 
     pairs = similarity.lsh_cosine_pairs(
-        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=3, num_tables=10
+        t(spark, sf_dir, "embeddings"), threshold=0.45, num_planes=3, num_tables=20
     )
     return connected_components(pairs, "id_a", "id_b")
 

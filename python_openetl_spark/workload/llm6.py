@@ -63,8 +63,12 @@ def x09_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    # settings chosen for >=3x the 0.2 recall floor at every fixture
+    # scale (sf0.1 soak: ksub=16/rerank=8 bottomed out at 0.0 for one
+    # query — too few PQ centroids for a 2000-vector corpus)
     approx = ivf_pq_topk(
-        emb, queries.toPandas(), k=5, nlist=16, nprobe=12, m=8, ksub=16, rerank_factor=8
+        emb, queries.toPandas(), k=5, nlist=16, nprobe=14, m=8, ksub=32,
+        rerank_factor=30,
     )
     hits = (
         approx.select("query_id", "vec_id")

@@ -991,12 +991,18 @@ def q50_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling sum/count. Range frames bound by *values*, not row offsets —
     deterministic under timestamp ties (the frame always includes every
     equal-ts row), so no unique tiebreak column is needed. One window
-    exchange + sort on (user_id, epoch)."""
+    exchange + sort on (user_id, epoch).
+
+    The range key is integral MICROseconds on both engines: a
+    seconds-truncated key manufactures ties between events that are
+    milliseconds apart, silently pulling later same-second events into
+    the trailing frame (sf0.1 soak finding — the oracle's fractional
+    epoch had no such ties)."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -1577,8 +1583,8 @@ ORACLE = {
                CAST(SUM(CAST(value AS DECIMAL(24,2))) OVER w AS DOUBLE) AS trailing_1h_value,
                COUNT(*) OVER w AS n_in_window
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY date_part('epoch', ts)
-                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     "q51_asof_forward_tolerance": """
         WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

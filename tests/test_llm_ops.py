@@ -101,7 +101,7 @@ def test_d14_lsh_recall_total(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     exact = similarity.cosine_pairs_exact(emb, threshold=0.45).toPandas()
     approx = similarity.lsh_cosine_pairs(
-        emb, threshold=0.45, num_planes=3, num_tables=10
+        emb, threshold=0.45, num_planes=3, num_tables=20
     ).toPandas()
     assert set(zip(exact.id_a, exact.id_b)) == set(zip(approx.id_a, approx.id_b))
 
