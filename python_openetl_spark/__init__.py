@@ -17,7 +17,7 @@ from python_openetl_spark.session import get_spark, tune_session
 from python_openetl_spark.io import load_table, load_tables, register_views, TABLES
 from python_openetl_spark.engine import Dataset, Engine
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Engine",
