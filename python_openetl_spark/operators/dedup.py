@@ -252,6 +252,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_docs: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment:
+    ``containment(A in B) = |A∩B| / |A|`` — the quote/subset detector.
+
+    Symmetric Jaccard (and the MinHash family that approximates it)
+    goes blind exactly where quoting lives: a short document wholly
+    contained in a long one has Jaccard ≈ |A|/|B| ≈ 0 but containment
+    1.0. This operator emits ``(inner_doc, outer_doc, containment)``
+    with containment ≥ threshold, computed over distinct-shingle
+    60-bit hashes — the same single co-occurrence self-join dataflow
+    as :func:`ngram_jaccard_pairs` (fixed-width shuffle keys, optional
+    stop-shingle cap), only the final formula and the (inner, outer)
+    orientation differ: each unordered co-occurrence pair is scored
+    BOTH ways and a row is emitted per direction that clears the
+    threshold (A-in-B and B-in-A are different facts).
+    """
+    sh = (
+        _shingle_rows(df, text_col, id_col, shingle_n)
+        .select("doc", token_hash60(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_docs is not None:
+        rare = (
+            sh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_docs)
+            .select("h")
+        )
+        sh = sh.join(rare, "h", "left_semi")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    scored = common.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = scored.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        (F.col("common").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        (F.col("common").cast("double") / F.col("n_b").cast("double")).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """Per-document 60-bit SimHash (sign-aggregated token hashes).
 

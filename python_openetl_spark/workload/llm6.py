@@ -261,9 +261,32 @@ def d37_curriculum_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("band").alias("quartile"), "avg_neglogp")
 
 
+#: Planted-quote id offset for the d38 containment fixture.
+_OFF38 = 30_000_000
+
+
+def d38_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection
+    (operators/dedup.py containment_pairs): every 9th document gets a
+    planted 12-token "quote" excerpt appended to the corpus — wholly
+    contained in its source (containment 1.0) but with Jaccard far
+    below any symmetric near-dup threshold, i.e. invisible to
+    d06/d07/d09. The query returns every (inner, outer) direction
+    with containment >= 0.9 over 3-gram shingle-hash sets."""
+    from python_openetl_spark.operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + _OFF38).alias("doc_id"),
+        F.array_join(F.slice(tokens("text"), 1, 12), " ").alias("text"),
+    )
+    return containment_pairs(d.unionByName(quotes), threshold=0.9)
+
+
 QUERIES = {
     "d34_bm25_topk": d34_bm25_topk,
     "d37_curriculum_mixture": d37_curriculum_mixture,
+    "d38_containment_pairs": d38_containment_pairs,
     "x10_hybrid_search_rrf": x10_hybrid_search_rrf,
     "d36_incremental_postings": d36_incremental_postings,
     "x09_ivf_pq_topk": x09_ivf_pq_topk,
@@ -366,6 +389,48 @@ ORACLE = {
         )
     """,
 }
+
+from python_openetl_spark.workload.llm import _SHINGLES_SQL, _TOKS_SQL  # noqa: E402
+
+ORACLE["d38_containment_pairs"] = f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_OFF38} AS doc_id,
+             array_to_string(list_slice({_TOKS_SQL}, 1, 12), ' ') AS text
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs),
+    shx AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM tk),
+    shf AS (SELECT doc_id AS doc, sh FROM shx WHERE len(sh) > 0),
+    ex AS (
+      SELECT DISTINCT doc,
+             (('0x' || substr(md5(shingle), 1, 15))::UBIGINT)::BIGINT AS h
+      FROM (SELECT doc, unnest(sh) AS shingle FROM shf)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM ex GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM common
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+    ),
+    both_dirs AS (
+      SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+             CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      FROM scored
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE)
+      FROM scored
+    )
+    SELECT inner_doc, outer_doc, containment
+    FROM both_dirs WHERE containment >= 0.9
+"""
 
 # d37 composes d32's oracle as the scores CTE, exact interpolated
 # quartile thresholds (the q59 parity device, rounded to 6), and the

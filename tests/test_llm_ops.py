@@ -257,3 +257,23 @@ def test_cms_sketch_properties(spark):
         assert g["cms_est"] >= 0
     finally:
         cms.unpersist()
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    """A short quote wholly contained in a long document: containment
+    1.0 from the quote side, while symmetric Jaccard stays below any
+    near-dup threshold — the asymmetric detector exists precisely for
+    this blind spot."""
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    quote = " ".join(f"tok{i}" for i in range(12))  # first 12 tokens
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, quote), (3, "completely unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.inner_doc, r.outer_doc): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert not jac  # symmetric similarity is blind to the quote
