@@ -229,6 +229,11 @@ class Dataset:
         b = benchmark.df if isinstance(benchmark, Dataset) else benchmark
         return Dataset(neardup_contamination(self.df, b, **kw))
 
+    def containment_pairs(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.dedup import containment_pairs
+
+        return Dataset(containment_pairs(self.df, **kw))
+
     def chunk_documents(self, **kw) -> "Dataset":
         from python_openetl_spark.operators.textops import chunk_documents
 
