@@ -77,11 +77,12 @@ _MODULES = (
 #      q39-q44 — the most likely silent casualties of the regen),
 #      plus the r1-only merges m03/m04.
 # That is exactly 50. _WINDOW_R5 should lead with every query that has
-# never had a driver row: round-4 post-window additions d31-d35, e02-e04,
-# q54-q59, x09, mm04, u04, s07, m14 (all locally oracle-gated, incl.
-# hostile/empty differential suites), then the still-stale r1 rows
-# (mm01-03, u01-03, d02-05, d07-11, d13, d15-17, x01-04, x06), which are
-# pytest-green under r4-current fixtures via the local oracle replica.
+# never had a driver row: round-4 post-window additions d31-d38, e02-e04,
+# q54-q59, x09, x10, mm04, u04, s07, m14, k05 (all locally oracle-gated,
+# incl. the hostile/empty differential suites AND the full sf0.1 soak —
+# tests/test_workload_soak.py passed 146/146), then the still-stale r1
+# rows (mm01-03, u01-03, d02-05, d07-11, d13, d15-17, x01-04, x06), which
+# are pytest-green under r4-current fixtures via the local oracle replica.
 _WINDOW_R4 = (
     # never driver-checked / fixed reds / new
     "d30_vocab_encode", "m13_schema_evolution_merge",
