@@ -39,6 +39,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _empty_topk(spark, query_id_col: str, id_col: str) -> DataFrame:
+    """Typed empty result for a zero-query call (the similarity.py
+    convention: degrade, don't raise a driver-side stack error)."""
+    return spark.createDataFrame(
+        [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+    )
+
+
 def pq_fit(
     df: DataFrame,
     *,
@@ -189,6 +197,8 @@ def pq_topk(
     from python_openetl_spark.functions.vectors import cosine
 
     spark = corpus.sparkSession
+    if queries_pdf.empty:
+        return _empty_topk(spark, query_id_col, id_col)
     books = pq_fit(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
@@ -293,6 +303,11 @@ def ivf_pq_topk(
     from python_openetl_spark.functions.vectors import cosine
 
     spark = corpus.sparkSession
+    # empty-query guard (same convention as cosine_topk_arrow/ivf_topk):
+    # np.stack on zero queries raises; pq_fit raises by contract on an
+    # empty CORPUS, so cent_rows below is non-empty whenever we get there
+    if queries_pdf.empty:
+        return _empty_topk(spark, query_id_col, id_col)
     books = pq_fit(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )

@@ -94,10 +94,21 @@ def update_postings(
     frequency and corpus scalars update additively (df' = df + batch
     df; Σdl' = Σdl + batch Σdl), which is what makes the inverted
     index maintainable at 100 TB: ingest cost scales with the batch,
-    not the corpus. Deletions compose as a left-anti on doc_id (the
-    same shape as merge.propagate_deletes).
+    not the corpus.
+
+    Re-ingest of an EDITED document (a batch ``doc_id`` already in the
+    store — the natural update case) is handled delete-then-insert: the
+    store is left-anti-joined on the batch's doc_ids before the union,
+    so the edited document's stale postings drop out instead of
+    silently double-counting tf/df. The anti-join's build side is the
+    batch's distinct doc_ids (broadcast — batches are driver-bounded),
+    so the store is touched by one streamed map-side pass, never
+    re-tokenized. Pure deletions compose as the same anti-join with an
+    empty-postings batch.
     """
-    return store.unionByName(build_postings(batch_docs, text_col, id_col))
+    batch_ids = batch_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    kept = store.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+    return kept.unionByName(build_postings(batch_docs, text_col, id_col))
 
 
 def rrf_fuse(

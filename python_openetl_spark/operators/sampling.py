@@ -144,16 +144,26 @@ def quantile_banded_sample(
     ``stratified_hash_sample``).
     """
     probs = [i / bands for i in range(1, bands)]
+    # quantiles are taken over the ROUNDED scores (not merely rounded
+    # after), so thresholds and the banding comparisons below see the
+    # same 6-decimal value space end to end
     th = df.agg(
         *[
-            F.round(F.expr(f"percentile({score_col}, {p})"), 6).alias(f"__t{i}")
+            F.round(F.expr(f"percentile(round({score_col}, 6), {p})"), 6).alias(
+                f"__t{i}"
+            )
             for i, p in enumerate(probs)
         ]
     )
     x = df.crossJoin(F.broadcast(th))
     band = F.lit(1)
+    # the score enters every band comparison rounded to the same 6
+    # decimals as the thresholds, so the docstring's reproducibility
+    # claim holds even for callers with unrounded scores (the output
+    # column itself is left untouched)
+    score6 = F.round(F.col(score_col), 6)
     for i in range(len(probs)):
-        band = band + (F.col(score_col) > F.col(f"__t{i}")).cast("int")
+        band = band + (score6 > F.col(f"__t{i}")).cast("int")
     x = x.withColumn("band", band)
     bucket = sample_bucket(F.col(key_col), salt)
     cond = F.lit(False)

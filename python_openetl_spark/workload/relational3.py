@@ -25,6 +25,11 @@ from python_openetl_spark.workload.util import t
 
 #: default lgConfigK=12 gives ~1.6% relative standard error; 5% is a
 #: >3-sigma acceptance envelope (and small-range HLL is near-exact).
+#: RETUNING: unlike x09's fixture-tuned recall settings, this envelope
+#: derives from HLL's published error bound, so it is scale-free — if a
+#: new fixture generation ever flips est_ok, raise lgConfigK in the
+#: sketch agg (error ~ 1.04/sqrt(2^lgK)) rather than loosening the
+#: tolerance past the 3-sigma line.
 _HLL_TOL = 0.05
 
 

@@ -277,3 +277,23 @@ def test_containment_catches_quotes_jaccard_misses(spark):
     assert got == {(2, 1): 1.0}
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert not jac  # symmetric similarity is blind to the quote
+
+
+def test_quantile_banded_sample_rounds_unrounded_scores(spark):
+    """The operator now rounds scores to 6 decimals inside the band
+    comparison, so an UNROUNDED caller gets the same banding as one
+    that pre-rounds (the docstring's reproducibility contract)."""
+    from python_openetl_spark.operators.sampling import quantile_banded_sample
+
+    rows = [(i, i + 1e-9) for i in range(40)]  # scores carry sub-6-decimal noise
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    rates = {1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+    noisy = quantile_banded_sample(df, "score", "doc_id", rates)
+    clean = quantile_banded_sample(
+        df.select("doc_id", F.round("score", 6).alias("score")),
+        "score", "doc_id", rates,
+    )
+    got_noisy = {(r.doc_id, r.band) for r in noisy.select("doc_id", "band").collect()}
+    got_clean = {(r.doc_id, r.band) for r in clean.select("doc_id", "band").collect()}
+    assert got_noisy == got_clean
+    assert {b for _, b in got_noisy} == {1, 2, 3, 4}

@@ -140,3 +140,19 @@ def test_ivf_pq_topk_pruned_recall_floor(spark):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_pq_topk_empty_queries(spark):
+    """Zero queries -> typed empty result, not an np.stack error (the
+    cosine_topk_arrow/ivf_topk convention)."""
+    import pandas as pd
+
+    emb = _emb(spark)
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          "embedding": pd.Series([], dtype="object")})
+    out = pq.pq_topk(emb, empty, k=5, m=M, ksub=KSUB)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["query_id", "vec_id", "cos_sim", "rank"]
+    out2 = pq.ivf_pq_topk(emb, empty, k=5, m=M, ksub=KSUB)
+    assert out2.count() == 0
+    assert [f.name for f in out2.schema.fields] == ["query_id", "vec_id", "cos_sim", "rank"]

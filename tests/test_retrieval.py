@@ -95,3 +95,33 @@ def test_rrf_fuse_hand_computed(spark):
     for rank, (doc, score) in enumerate(order, start=1):
         assert out[doc][0] == rank
         assert abs(out[doc][1] - score) < 1e-12
+
+
+def test_update_postings_edit_is_delete_then_insert(spark, corpus):
+    """Re-ingesting an EXISTING doc_id replaces its postings: stale
+    terms drop out, surviving terms keep df (no double count), planted
+    terms appear."""
+    from python_openetl_spark.operators.retrieval import update_postings
+
+    store = build_postings(corpus)
+    # doc 1 edited: loses 'banana', keeps 'apple' (tf 2 -> 1), gains 'zzz'
+    batch = spark.createDataFrame([(1, "apple zzz")], "doc_id long, text string")
+    rows = {(r.term, r.doc_id): r.tf for r in update_postings(store, batch).collect()}
+    assert rows[("apple", 1)] == 1          # replaced, not summed (would be 3)
+    assert ("banana", 1) not in rows        # stale posting deleted
+    assert rows[("zzz", 1)] == 1            # new term inserted
+    assert rows[("banana", 2)] == 1         # untouched docs keep postings
+    assert rows[("cherry", 3)] == 3
+    # df('apple') must stay 1 — a bare union would make it 2
+    assert sum(1 for (t, _d) in rows if t == "apple") == 1
+
+
+def test_update_postings_new_doc_appends(spark, corpus):
+    from python_openetl_spark.operators.retrieval import update_postings
+
+    store = build_postings(corpus)
+    batch = spark.createDataFrame([(9, "durian durian")], "doc_id long, text string")
+    rows = {(r.term, r.doc_id): r.tf for r in update_postings(store, batch).collect()}
+    assert rows[("durian", 9)] == 2
+    assert rows[("durian", 3)] == 1
+    assert len(rows) == len(build_postings(corpus).collect()) + 1
