@@ -27,6 +27,7 @@ from python_openetl_spark.workload import (
     llm4,
     llm5,
     llm6,
+    llm7,
     relational,
     relational2,
     relational3,
@@ -59,11 +60,12 @@ _MODULES = (
     llm3,
     llm4,
     sinks_io,
-    # round-4 additions (after the frozen window; rotate into R5)
     llm5,
     relational2,
     llm6,
     relational3,
+    # round-5 additions (production-recall bench twins; in _WINDOW_R5)
+    llm7,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:
@@ -76,13 +78,48 @@ _MODULES = (
 #      date-predicate-heavy TPC-H shapes FIRST (q01, q30, q31,
 #      q39-q44 — the most likely silent casualties of the regen),
 #      plus the r1-only merges m03/m04.
-# That is exactly 50. _WINDOW_R5 should lead with every query that has
-# never had a driver row: round-4 post-window additions d31-d38, e02-e04,
-# q54-q59, x09, x10, mm04, u04, s07, m14, k05 (all locally oracle-gated,
-# incl. the hostile/empty differential suites AND the full sf0.1 soak —
-# tests/test_workload_soak.py passed 146/146), then the still-stale r1
-# rows (mm01-03, u01-03, d02-05, d07-11, d13, d15-17, x01-04, x06), which
-# are pytest-green under r4-current fixtures via the local oracle replica.
+# That is exactly 50.
+#
+# Round 5's window (_WINDOW_R5), per the r4 verdict's plan item 1:
+#   1. the 24 queries that have NEVER had a driver row (round-4
+#      post-window additions, all green in the independently re-run
+#      sf0.1 soak): d31-d38, e02-e04, q54-q59, x09, x10, mm04, u04,
+#      s07, m14, k05;
+#   2. the 24 still-stale rows whose only driver check is r2
+#      (mm01-03, u01-03, d02-05, d07-11, d13, d15-17, x01-04, x06),
+#      re-proven under r5-current fixtures;
+#   3. the two new round-5 production-recall bench twins (x04p/d14p),
+#      so they get driver rows immediately instead of waiting for R6.
+# That is exactly 50; after R5 every query declared through round 4 has
+# a driver row from r3, r4, or r5, and nothing predates r3.
+_WINDOW_R5 = (
+    # never driver-checked (round-4 post-window additions)
+    "d31_leakage_safe_split", "d32_unigram_logprob", "d33_cms_heavy_hitters",
+    "d34_bm25_topk", "d35_chunk_documents", "d36_incremental_postings",
+    "d37_curriculum_mixture", "d38_containment_pairs",
+    "e02_exact_contamination", "e03_neardup_contamination",
+    "e04_build_training_set",
+    "q54_order_priority_checking", "q55_priority_shipping",
+    "q56_supplier_cnt_by_part", "q57_part_promotion_suppliers",
+    "q58_hll_distinct_sketch", "q59_approx_quantile_sketch",
+    "x09_ivf_pq_topk", "x10_hybrid_search_rrf", "mm04_modality_dispatch",
+    "u04_python_udtf_terms", "s07_outer_interval_join",
+    "m14_partition_overwrite", "k05_manifest_pruned_scan",
+    # stale since r2: re-proven under r5-current fixtures
+    "mm01_binary_payload_stats", "mm02_image_decode", "mm03_frame_sample",
+    "u01_pandas_udf_norm", "u02_apply_in_pandas_zscore",
+    "u03_python_udf_priority",
+    "d02_text_stats", "d03_language_id", "d04_quality_score",
+    "d05_fingerprint", "d07_ngram_jaccard_pairs", "d08_simhash",
+    "d09_simhash_near_pairs", "d10_hash_sample", "d11_stratified_sample",
+    "d13_canonical_corpus", "d15_rolling_fingerprint",
+    "d16_token_frequency", "d17_tfidf_top_terms",
+    "x01_cosine_topk", "x02_cosine_pairs_exact", "x03_cosine_topk_arrow",
+    "x04_lsh_cosine_pairs", "x06_quantize_embeddings",
+    # new round-5 production-recall bench twins
+    "x04p_lsh_production_recall", "d14p_dup_clusters_production",
+)
+
 _WINDOW_R4 = (
     # never driver-checked / fixed reds / new
     "d30_vocab_encode", "m13_schema_evolution_merge",
@@ -145,9 +182,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R4 if n not in out]
+    missing = [n for n in _WINDOW_R5 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R4}
+    ordered = {n: out[n] for n in _WINDOW_R5}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
