@@ -23,6 +23,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.normalize import normalize_timestamps
 from python_openetl_spark.operators.merge import (
@@ -30,6 +31,58 @@ from python_openetl_spark.operators.merge import (
     propagate_deletes,
     temporal_delta,
 )
+
+
+#: Hive's null-partition directory token.
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_part_value(s: str) -> str | None:
+    """Invert hive partition-path escaping (%XX percent-codes)."""
+    if s == _HIVE_NULL_PART:
+        return None
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _list_partition_dirs(
+    root: str, partition_by: list[str]
+) -> list[tuple[str, list[str | None]]]:
+    """Leaf hive-partition directories under ``root``:
+    ``(relative_path, [value per partition column])`` — string values
+    as written (unescaped), None for the hive null token. Pure
+    directory metadata; no data file is opened."""
+    out: list[tuple[str, list[str | None]]] = []
+
+    def walk(d: str, depth: int, rel: list[str], vals: list[str | None]) -> None:
+        if depth == len(partition_by):
+            out.append(("/".join(rel), vals))
+            return
+        prefix = f"{partition_by[depth]}="
+        if not os.path.isdir(d):
+            return
+        for name in sorted(os.listdir(d)):
+            full = os.path.join(d, name)
+            if name.startswith(prefix) and os.path.isdir(full):
+                walk(
+                    full,
+                    depth + 1,
+                    rel + [name],
+                    vals + [_unescape_part_value(name[len(prefix):])],
+                )
+
+    walk(root, 0, [], [])
+    return out
 
 
 @dataclass
@@ -114,14 +167,32 @@ class ParquetTable:
 
         The reference's closest verb is the delete-window + re-append
         update path (/root/reference/pyopenetl/operations.py:539-560);
-        this is its set-based generalization. Here the swap is the
-        staged atomic rewrite (the whole table's durability story); at
-        production scale with ``partition_by`` covering the predicate
-        columns this maps to Spark's dynamic partition overwrite
-        (``spark.sql.sources.partitionOverwriteMode=dynamic``), which
-        rewrites ONLY the touched partitions — same semantics, no full
-        rewrite. Rows outside the predicate are never shuffled either
-        way: the kept side is a pure filter scan.
+        this is its set-based generalization.
+
+        Execution picks the cheapest safe path:
+
+        - **Dynamic-partition path** (the 100 TB shape — Spark's
+          ``partitionOverwriteMode=dynamic``, restated over this
+          table's swap protocol): when the table is laid out
+          partitioned by ``partition_by`` AND the predicate references
+          ONLY partition columns, only the touched partition
+          directories are rewritten — cost scales with the replaced
+          slice, untouched partitions stay byte-identical on disk, and
+          deciding which partitions match is pure directory metadata
+          (no data file is even opened on the kept side). Within a
+          partition the predicate is constant (all rows share the
+          partition values), so partition-level replacement IS the
+          row-level semantics.
+        - **Full staged rewrite** otherwise: kept rows = filter scan
+          (never shuffled) unioned with ``df``, then the atomic
+          whole-table swap.
+
+        Durability: the full rewrite swaps one directory rename
+        (atomic). The dynamic path renames per touched partition —
+        atomic per partition but not across them, the same contract as
+        Spark's own dynamic partition overwrite on plain parquet; a
+        Delta/Iceberg manifest commit is the transactional upgrade and
+        slots in behind this same method.
         """
         if validate:
             bad = df.filter(f"NOT ({predicate})").limit(21)
@@ -131,13 +202,107 @@ class ParquetTable:
                     f"overwrite_where: {n_bad}{'+' if n_bad > 20 else ''} "
                     f"replacement rows violate predicate {predicate!r}"
                 )
-        if self.exists():
-            spark = df.sparkSession
-            kept = self.read(spark).filter(f"NOT ({predicate})")
-            out = kept.unionByName(df)
+        if not self.exists():
+            self.overwrite(df, partition_by=partition_by)
+            return
+        spark = df.sparkSession
+        if (
+            partition_by
+            and self._has_partition_layout(partition_by)
+            and self._predicate_is_partition_only(spark, predicate, partition_by)
+        ):
+            self._overwrite_partitions(df, predicate, partition_by)
+            return
+        kept = self.read(spark).filter(f"NOT ({predicate})")
+        self.overwrite(kept.unionByName(df), partition_by=partition_by)
+
+    def _has_partition_layout(self, partition_by: list[str]) -> bool:
+        """True iff the on-disk layout is hive-partitioned by the FIRST
+        partition column (written by an earlier partitioned overwrite)."""
+        prefix = f"{partition_by[0]}="
+        return any(
+            name.startswith(prefix)
+            and os.path.isdir(os.path.join(self.path, name))
+            for name in os.listdir(self.path)
+        )
+
+    def _predicate_is_partition_only(
+        self, spark: SparkSession, predicate: str, partition_by: list[str]
+    ) -> bool:
+        """True iff ``predicate`` resolves against the partition columns
+        alone (analysis is eager: referencing a data column raises).
+
+        The probe is a standalone empty frame carrying ONLY the
+        partition columns — filtering a ``select(...)`` projection would
+        not work: Catalyst's ResolveMissingReferences re-adds projected-
+        away child columns for Filter, silently resolving data columns.
+        """
+        schema = self.read(spark).select(*partition_by).schema
+        try:
+            spark.createDataFrame([], schema).filter(predicate)
+            return True
+        except Exception:
+            return False
+
+    def _overwrite_partitions(
+        self, df: DataFrame, predicate: str, partition_by: list[str]
+    ) -> None:
+        """Replace only the partitions matching ``predicate`` (cleared)
+        plus those present in ``df`` (rewritten) — see overwrite_where.
+
+        The partitions-to-clear set is decided WITHOUT opening any data
+        file: the hive directory names are parsed back to typed
+        partition values and the predicate is evaluated on that tiny
+        in-memory frame with full Spark semantics. Reusing the directory
+        names (rather than re-deriving escaped paths from values) also
+        makes the clear-side renames immune to escaping mismatches.
+        """
+        spark = df.sparkSession
+        ptypes = {
+            f.name: f.dataType
+            for f in self.read(spark).select(*partition_by).schema.fields
+        }
+        on_disk = _list_partition_dirs(self.path, partition_by)
+        if on_disk:
+            meta = spark.createDataFrame(
+                [(rel, *vals) for rel, vals in on_disk],
+                ", ".join(["__rel string"] + [f"`{c}` string" for c in partition_by]),
+            ).select(
+                "__rel",
+                *[F.col(c).cast(ptypes[c]).alias(c) for c in partition_by],
+            )
+            clear_rels = {r["__rel"] for r in meta.filter(predicate).collect()}
         else:
-            out = df
-        self.overwrite(out, partition_by=partition_by)
+            clear_rels = set()
+
+        staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(staging)
+        new_rels = {rel for rel, _vals in _list_partition_dirs(staging, partition_by)}
+
+        for rel in sorted(clear_rels | new_rels):
+            old = os.path.join(self.path, rel)
+            new = os.path.join(staging, rel)
+            backup = f"{old}.bak-{uuid.uuid4().hex[:8]}"
+            if os.path.exists(old):
+                os.rename(old, backup)
+            try:
+                if os.path.exists(new):
+                    os.makedirs(os.path.dirname(old), exist_ok=True)
+                    os.rename(new, old)
+            except Exception:
+                if os.path.exists(backup):  # roll this partition back
+                    os.rename(backup, old)
+                raise
+            shutil.rmtree(backup, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        # clearing every partition with nothing new can leave a table no
+        # reader can infer a schema from: keep one empty schema file
+        if not any(
+            name.endswith(".parquet")
+            for _d, _s, files in os.walk(self.path)
+            for name in files
+        ):
+            df.limit(0).write.mode("append").parquet(self.path)
 
     def compact(
         self,

@@ -210,3 +210,132 @@ def test_overwrite_where_validates_replacement_rows(spark, tmp_path):
     t2 = ParquetTable(str(tmp_path / "ow_new"))
     t2.overwrite_where(spark.createDataFrame([(5, "F", 5.0)], schema), "status = 'F'")
     assert t2.read(spark).count() == 1
+
+
+def _file_hashes(root):
+    import hashlib
+    import os as _os
+
+    out = {}
+    for d, _s, files in _os.walk(root):
+        for name in files:
+            p = _os.path.join(d, name)
+            with open(p, "rb") as fh:
+                out[_os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_overwrite_where_dynamic_leaves_untouched_partitions_byte_identical(
+    spark, tmp_path
+):
+    """Partition-only predicate on a partitioned layout takes the
+    dynamic path: untouched partition FILES are not rewritten at all
+    (byte-identical on disk), and cost scales with the replaced slice."""
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    schema = "id long, status string, price double"
+    table = ParquetTable(str(tmp_path / "dyn"))
+    table.overwrite(
+        spark.createDataFrame(
+            [(1, "F", 1.0), (2, "F", 2.0), (3, "O", 3.0), (4, "P", 4.0)], schema
+        ),
+        partition_by=["status"],
+    )
+    before = _file_hashes(table.path)
+    table.overwrite_where(
+        spark.createDataFrame([(9, "F", 9.0)], schema),
+        "status = 'F'",
+        partition_by=["status"],
+    )
+    after = _file_hashes(table.path)
+    untouched_before = {k: v for k, v in before.items() if not k.startswith("status=F")}
+    untouched_after = {k: v for k, v in after.items() if not k.startswith("status=F")}
+    assert untouched_before == untouched_after  # nothing else rewritten
+    assert {k for k in after if k.startswith("status=F")} != {
+        k for k in before if k.startswith("status=F")
+    } or before != after
+    got = {(r.id, r.price) for r in table.read(spark).filter("status = 'F'").collect()}
+    assert got == {(9, 9.0)}
+
+
+def test_overwrite_where_data_column_predicate_falls_back(spark, tmp_path):
+    """A predicate touching a DATA column can't be partition-pruned:
+    falls back to the full staged rewrite, same semantics."""
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    schema = "id long, status string, price double"
+    table = ParquetTable(str(tmp_path / "fb"))
+    table.overwrite(
+        spark.createDataFrame(
+            [(1, "F", 1.0), (2, "F", 2.0), (3, "O", 3.0)], schema
+        ),
+        partition_by=["status"],
+    )
+    table.overwrite_where(
+        spark.createDataFrame([(9, "F", 9.5)], schema),
+        "status = 'F' AND price > 1.5",
+        partition_by=["status"],
+    )
+    got = {(r.id, r.status, r.price) for r in table.read(spark).collect()}
+    assert got == {(1, "F", 1.0), (9, "F", 9.5), (3, "O", 3.0)}
+
+
+def test_overwrite_where_dynamic_multilevel_and_typed_values(spark, tmp_path):
+    """Two-level partitioning with a non-string partition column: the
+    directory-name parse casts back to the int type so the predicate
+    evaluates with Spark semantics."""
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    schema = "id long, yr int, status string, v double"
+    table = ParquetTable(str(tmp_path / "ml"))
+    table.overwrite(
+        spark.createDataFrame(
+            [
+                (1, 2023, "F", 1.0),
+                (2, 2023, "O", 2.0),
+                (3, 2024, "F", 3.0),
+                (4, 2024, "O", 4.0),
+            ],
+            schema,
+        ),
+        partition_by=["yr", "status"],
+    )
+    before = _file_hashes(table.path)
+    table.overwrite_where(
+        spark.createDataFrame([(9, 2024, "F", 9.0)], schema),
+        "yr = 2024 AND status = 'F'",
+        partition_by=["yr", "status"],
+    )
+    after = _file_hashes(table.path)
+    pre = "yr=2024/status=F"
+    assert {k: v for k, v in before.items() if not k.startswith(pre)} == {
+        k: v for k, v in after.items() if not k.startswith(pre)
+    }
+    got = {(r.id, r.yr, r.status, r.v) for r in table.read(spark).collect()}
+    assert got == {
+        (1, 2023, "F", 1.0),
+        (2, 2023, "O", 2.0),
+        (9, 2024, "F", 9.0),
+        (4, 2024, "O", 4.0),
+    }
+
+
+def test_overwrite_where_dynamic_escaped_partition_values(spark, tmp_path):
+    """Partition values hive-escaped on disk (':' -> %3A) still clear
+    and replace correctly — the clear side reuses directory names
+    instead of re-deriving escaped paths."""
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    schema = "id long, k string, v double"
+    table = ParquetTable(str(tmp_path / "esc"))
+    table.overwrite(
+        spark.createDataFrame([(1, "a:b", 1.0), (2, "plain", 2.0)], schema),
+        partition_by=["k"],
+    )
+    table.overwrite_where(
+        spark.createDataFrame([(9, "a:b", 9.0)], schema),
+        "k = 'a:b'",
+        partition_by=["k"],
+    )
+    got = {(r.id, r.k, r.v) for r in table.read(spark).collect()}
+    assert got == {(9, "a:b", 9.0), (2, "plain", 2.0)}
