@@ -55,26 +55,38 @@ def decode_images(
     id_col: str = "doc_id",
     *,
     fake: bool = False,
+    decoder: "callable | None" = None,
 ) -> DataFrame:
     """Decode binary payloads into (width, height, channels, thumbnail).
 
     Arrow-batched mapInPandas: each executor task streams batches of
     payload bytes through the decode kernel — the shape a real
-    PIL/ffmpeg kernel would use. Real decoding is stubbed in this
-    environment; pass ``fake=True`` for the deterministic fake.
+    PIL/ffmpeg kernel would use.
+
+    The codec is a SEAM: pass ``decoder`` — any callable
+    ``bytes -> {"width", "height", "channels", "thumbnail"}`` — and a
+    production environment with Pillow registers its real codec without
+    touching this operator (e.g. ``decoder=lambda b: _pil_decode(b)``).
+    The callable is shipped to executors inside the kernel closure, so
+    it must be picklable and import its libraries lazily. Without a
+    decoder, ``fake=True`` substitutes the deterministic content-hash
+    fake; otherwise this environment (no image libraries) raises.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image/audio codecs are not available in this environment; "
-            "pass fake=True to run the deterministic fake decoder"
-        )
+    if decoder is None:
+        if not fake:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this environment; "
+                "pass fake=True for the deterministic fake decoder or "
+                "decoder=<callable> to plug a real codec"
+            )
+        decoder = _fake_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # NULL payloads (missing/corrupt blobs — routine at 100 TB)
             # decode to NULL metadata instead of crashing the task
             decoded = [
-                None if b is None else _fake_decode(bytes(b))
+                None if b is None else decoder(bytes(b))
                 for b in pdf[payload_col]
             ]
             yield pd.DataFrame(
@@ -130,6 +142,7 @@ def dispatch_modalities(
     modality_col: str = "modality",
     *,
     fake: bool = False,
+    kernels: "dict[str, callable] | None" = None,
 ) -> DataFrame:
     """Route a HETEROGENEOUS corpus through per-modality decode kernels
     in ONE Arrow pass: each mapInPandas batch is split by the modality
@@ -140,29 +153,35 @@ def dispatch_modalities(
     This is the shape a mixed image/audio/video training corpus needs
     at 100 TB: one scan, no per-modality job fan-out, no shuffle — the
     routing is within-batch — and a modality the kernel table doesn't
-    know yields NULL features instead of failing the scan. Real codecs
-    are stubbed as in :func:`decode_images`; the fake kernels derive
-    features deterministically (image dims from the content hash,
-    audio/video from byte length), so the whole dispatch dataflow is
-    value-checkable.
+    know yields NULL features instead of failing the scan.
+
+    The kernel table is a SEAM (same contract as
+    :func:`decode_images`'s ``decoder``): pass ``kernels`` — a dict
+    ``modality -> (bytes -> (feat_a, feat_b))`` of picklable callables
+    — to plug real codecs per modality. Without it, ``fake=True``
+    installs the deterministic fakes (image dims from the content
+    hash, audio/video from byte length), keeping the dispatch dataflow
+    value-checkable; otherwise this codec-less environment raises.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image/audio/video codecs are not available in this environment; "
-            "pass fake=True to run the deterministic fake kernels"
-        )
+    if kernels is None:
+        if not fake:
+            raise NotImplementedError(
+                "image/audio/video codecs are not available in this "
+                "environment; pass fake=True for the deterministic fakes or "
+                "kernels={modality: callable} to plug real codecs"
+            )
 
-    def _image(b: bytes) -> tuple:
-        d = _fake_decode(b)
-        return d["width"], d["height"]
+        def _image(b: bytes) -> tuple:
+            d = _fake_decode(b)
+            return d["width"], d["height"]
 
-    def _audio(b: bytes) -> tuple:
-        return len(b) // AUDIO_BYTES_PER_MS, None
+        def _audio(b: bytes) -> tuple:
+            return len(b) // AUDIO_BYTES_PER_MS, None
 
-    def _video(b: bytes) -> tuple:
-        return -(-len(b) // VIDEO_FRAME_BYTES), None
+        def _video(b: bytes) -> tuple:
+            return -(-len(b) // VIDEO_FRAME_BYTES), None
 
-    kernels = {"image": _image, "audio": _audio, "video": _video}
+        kernels = {"image": _image, "audio": _audio, "video": _video}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

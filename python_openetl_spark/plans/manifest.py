@@ -51,6 +51,54 @@ def build_manifest(
     )
 
 
+def update_manifest(
+    spark: SparkSession,
+    manifest: DataFrame,
+    columns: list[str],
+    *,
+    added_files: list[str] | None = None,
+    removed_files: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally maintained manifest: drop the rows of
+    ``removed_files`` (compacted/vacuumed away) and append stats rows
+    computed by scanning ``added_files`` ONLY — maintenance cost scales
+    with the delta, never the table (the add-file side of a Delta
+    commit, restated). ``columns`` must match the manifest's indexed
+    columns (the new rows must carry the same stat schema).
+
+    An append + compact cycle composes as two calls: ingest ->
+    ``added_files=<new files>``; compact -> ``removed_files=<old
+    files>, added_files=<rewritten files>``. Equality with a from-
+    scratch ``build_manifest`` is asserted in tests.
+
+    File paths must use the same canonicalization Spark's
+    ``input_file_name`` emits (``file:///...`` URIs for local paths) —
+    pass paths read back from manifest rows or from a stats scan, not
+    hand-built strings.
+
+    The returned frame is LAZY: its added-file stats re-scan
+    ``added_files`` on every action. Persist it (write to the manifest
+    table / checkpoint) BEFORE deleting the files an update replaces —
+    the same ordering a Delta commit enforces (log entry durable, then
+    vacuum) — or a later action will fail on the vanished inputs.
+    """
+    out = manifest
+    if removed_files:
+        out = out.filter(~F.col("file").isin(list(removed_files)))
+    if added_files:
+        df = spark.read.parquet(*added_files)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in columns:
+            aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+        add_rows = (
+            df.select(F.input_file_name().alias("file"), *columns)
+            .groupBy("file")
+            .agg(*aggs)
+        )
+        out = out.unionByName(add_rows)
+    return out
+
+
 def prune_files(
     manifest: DataFrame, column: str, lo, hi
 ) -> list[str]:

@@ -20,6 +20,20 @@ protocol round-trip test auto-unskips once installed. The kernel
 logic itself is protocol-independent and unit-tested against a fake
 state handle (tests/test_streaming.py), so only the wire protocol is
 environment-gated, not the operator.
+
+IMPOSSIBILITY NOTE (this container, verified 2026-08): executing the
+operator here is not possible by any sanctioned means —
+``google.protobuf`` has no wheel or source distribution anywhere on
+the system (a full filesystem search finds only jedi/typeshed TYPE
+STUBS, which carry no runtime), package installation is unavailable
+offline, and pyspark 4.1's worker imports ``google.protobuf`` from
+inside its generated ``StateMessage_pb2`` on the first
+transformWithState call — there is no protocol-free execution path to
+gate on. Vendoring the protobuf runtime (~50k LoC) into this engine
+was considered and rejected. The environment consistency is itself
+tested (tests/test_streaming.py
+``test_transform_with_state_gate_consistent``): if a protobuf runtime
+ever appears, the gate flips and the real replay test runs.
 """
 
 from __future__ import annotations

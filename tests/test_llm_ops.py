@@ -297,3 +297,44 @@ def test_quantile_banded_sample_rounds_unrounded_scores(spark):
     got_clean = {(r.doc_id, r.band) for r in clean.select("doc_id", "band").collect()}
     assert got_noisy == got_clean
     assert {b for _, b in got_noisy} == {1, 2, 3, 4}
+
+
+def test_decode_images_injected_codec(spark):
+    """The codec seam: a pure-python toy decoder (parses a 'TOYwwhh'
+    header) registers via ``decoder=`` and runs inside the Arrow
+    kernel — no operator change, NULL payloads still decode to NULLs."""
+
+    def toy_decoder(b: bytes) -> dict:
+        assert b[:3] == b"TOY"
+        return {
+            "width": int(b[3:5]),
+            "height": int(b[5:7]),
+            "channels": 1,
+            "thumbnail": b[:2],
+        }
+
+    payloads = spark.createDataFrame(
+        [(1, b"TOY1208rest"), (2, b"TOY4599rest"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.width, r.height, r.channels) for r in
+           multimodal.decode_images(payloads, decoder=toy_decoder).collect()}
+    assert got == {1: (12, 8, 1), 2: (45, 99, 1), 3: (None, None, None)}
+
+
+def test_dispatch_modalities_injected_kernels(spark):
+    """Per-modality kernel injection: custom callables replace the
+    fakes; unknown modalities still yield NULL features."""
+    df = spark.createDataFrame(
+        [(1, b"abc", "len"), (2, b"abcdef", "len2"), (3, b"xyz", "mystery")],
+        "doc_id long, payload binary, modality string",
+    )
+    out = multimodal.dispatch_modalities(
+        df,
+        kernels={
+            "len": lambda b: (len(b), None),
+            "len2": lambda b: (len(b) * 2, len(b)),
+        },
+    )
+    got = {r.doc_id: (r.feat_a, r.feat_b) for r in out.collect()}
+    assert got == {1: (3, None), 2: (12, 6), 3: (None, None)}

@@ -297,3 +297,68 @@ def test_manifest_prunes_files_and_matches_full_scan(spark, tmp_path):
     empty = pruned_read(spark, man, "o_orderdate", "2099-01-01", "2099-12-31")
     assert empty.count() == 0
     assert set(empty.columns) == set(want.columns)
+
+
+def test_update_manifest_append_and_compact_cycle(spark, tmp_path):
+    """Incremental manifest maintenance (the k05 story at scale): an
+    ingest appends file rows computed from the NEW files only; a
+    compaction drops the replaced rows and adds the rewritten files.
+    After each step the incrementally-updated manifest is row-identical
+    to a from-scratch rebuild, and pruned reads stay exact."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.io import load_table
+    from python_openetl_spark.plans.manifest import (
+        build_manifest,
+        pruned_read,
+        update_manifest,
+    )
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    old = src.filter("o_orderkey % 3 != 0")
+    new = src.filter("o_orderkey % 3 = 0")
+    table = ParquetTable(str(tmp_path / "inc_tbl"))
+    table.overwrite(old.repartition(4))
+    cols = ["o_orderdate"]
+    man = build_manifest(spark, table.path, cols)
+    files_before = {r["file"] for r in man.select("file").collect()}
+
+    # ingest: append new data files, manifest learns ONLY the new ones
+    new.repartition(2).write.mode("append").parquet(table.path)
+    files_after = {
+        r["file"]
+        for r in build_manifest(spark, table.path, cols).select("file").collect()
+    }
+    added = sorted(files_after - files_before)
+    assert len(added) >= 1
+    man = update_manifest(spark, man, cols, added_files=added)
+    rebuilt = build_manifest(spark, table.path, cols)
+    assert {tuple(r) for r in man.collect()} == {tuple(r) for r in rebuilt.collect()}
+    # persist the updated manifest BEFORE the next rewrite deletes the
+    # files it scanned (the operator's documented Delta-commit ordering)
+    man = spark.createDataFrame(man.collect(), man.schema)
+
+    # compact: all old files replaced; update = remove old rows, add new
+    table.compact(spark, num_files=3, sort_by=["o_orderdate"])
+    files_compacted = {
+        r["file"]
+        for r in build_manifest(spark, table.path, cols).select("file").collect()
+    }
+    man = update_manifest(
+        spark,
+        man,
+        cols,
+        added_files=sorted(files_compacted),
+        removed_files=sorted(files_after),
+    )
+    rebuilt = build_manifest(spark, table.path, cols)
+    assert {tuple(r) for r in man.collect()} == {tuple(r) for r in rebuilt.collect()}
+
+    got = pruned_read(spark, man, "o_orderdate", "1996-04-01", "1996-07-01")
+    want = table.read(spark).filter(
+        (F.col("o_orderdate") >= "1996-04-01") & (F.col("o_orderdate") <= "1996-07-01")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

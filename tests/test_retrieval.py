@@ -125,3 +125,36 @@ def test_update_postings_new_doc_appends(spark, corpus):
     assert rows[("durian", 9)] == 2
     assert rows[("durian", 3)] == 1
     assert len(rows) == len(build_postings(corpus).collect()) + 1
+
+
+def test_bm25_stopword_term_still_prunes_before_shuffle(spark):
+    """A query term hitting >50% of documents (stop-word shape) must
+    not change the plan shape: the query-vocab broadcast semi-join
+    stays BELOW the (term, doc) aggregate — i.e. only query-term rows
+    ever reach the postings shuffle, regardless of how many documents
+    the term matches (document frequency prunes nothing; vocabulary
+    membership does, and that is decided map-side on the exploded
+    tokens)."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, "common filler" + (" rare" if i == 0 else "")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "common rare")], "query_id long, qtext string")
+    out = bm25_topk(docs, q, k=10)
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    m_agg = re.search(r"Aggregate \[term#\d+, doc_id#\d+L?\]", plan)
+    assert m_agg, "postings (term, doc) aggregate missing"
+    m_join = re.search(r"Join Inner, \(term#\d+ = term#\d+\)[^\n]*broadcast", plan[m_agg.end():])
+    assert m_join, "vocab broadcast join not below the postings aggregate"
+    m_gen = re.search(r"Generate explode\(toks#\d+\)", plan[m_agg.end() + m_join.end():])
+    assert m_gen, "vocab join not directly over the exploded corpus tokens"
+
+    # semantics: 'common' hits 10/10 docs (df = N -> idf = ln(1 + 0.5/10.5),
+    # still positive with the Lucene variant); the rare term dominates
+    rows = out.orderBy("rank").collect()
+    assert len(rows) == 10            # every doc matches the stop-word term
+    assert rows[0].doc_id == 0        # the doc with the rare term on top
+    assert all(r.score > 0 for r in rows)

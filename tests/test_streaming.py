@@ -577,3 +577,24 @@ def test_chunk_ingest_sink_chunk_level_dedup_and_replay(spark, tmp_path):
         (r["chunk_fp"], r["doc_id"]) for r in spark.read.parquet(chunks_root).collect()
     )
     assert before == after
+
+
+def test_transform_with_state_gate_consistent():
+    """The protobuf gate must agree with the interpreter's reality:
+    transform_with_state_available() iff google.protobuf is importable
+    as a RUNTIME package (typeshed stubs don't count — they are not
+    importable). Keeps the documented impossibility note honest: if a
+    protobuf wheel ever lands in this environment, this stays green,
+    the gate flips, and the protocol round-trip test above unskips."""
+    import importlib.util
+
+    from python_openetl_spark.streaming.stateful_v2 import (
+        transform_with_state_available,
+    )
+
+    try:
+        # find_spec raises when even the parent 'google' package is absent
+        runtime_present = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        runtime_present = False
+    assert transform_with_state_available() == runtime_present
