@@ -567,8 +567,13 @@ ORACLE["d36_incremental_postings"] = f"""
       GROUP BY term, doc_id
     ),
     batch AS (
+      -- CASE mirrors Spark exactly: NULL text -> NULL (concat of NULL
+      -- array_join); EMPTY token list -> ' zzz zzz' (array_join([]) is
+      -- '' in Spark but NULL in DuckDB, hence the COALESCE)
       SELECT doc_id,
-             array_to_string(list_slice({_TOKS}, 1, 10), ' ') || ' zzz zzz' AS text
+             CASE WHEN {_TOKS} IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(list_slice({_TOKS}, 1, 10), ' '), '')
+                       || ' zzz zzz' END AS text
       FROM documents WHERE doc_id % 5 = 0
     ),
     batch_tk AS (SELECT doc_id, {_TOKS} AS toks FROM batch),
