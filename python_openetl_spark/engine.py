@@ -261,6 +261,16 @@ class Dataset:
 
         return Dataset(ivf_pq_topk(self.df, queries_pdf, **kw))
 
+    def run_checks(self, checks: list, table_name: str = "dataset") -> "Dataset":
+        from python_openetl_spark.operators.quality import run_checks
+
+        return Dataset(run_checks(self.df, checks, table_name))
+
+    def k_anonymity_report(self, quasi_cols: list[str], k: int = 5) -> "Dataset":
+        from python_openetl_spark.operators.privacy import k_anonymity_report
+
+        return Dataset(k_anonymity_report(self.df, quasi_cols, k))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -28,9 +28,11 @@ from python_openetl_spark.workload import (
     llm5,
     llm6,
     llm7,
+    llm8,
     relational,
     relational2,
     relational3,
+    relational4,
     scale,
     sinks_io,
     streaming2,
@@ -66,6 +68,9 @@ _MODULES = (
     relational3,
     # round-5 additions (production-recall bench twins; in _WINDOW_R5)
     llm7,
+    # round-5 post-window additions (rotate into _WINDOW_R6)
+    relational4,
+    llm8,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

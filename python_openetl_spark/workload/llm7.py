@@ -77,10 +77,14 @@ def _planted_recall_row(pairs: DataFrame, planted: DataFrame, ok_col: str) -> Da
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
         .select(
             "n_planted",
-            (
+            # vacuous truth on an empty corpus (no planted pairs ->
+            # nothing to recall; also keeps ANSI mode from div-by-zero)
+            F.when(F.col("n_planted") == 0, F.lit(True))
+            .otherwise(
                 F.col("n_hit").cast("double") / F.col("n_planted").cast("double")
                 >= F.lit(_RECALL_FLOOR)
-            ).alias(ok_col),
+            )
+            .alias(ok_col),
         )
     )
 
@@ -133,10 +137,12 @@ def d14p_dup_clusters_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(same)
         .select(
             "n_planted",
-            (
+            F.when(F.col("n_planted") == 0, F.lit(True))
+            .otherwise(
                 F.col("n_same").cast("double") / F.col("n_planted").cast("double")
                 >= F.lit(_RECALL_FLOOR)
-            ).alias("same_cluster_ok"),
+            )
+            .alias("same_cluster_ok"),
         )
     )
 

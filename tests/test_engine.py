@@ -111,3 +111,16 @@ def test_retrieval_operator_method(eng, spark):
     q = spark.createDataFrame([(10, "apple")], "query_id long, qtext string")
     out = docs.bm25_topk(q, k=2).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+def test_facade_quality_and_privacy(spark):
+    from python_openetl_spark.engine import Dataset
+    from python_openetl_spark.operators import quality as Q
+
+    ds = Dataset(spark.createDataFrame([(1, "en"), (1, "en"), (2, None)],
+                                       "k long, lang string"))
+    checks = {r.check: r.n_violations for r in
+              ds.run_checks([Q.not_null("k"), Q.unique("k")], "t").collect()}
+    assert checks == {"not_null(k)": 0, "unique(k)": 1}
+    rep = ds.k_anonymity_report(["lang"], k=2).collect()[0]
+    assert rep.n_violating_groups == 1 and not rep.is_k_anonymous

@@ -1,0 +1,88 @@
+"""Data-quality expectations + k-anonymity operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_openetl_spark.operators import privacy
+from python_openetl_spark.operators import quality as Q
+
+
+def test_run_checks_counts_each_violation_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT", 100),
+            (1, "F", -5.0, "9-bad", 100),       # dup key, range, regexp
+            (None, "X", 20.0, "2-HIGH", 999),   # null key, bad status, orphan fk
+            (3, "P", None, "3-MEDIUM", 100),    # null price
+        ],
+        "k long, status string, price double, prio string, fk long",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "ck long")
+    out = {
+        r.check: (r.n_violations, r.passed)
+        for r in Q.run_checks(
+            df,
+            [
+                Q.not_null("k"),
+                Q.unique("k"),
+                Q.in_range("price", 0.0, 100.0),
+                Q.accepted_values("status", ["O", "F", "P"]),
+                Q.matches("prio", r"^[0-9]-[A-Z]+$"),
+                Q.ref_integrity("fk", dim, "ck"),
+            ],
+            "t",
+        ).collect()
+    }
+    assert out["not_null(k)"] == (1, False)
+    assert out["unique(k)"] == (1, False)          # 3 non-null keys, 2 distinct
+    assert out["in_range(price)"] == (1, False)    # -5.0 (NULL not counted)
+    assert out["accepted_values(status)"] == (1, False)
+    assert out["matches(prio)"] == (1, False)      # '9-bad'
+    assert out["ref_integrity(fk)"] == (1, False)  # 999
+
+
+def test_run_checks_single_pass_plan(spark):
+    """Every non-referential check rides ONE aggregate over ONE scan —
+    adding checks must not add scans."""
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    out = Q.run_checks(
+        df, [Q.not_null("a"), Q.unique("a"), Q.in_range("b", 0, 10)], "t"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_run_checks_all_green(spark):
+    df = spark.createDataFrame([(1,), (2,)], "a long")
+    rows = Q.run_checks(df, [Q.not_null("a"), Q.unique("a")], "t").collect()
+    assert all(r.passed and r.n_violations == 0 for r in rows)
+    assert {r.table_name for r in rows} == {"t"}
+
+
+def test_k_anonymity_report_and_groups(spark):
+    df = spark.createDataFrame(
+        [("en", "a")] * 5 + [("en", "b")] * 2 + [("de", "a")] * 1,
+        "lang string, src string",
+    )
+    rep = privacy.k_anonymity_report(df, ["lang", "src"], k=3).collect()[0]
+    assert rep.n_groups == 3
+    assert rep.n_violating_groups == 2
+    assert rep.n_rows_at_risk == 3
+    assert rep.min_group_size == 1
+    assert not rep.is_k_anonymous
+    groups = {
+        (r.lang, r.src): r.group_size
+        for r in privacy.k_anonymity_groups(df, ["lang", "src"], k=3).collect()
+    }
+    assert groups == {("en", "b"): 2, ("de", "a"): 1}
+
+
+def test_k_anonymity_null_quasi_values_form_groups(spark):
+    df = spark.createDataFrame(
+        [("en",), (None,), (None,), (None,)], "lang string"
+    )
+    rep = privacy.k_anonymity_report(df, ["lang"], k=3).collect()[0]
+    # the lone 'en' row violates; the NULL group has 3 members and passes
+    assert rep.n_violating_groups == 1
+    assert rep.n_rows_at_risk == 1
