@@ -3,6 +3,15 @@
 - d42: k-anonymity audit over document metadata (operators/privacy.py)
   — the re-identification-risk complement of d20's direct-PII
   redaction.
+- d39: canonical-URL dedup (functions/urls.py + operators/urlops.py)
+  — URLs synthesized deterministically from doc_id in four messy
+  variants plus planted twin rows, collapsed by the canonicalization
+  contract; the oracle mirrors every regexp step (backreference-free
+  patterns run verbatim on both engines; DuckDB needs the 'g' flag
+  Spark implies).
+- d44: per-domain cap sampling — deterministic hash-order keep of at
+  most N docs per registrable domain (the mega-domain rebalancing step
+  of web-corpus curation).
 
 Registered after ``relational4`` in ``_MODULES`` so the frozen
 ``_WINDOW_R5`` is unchanged; locally oracle-gated now, rotates into
@@ -15,6 +24,65 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.util import t
+
+#: planted-twin id offset for d39 (the d38/_OFF convention)
+_OFF39 = 50_000_000
+
+
+def _messy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy-URL corpus: every doc gets one of four
+    surface variants of ``https://www.site{id%37}.com/page/{id}``; every
+    10th doc also re-appears as an id-offset twin with a DIFFERENT
+    surface form of the same canonical URL."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    base_up = F.concat(
+        F.lit("https://WWW.Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".COM/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(base_up, F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")))
+        .when(v == 1, F.concat(base_up, F.lit("/")))
+        .when(v == 2, F.concat(base_up, F.lit("#frag")))
+        .otherwise(F.concat(base_up, F.lit("?id="), F.col("doc_id").cast("string")))
+    )
+    orig = d.select("doc_id", url.alias("url"))
+    tbase = F.concat(
+        F.lit("https://www.site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".com/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    twin_url = F.concat(
+        tbase,
+        F.when(
+            (F.col("doc_id") % 4).isin(0, 3),
+            F.concat(F.lit("?id="), F.col("doc_id").cast("string"), F.lit("&utm_term=z")),
+        ).otherwise(F.lit("/#x")),
+    )
+    twins = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _OFF39).alias("doc_id"), twin_url.alias("url")
+    )
+    return orig.unionByName(twins)
+
+
+def d39_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_openetl_spark.operators.urlops import url_dedup
+
+    return url_dedup(_messy_urls(spark, sf_dir))
+
+
+def d44_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every synthesized domain at 8 documents; emits the kept rows
+    (deterministic hash-order membership, the d24 portable-md5 device)
+    so a broken window order or cap hash-mismatches."""
+    from python_openetl_spark.operators.urlops import domain_cap_sample
+
+    return domain_cap_sample(_messy_urls(spark, sf_dir), cap=8).select(
+        "doc_id", "domain", "domain_rank"
+    )
 
 
 def d42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,9 +107,98 @@ def d42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"d42_k_anonymity": d42_k_anonymity}
+QUERIES = {
+    "d39_url_dedup": d39_url_dedup,
+    "d42_k_anonymity": d42_k_anonymity,
+    "d44_domain_cap": d44_domain_cap,
+}
+
+# The messy-URL corpus, mirrored expression for expression.
+_URLS_SQL = f"""
+    SELECT doc_id,
+           'https://WWW.Site' || (doc_id % 37) || '.COM/page/' || doc_id ||
+           CASE doc_id % 4
+             WHEN 0 THEN '?utm_source=feed&id=' || doc_id
+             WHEN 1 THEN '/'
+             WHEN 2 THEN '#frag'
+             ELSE '?id=' || doc_id
+           END AS url
+    FROM documents
+    UNION ALL
+    SELECT doc_id + {_OFF39} AS doc_id,
+           'https://www.site' || (doc_id % 37) || '.com/page/' || doc_id ||
+           CASE WHEN doc_id % 4 IN (0, 3)
+                THEN '?id=' || doc_id || '&utm_term=z'
+                ELSE '/#x' END AS url
+    FROM documents WHERE doc_id % 10 = 0
+"""
+
+# canonical_url (functions/urls.py) restated in DuckDB: identical
+# backreference-free patterns; DuckDB regexp_replace needs the explicit
+# 'g' flag where Spark replaces globally by default.
+_TRACK = "(utm_[a-zA-Z]+|fbclid|gclid)"
+_CANON_SQL = f"""
+    SELECT doc_id, url,
+           CASE WHEN url IS NULL THEN NULL
+                WHEN scheme = '' THEN u1
+                ELSE scheme || '://' || auth2 || rest5 END AS canonical_url
+    FROM (
+      SELECT doc_id, url, u1, scheme, auth2,
+             CASE WHEN regexp_matches(rest4, '\\?') THEN rest4
+                  ELSE regexp_replace(rest4, '/+$', '', 'g') END AS rest5
+      FROM (
+        SELECT doc_id, url, u1, scheme,
+               CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                    ELSE auth END AS auth2,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(rest, '&{_TRACK}=[^&#]*', '', 'g'),
+                   '\\?{_TRACK}=[^&#]*&', '?', 'g'),
+                 '\\?{_TRACK}=[^&#]*$', '', 'g') AS rest4
+        FROM (
+          SELECT doc_id, url, u1,
+                 lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(u1, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+                 regexp_replace(u1, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+          FROM (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS u1
+                FROM urls)
+        )
+      )
+    )
+"""
 
 ORACLE = {
+    "d39_url_dedup": f"""
+        WITH urls AS ({_URLS_SQL}),
+        canon AS ({_CANON_SQL})
+        SELECT canonical_url, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+        FROM canon GROUP BY canonical_url
+    """,
+    "d44_domain_cap": f"""
+        WITH urls AS ({_URLS_SQL}),
+        hosted AS (
+          SELECT doc_id, url,
+                 regexp_extract(
+                   regexp_replace(
+                     regexp_replace(
+                       lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                       '^[^@]*@', ''),
+                     ':[0-9]+$', ''),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+          FROM urls
+        ),
+        ranked AS (
+          SELECT doc_id, domain,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY domain
+                   ORDER BY (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT,
+                            doc_id) AS domain_rank
+          FROM hosted
+        )
+        SELECT doc_id, domain, CAST(domain_rank AS INT) AS domain_rank
+        FROM ranked WHERE domain_rank <= 8
+    """,
     "d42_k_anonymity": """
         SELECT lang, source,
                CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
