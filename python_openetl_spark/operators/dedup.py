@@ -621,3 +621,74 @@ def incremental_near_dedup(
             .alias("status"),
         )
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    title_tokens: int = 5,
+    max_edit: int = 2,
+) -> DataFrame:
+    """Typo-level near-dup pairs: Levenshtein distance over a short
+    "title" (the first ``title_tokens`` tokens) within blocking keys —
+    the SEVENTH dedup family, catching single-character edits that
+    every shingle/hash family misses (one typo flips most of a short
+    text's 3-gram shingles, so Jaccard/MinHash/SimHash all score it
+    far apart; edit distance scores it 1).
+
+    Blocking (record-linkage style) keeps it off the O(n²) path: each
+    title emits TWO candidate keys — its first and its last token — in
+    one exploded dataflow (the LSH multi-table shape, dedup.py:100);
+    candidates are pairs sharing EITHER key, because a typo can corrupt
+    one of them but rarely both. The verify is the exact JVM
+    ``levenshtein`` with a length-difference pre-filter (|len(a) -
+    len(b)| > max_edit can never pass — skips the DP for most pairs).
+
+    Scale shape: the self-join shuffles (key_kind, key) buckets of
+    (id, title) rows — titles are bounded-short strings, never full
+    texts; bucket sizes follow token frequency, so a stop-word first
+    token is the skew risk — production blocks on rarer keys (e.g.
+    rarest-token) with the identical dataflow. Returns
+    ``(id_a, id_b, edit_distance)``, id_a < id_b, distance <= max_edit.
+    """
+    title = F.array_join(F.slice(tokens(text_col), 1, title_tokens), " ")
+    base = (
+        df.select(F.col(id_col).alias("id"), title.alias("title"))
+        .filter(F.col("title").isNotNull() & (F.col("title") != ""))
+    )
+    toks5 = F.split(F.col("title"), " ")
+    keyed = base.select(
+        "id",
+        "title",
+        F.explode(
+            F.array(
+                F.struct(F.lit("first").alias("kind"), F.element_at(toks5, 1).alias("key")),
+                F.struct(
+                    F.lit("last").alias("kind"),
+                    F.element_at(toks5, F.size(toks5)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "title", F.col("bk.kind").alias("kind"), F.col("bk.key").alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.kind") == F.col("b.kind"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        # cheap pre-filter before the DP: edit distance >= |len diff|
+        .filter(
+            F.abs(F.length("a.title") - F.length("b.title")) <= F.lit(max_edit)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_edit)
+        .dropDuplicates(["id_a", "id_b"])
+    )

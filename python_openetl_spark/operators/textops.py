@@ -134,3 +134,71 @@ def chunk_documents(
             F.md5(F.array_join(span, " ")).alias("chunk_fp"),
         )
     )
+
+
+def token_kl_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpora: symmetric pair of
+    KL divergences over Laplace-smoothed unigram distributions —
+    the standard monitor for "has this month's crawl shifted against
+    the training mix" (a large KL on a new snapshot flags topic/spam
+    drift BEFORE any model sees the data; the same statistic drives
+    mixture re-weighting decisions).
+
+    ``P(t) = (count_a(t)+1) / (N_a+V)`` over the JOINT vocabulary V
+    (add-one smoothing keeps both distributions strictly positive, so
+    the divergences are finite even for tokens unique to one side).
+
+    Determinism contract (the BM25 convention, retrieval.py module
+    docstring): every count is an exact integer; each probability is
+    one IEEE division; ``ln(p/q)`` is rounded to 9 decimals, each
+    contribution ``p*ln(p/q)`` to 12, summed as DECIMAL(28,12) —
+    order-independent, partition-layout-proof, bit-matchable by the
+    SQL oracle.
+
+    Scale shape: one explode + hash-agg per side (map-side combined,
+    shuffle carries (token, count) rows — bounded by vocab, never the
+    corpus); a full outer join on token (vocab-sized); three scalar
+    aggregates broadcast via crossJoin. Output is ONE row:
+    ``(vocab_size, n_tokens_a, n_tokens_b, kl_a_b, kl_b_a)``.
+    """
+    from python_openetl_spark.functions.text import tokens
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = counts(df_a, "ca"), counts(df_b, "cb")
+    joint = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = joint.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    x = joint.crossJoin(F.broadcast(totals))
+    p = (F.col("ca").cast("double") + F.lit(1.0)) / (
+        F.col("na").cast("double") + F.col("v").cast("double")
+    )
+    q = (F.col("cb").cast("double") + F.lit(1.0)) / (
+        F.col("nb").cast("double") + F.col("v").cast("double")
+    )
+    lpq = F.round(F.log(p / q), 9)
+    contrib_ab = F.round(p * lpq, 12).cast("decimal(28,12)")
+    contrib_ba = F.round(q * (-lpq), 12).cast("decimal(28,12)")
+    return x.agg(
+        F.max("v").alias("vocab_size"),
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+        F.sum(contrib_ab).cast("double").alias("kl_a_b"),
+        F.sum(contrib_ba).cast("double").alias("kl_b_a"),
+    )

@@ -74,6 +74,20 @@ def d39_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_messy_urls(spark, sf_dir))
 
 
+def d43_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift between the even- and odd-id halves
+    of the corpus (stand-ins for 'training mix' vs 'new snapshot'):
+    Laplace-smoothed KL both directions
+    (operators/textops.py token_kl_divergence), bit-matched to the SQL
+    oracle via the decimal-sum determinism contract."""
+    from python_openetl_spark.operators.textops import token_kl_divergence
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_kl_divergence(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
 def d44_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap every synthesized domain at 8 documents; emits the kept rows
     (deterministic hash-order membership, the d24 portable-md5 device)
@@ -83,6 +97,32 @@ def d44_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_cap_sample(_messy_urls(spark, sf_dir), cap=8).select(
         "doc_id", "domain", "domain_rank"
     )
+
+
+#: planted typo-twin id offset for d41
+_OFF41 = 60_000_000
+
+
+def d41_blocked_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup detection (operators/dedup.py
+    blocked_fuzzy_pairs — the seventh dedup family): every 11th
+    document re-appears with its third character substituted (a
+    single-keystroke edit the shingle families score far apart);
+    pairs are found via first/last-token blocking and verified with
+    exact JVM levenshtein over the 5-token title, mirrored by DuckDB's
+    levenshtein — the same DP metric on both engines."""
+    from python_openetl_spark.operators.dedup import blocked_fuzzy_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = d.filter(
+        (F.col("doc_id") % 11 == 0) & (F.length("text") >= 3)
+    ).select(
+        (F.col("doc_id") + _OFF41).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 2), F.lit("z"), F.expr("substring(text, 4)")
+        ).alias("text"),
+    )
+    return blocked_fuzzy_pairs(d.unionByName(twins), max_edit=2)
 
 
 def d42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,9 +149,46 @@ def d42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "d39_url_dedup": d39_url_dedup,
+    "d41_blocked_fuzzy_pairs": d41_blocked_fuzzy_pairs,
     "d42_k_anonymity": d42_k_anonymity,
+    "d43_corpus_drift_kl": d43_corpus_drift_kl,
     "d44_domain_cap": d44_domain_cap,
 }
+
+from python_openetl_spark.workload.llm3 import _TOKS as _TOKS_L3  # noqa: E402
+
+#: d41 oracle — mirrors blocked_fuzzy_pairs step for step: corpus +
+#: typo twins, 5-token titles, first/last-token blocking keys, either-
+#: key candidate join, length pre-filter, levenshtein verify.
+_D41_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {{off}} AS doc_id,
+             substr(text, 1, 2) || 'z' || substr(text, 4) AS text
+      FROM documents WHERE doc_id % 11 = 0 AND length(text) >= 3
+    ),
+    titled AS (
+      SELECT doc_id AS id,
+             array_to_string(list_slice({_TOKS_L3}, 1, 5), ' ') AS title
+      FROM docs
+    ),
+    base AS (SELECT * FROM titled WHERE title IS NOT NULL AND title <> ''),
+    keyed AS (
+      SELECT id, title, 'first' AS kind, string_split(title, ' ')[1] AS key FROM base
+      UNION ALL
+      SELECT id, title, 'last' AS kind,
+             string_split(title, ' ')[len(string_split(title, ' '))] AS key FROM base
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.title AS ta, b.title AS tb
+      FROM keyed a JOIN keyed b
+        ON a.kind = b.kind AND a.key = b.key AND a.id < b.id
+      WHERE abs(length(a.title) - length(b.title)) <= 2
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS edit_distance
+    FROM cand WHERE levenshtein(ta, tb) <= 2
+"""
 
 # The messy-URL corpus, mirrored expression for expression.
 _URLS_SQL = f"""
@@ -169,6 +246,38 @@ _CANON_SQL = f"""
 """
 
 ORACLE = {
+    "d41_blocked_fuzzy_pairs": _D41_SQL.format(off=_OFF41),
+    # mirrors token_kl_divergence: p/q one IEEE division each, ln
+    # rounded to 9, contributions to 12, summed as DECIMAL(28,12)
+    "d43_corpus_drift_kl": f"""
+        WITH ta AS (
+          SELECT unnest({_TOKS_L3}) AS token FROM documents WHERE doc_id % 2 = 0
+        ),
+        tb AS (
+          SELECT unnest({_TOKS_L3}) AS token FROM documents WHERE doc_id % 2 = 1
+        ),
+        ca AS (SELECT token, COUNT(*) AS ca FROM ta GROUP BY token),
+        cb AS (SELECT token, COUNT(*) AS cb FROM tb GROUP BY token),
+        joint AS (
+          SELECT COALESCE(ca.token, cb.token) AS token,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+        ),
+        tot AS (SELECT COUNT(*) AS v, SUM(ca) AS na, SUM(cb) AS nb FROM joint),
+        x AS (
+          SELECT ca, cb, v, na, nb,
+                 (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)) AS p,
+                 (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)) AS q
+          FROM joint CROSS JOIN tot
+        ),
+        l AS (SELECT p, q, v, na, nb, round(ln(p / q), 9) AS lpq FROM x)
+        SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
+               CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+               CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+               CAST(SUM(CAST(round(p * lpq, 12) AS DECIMAL(28,12))) AS DOUBLE) AS kl_a_b,
+               CAST(SUM(CAST(round(q * (-lpq), 12) AS DECIMAL(28,12))) AS DOUBLE) AS kl_b_a
+        FROM l
+    """,
     "d39_url_dedup": f"""
         WITH urls AS ({_URLS_SQL}),
         canon AS ({_CANON_SQL})

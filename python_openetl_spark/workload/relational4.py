@@ -46,18 +46,18 @@ ORACLE = {
     "q60_data_quality_report": """
         WITH agg AS (
           SELECT
-            SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn_key,
+            COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS nn_key,
             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS uq_key,
-            SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nn_price,
-            SUM(CASE WHEN o_totalprice IS NOT NULL
+            COALESCE(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), 0) AS nn_price,
+            COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
                       AND (o_totalprice < 0.0 OR o_totalprice > 600000.0)
-                     THEN 1 ELSE 0 END) AS rg_price,
-            SUM(CASE WHEN o_orderstatus IS NOT NULL
+                     THEN 1 ELSE 0 END), 0) AS rg_price,
+            COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
                       AND o_orderstatus NOT IN ('O', 'F', 'P')
-                     THEN 1 ELSE 0 END) AS av_status,
-            SUM(CASE WHEN o_orderpriority IS NOT NULL
+                     THEN 1 ELSE 0 END), 0) AS av_status,
+            COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
                       AND NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z ]+$')
-                     THEN 1 ELSE 0 END) AS re_prio
+                     THEN 1 ELSE 0 END), 0) AS re_prio
           FROM orders
         ),
         fk AS (

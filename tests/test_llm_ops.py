@@ -338,3 +338,41 @@ def test_dispatch_modalities_injected_kernels(spark):
     )
     got = {r.doc_id: (r.feat_a, r.feat_b) for r in out.collect()}
     assert got == {1: (3, None), 2: (12, 6), 3: (None, None)}
+
+
+def test_blocked_fuzzy_pairs_catches_typos_shingles_miss(spark):
+    """A single-character typo: edit distance 1, caught; the 3-gram
+    Jaccard family scores the same pair far below any threshold."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quicc brown fox jumps over the lazy dog again"),
+            (3, "unrelated words that share no blocking key at all"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.edit_distance
+             for r in dedup.blocked_fuzzy_pairs(docs).collect()}
+    assert pairs == {(1, 2): 1}
+    # shingle-family near-blindness on the same pair: one typo flips 3
+    # shingles of this 10-token text, dropping Jaccard to ~0.6 — under
+    # any tight near-dup threshold while edit distance says 1
+    jac = dedup.ngram_jaccard_pairs(
+        docs.filter("doc_id < 3"), threshold=0.7, shingle_n=3
+    ).collect()
+    assert not jac
+
+
+def test_blocked_fuzzy_pairs_first_token_typo_blocks_on_last(spark):
+    """Multi-key blocking: a typo IN the first token still pairs via
+    the last-token key."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon tail"),
+            (2, "alphaz beta gamma delta epsilon tail"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.edit_distance
+             for r in dedup.blocked_fuzzy_pairs(docs).collect()}
+    assert pairs == {(1, 2): 1}
