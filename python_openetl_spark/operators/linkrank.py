@@ -1,0 +1,115 @@
+"""Iterative link analysis: PageRank over an edge table.
+
+The web-corpus quality signal (Page et al. 1999; production pipelines
+use link centrality as a crawl-frontier / quality prior — e.g. a
+harvest-rank feature accompanying each document). Also the repo's
+canonical ITERATIVE-algorithm shape: driver-side Python loop building
+one join-aggregate round per iteration, against connected components'
+(cluster.py) converge-until-fixpoint shape.
+
+Determinism contract (the BM25/d43 convention): per-edge contributions
+``rank/out_degree`` are one IEEE division rounded to 12 decimals and
+summed as DECIMAL(28,12) — order-independent under any partitioning —
+and each iteration's final rank is rounded to 12, so after any fixed
+number of iterations the ranks are bit-identical to the unrolled SQL
+oracle.
+
+Scale shape per iteration: one (rank ⋈ out-degree) join on node id,
+one contribution shuffle keyed by dst (map-side partial sums), one
+1-row dangling-mass aggregate broadcast via crossJoin. Degrees are
+computed ONCE before the loop. For many iterations at scale,
+``localCheckpoint`` each round to truncate lineage (documented, not
+default: materialization is pure overhead at the 3-iteration analytic
+setting; the plan depth is linear in iters either way). Self-loops are
+dropped up front (standard PageRank preprocessing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal places for the order-independent contribution sums
+_SCALE = 12
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = False,
+) -> DataFrame:
+    """``(id, rank)`` after ``iters`` rounds from a uniform start.
+
+    ``rank' = (1-d)/N + d * (Σ_in rank/out_deg + dangling_mass/N)``
+    — dangling (no-out-edge) nodes redistribute uniformly, keeping the
+    ranks a probability distribution.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "id", F.round(F.lit(1.0) / F.col("__n").cast("double"), _SCALE).alias("rank")
+    )
+
+    for _ in range(iters):
+        r_deg = ranks.join(deg, "id", "left")
+        contrib = (
+            r_deg.filter(F.col("out_deg").isNotNull())
+            .join(e, F.col("id") == F.col("src"))
+            .select(
+                F.col("dst").alias("id"),
+                F.round(
+                    F.col("rank") / F.col("out_deg").cast("double"), _SCALE
+                )
+                .cast(f"decimal(28,{_SCALE})")
+                .alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").cast("double").alias("in_mass"))
+        )
+        dangling = r_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast(f"decimal(28,{_SCALE})")), F.lit(0)
+            )
+            .cast("double")
+            .alias("__dang")
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "id",
+                F.round(
+                    # the teleport constant is computed in PYTHON (one
+                    # double op) and enters both engines as the same
+                    # shortest-repr literal — engine-side 1.0 - d would
+                    # hit DuckDB's decimal literal arithmetic instead
+                    F.lit(1.0 - damping) / F.col("__n").cast("double")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("__dang") / F.col("__n").cast("double")
+                    ),
+                    _SCALE,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

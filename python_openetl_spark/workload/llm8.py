@@ -74,6 +74,45 @@ def d39_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_messy_urls(spark, sf_dir))
 
 
+#: d40 synthetic link graph: node space and edge multipliers
+_PR_MOD = 997
+_PR_EDGES = ((7, 3), (13, 5))
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document link graph: each doc contributes edges
+    ``doc_id % M -> (doc_id*a + b) % M`` for two (a, b) multipliers —
+    a dense-enough synthetic web graph with hubs, dangling nodes and
+    duplicate edges (exercising the operator's distinct + self-loop
+    preprocessing)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        d.select(
+            (F.col("doc_id") % _PR_MOD).alias("src"),
+            ((F.col("doc_id") * a + b) % _PR_MOD).alias("dst"),
+        )
+        for a, b in _PR_EDGES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def d40_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-iteration PageRank over the synthetic link graph
+    (operators/linkrank.py) — the iterative-algorithm tier, value-hash
+    matched against an UNROLLED SQL oracle via the per-iteration
+    decimal rounding contract."""
+    from python_openetl_spark.operators.linkrank import pagerank
+
+    return pagerank(
+        _link_edges(spark, sf_dir), iters=_PR_ITERS, damping=_PR_DAMPING
+    )
+
+
 def d43_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-distribution drift between the even- and odd-id halves
     of the corpus (stand-ins for 'training mix' vs 'new snapshot'):
@@ -147,8 +186,58 @@ def d42_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    """Unrolled-iteration mirror of operators/linkrank.py pagerank:
+    identical divisions, roundings and decimal sums per round; the
+    teleport constant enters as the Python-computed double's shortest
+    repr (see the operator's literal note)."""
+    teleport = repr(1.0 - damping)
+    edge_sel = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id % {_PR_MOD} AS src, (doc_id * {a} + {b}) % {_PR_MOD} AS dst FROM documents"
+        for a, b in _PR_EDGES
+    )
+    sql = f"""
+    WITH raw_edges AS (
+{edge_sel}
+    ),
+    e AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+    nodes AS (SELECT DISTINCT id FROM (
+      SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+    deg AS (SELECT src AS id, COUNT(*) AS out_deg FROM e GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT id, round(1.0 / CAST(n AS DOUBLE), 12) AS rank
+           FROM nodes CROSS JOIN n)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+    contrib{k} AS (
+      SELECT e.dst AS id,
+             CAST(SUM(CAST(round(r.rank / CAST(d.out_deg AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS in_mass
+      FROM {prev} r JOIN deg d ON r.id = d.id JOIN e ON e.src = r.id
+      GROUP BY e.dst
+    ),
+    dang{k} AS (
+      SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(28,12))), 0) AS DOUBLE) AS dang
+      FROM {prev} r LEFT JOIN deg d ON r.id = d.id WHERE d.id IS NULL
+    ),
+    r{k} AS (
+      SELECT nodes.id,
+             round({teleport} / CAST(n AS DOUBLE)
+                   + {damping!r} * (COALESCE(c.in_mass, 0.0)
+                                    + dang / CAST(n AS DOUBLE)), 12) AS rank
+      FROM nodes
+      LEFT JOIN contrib{k} c ON nodes.id = c.id
+      CROSS JOIN dang{k} CROSS JOIN n
+    )"""
+        prev = f"r{k}"
+    sql += f"\n    SELECT id, rank FROM {prev}"
+    return sql
+
+
 QUERIES = {
     "d39_url_dedup": d39_url_dedup,
+    "d40_pagerank": d40_pagerank,
     "d41_blocked_fuzzy_pairs": d41_blocked_fuzzy_pairs,
     "d42_k_anonymity": d42_k_anonymity,
     "d43_corpus_drift_kl": d43_corpus_drift_kl,
@@ -246,6 +335,7 @@ _CANON_SQL = f"""
 """
 
 ORACLE = {
+    "d40_pagerank": _pagerank_oracle(_PR_ITERS, _PR_DAMPING),
     "d41_blocked_fuzzy_pairs": _D41_SQL.format(off=_OFF41),
     # mirrors token_kl_divergence: p/q one IEEE division each, ln
     # rounded to 9, contributions to 12, summed as DECIMAL(28,12)
