@@ -261,6 +261,32 @@ class Dataset:
 
         return Dataset(ivf_pq_topk(self.df, queries_pdf, **kw))
 
+    def blocked_fuzzy_pairs(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.dedup import blocked_fuzzy_pairs
+
+        return Dataset(blocked_fuzzy_pairs(self.df, **kw))
+
+    def url_dedup(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.urlops import url_dedup
+
+        return Dataset(url_dedup(self.df, **kw))
+
+    def domain_cap_sample(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.urlops import domain_cap_sample
+
+        return Dataset(domain_cap_sample(self.df, **kw))
+
+    def token_kl_divergence(self, other: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.textops import token_kl_divergence
+
+        o = other.df if isinstance(other, Dataset) else other
+        return Dataset(token_kl_divergence(self.df, o, **kw))
+
+    def pagerank(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.linkrank import pagerank
+
+        return Dataset(pagerank(self.df, **kw))
+
     def run_checks(self, checks: list, table_name: str = "dataset") -> "Dataset":
         from python_openetl_spark.operators.quality import run_checks
 
