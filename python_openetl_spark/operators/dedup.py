@@ -630,6 +630,7 @@ def blocked_fuzzy_pairs(
     *,
     title_tokens: int = 5,
     max_edit: int = 2,
+    max_block: int = 200,
 ) -> DataFrame:
     """Typo-level near-dup pairs: Levenshtein distance over a short
     "title" (the first ``title_tokens`` tokens) within blocking keys —
@@ -638,47 +639,62 @@ def blocked_fuzzy_pairs(
     text's 3-gram shingles, so Jaccard/MinHash/SimHash all score it
     far apart; edit distance scores it 1).
 
-    Blocking (record-linkage style) keeps it off the O(n²) path: each
-    title emits TWO candidate keys — its first and its last token — in
-    one exploded dataflow (the LSH multi-table shape, dedup.py:100);
-    candidates are pairs sharing EITHER key, because a typo can corrupt
-    one of them but rarely both. The verify is the exact JVM
-    ``levenshtein`` with a length-difference pre-filter (|len(a) -
-    len(b)| > max_edit can never pass — skips the DP for most pairs).
+    Blocking is the DELETION NEIGHBORHOOD over tokens (the FastSS idea
+    lifted to token granularity): each title emits one key per token
+    position — the title with that token removed — so two titles whose
+    edits are confined to a single token (the typo case) ALWAYS share
+    the key that deletes the corrupted token, with no dependence on
+    token frequency. That independence is the point: frequency-based
+    blocking (first-token, rarest-token) degenerates to quadratic
+    buckets whenever the vocabulary is small or skewed — the sf0.1
+    fixture corpus has a 30-word vocabulary and made every
+    token-blocked bucket ~750 titles (measured 5.6M candidate pairs,
+    20s); deletion keys need 4 of 5 tokens equal IN ORDER, collapsing
+    candidates to genuine near-matches (~10³ pairs, sub-second).
 
-    Scale shape: the self-join shuffles (key_kind, key) buckets of
-    (id, title) rows — titles are bounded-short strings, never full
-    texts; bucket sizes follow token frequency, so a stop-word first
-    token is the skew risk — production blocks on rarer keys (e.g.
-    rarest-token) with the identical dataflow. Returns
-    ``(id_a, id_b, edit_distance)``, id_a < id_b, distance <= max_edit.
+    Boilerplate armor: a deletion key shared by more than
+    ``max_block`` titles ("untitled document page N" corpora) is
+    dropped — the stop-shingle-cap convention of
+    :func:`ngram_jaccard_pairs` — bounding every bucket join at the
+    cost of recall only inside pathological boilerplate clusters.
+
+    The verify is the exact JVM ``levenshtein`` with a
+    length-difference pre-filter (|len(a) - len(b)| > max_edit can
+    never pass — skips the DP for most pairs). Multi-token edits can
+    be missed by design (the single-token-typo recall contract);
+    ``dist <= max_edit`` is still exact for every emitted pair.
+    Returns ``(id_a, id_b, edit_distance)``, id_a < id_b,
+    distance <= max_edit.
     """
     title = F.array_join(F.slice(tokens(text_col), 1, title_tokens), " ")
     base = (
         df.select(F.col(id_col).alias("id"), title.alias("title"))
         .filter(F.col("title").isNotNull() & (F.col("title") != ""))
+        .withColumn("__toks", F.split(F.col("title"), " "))
     )
-    toks5 = F.split(F.col("title"), " ")
+    n = F.size(F.col("__toks"))
+    del_keys = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(
+            F.concat(
+                F.slice(F.col("__toks"), F.lit(1), i - F.lit(1)),
+                F.slice(F.col("__toks"), i + F.lit(1), n),
+            ),
+            " ",
+        ),
+    )
     keyed = base.select(
-        "id",
-        "title",
-        F.explode(
-            F.array(
-                F.struct(F.lit("first").alias("kind"), F.element_at(toks5, 1).alias("key")),
-                F.struct(
-                    F.lit("last").alias("kind"),
-                    F.element_at(toks5, F.size(toks5)).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "title", F.col("bk.kind").alias("kind"), F.col("bk.key").alias("key"))
+        "id", "title", F.explode(F.array_distinct(del_keys)).alias("key")
+    )
+    blocks = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("__bs"))
+    keyed = keyed.join(
+        blocks.filter(F.col("__bs") <= max_block).select("key"), "key"
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.kind") == F.col("b.kind"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")),
         )
         # cheap pre-filter before the DP: edit distance >= |len diff|
         .filter(

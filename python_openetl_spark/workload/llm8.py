@@ -262,17 +262,33 @@ _D41_SQL = f"""
              array_to_string(list_slice({_TOKS_L3}, 1, 5), ' ') AS title
       FROM docs
     ),
-    base AS (SELECT * FROM titled WHERE title IS NOT NULL AND title <> ''),
-    keyed AS (
-      SELECT id, title, 'first' AS kind, string_split(title, ' ')[1] AS key FROM base
-      UNION ALL
-      SELECT id, title, 'last' AS kind,
-             string_split(title, ' ')[len(string_split(title, ' '))] AS key FROM base
+    base AS (
+      SELECT *, string_split(title, ' ') AS toks
+      FROM titled WHERE title IS NOT NULL AND title <> ''
     ),
+    -- deletion-neighborhood keys: title minus token i, for each i.
+    -- DuckDB list_slice is END-INCLUSIVE where Spark slice takes a
+    -- LENGTH — for (1, i-1) and (i+1, n) the two semantics coincide.
+    -- COALESCE: array_to_string([]) is NULL in DuckDB, '' in Spark
+    -- (the 1-token-title key).
+    keyed AS (
+      SELECT id, title,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) + 1),
+               i -> COALESCE(array_to_string(
+                      list_concat(list_slice(toks, 1, i - 1),
+                                  list_slice(toks, i + 1, len(toks))), ' '), '')
+             ))) AS key
+      FROM base
+    ),
+    capped AS (
+      SELECT key FROM keyed GROUP BY key HAVING COUNT(*) <= 200
+    ),
+    kk AS (SELECT k.* FROM keyed k JOIN capped USING (key)),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.title AS ta, b.title AS tb
-      FROM keyed a JOIN keyed b
-        ON a.kind = b.kind AND a.key = b.key AND a.id < b.id
+      FROM kk a JOIN kk b
+        ON a.key = b.key AND a.id < b.id
       WHERE abs(length(a.title) - length(b.title)) <= 2
     )
     SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS edit_distance
