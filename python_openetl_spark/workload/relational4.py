@@ -40,9 +40,143 @@ def q60_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q60_data_quality_report": q60_data_quality_report}
+def q61_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    earliest view, the earliest click strictly after that view, the
+    earliest purchase strictly after that click — the canonical
+    product-analytics shape. Each stage is one filtered min-aggregate
+    joined forward (no window over the whole stream, no self-join
+    explosion: the stage frontier is one row per user, and event-type
+    filters push into the scan). Output is one row of stage counts +
+    exact-decimal median hours view->purchase for completers."""
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"), F.min("t_view").alias("t_view"))
+    )
+    p = p.withColumn(
+        "hours",
+        (F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view")))
+        .cast("double") / F.lit(3600e6),
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(
+                F.count(F.lit(1)).alias("n_purchase_after_click"),
+                F.round(F.expr("percentile(hours, 0.5)"), 6).alias(
+                    "median_hours_to_purchase"
+                ),
+            )
+        )
+    )
+
+
+def q62_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    FIRST event; for each (cohort week, week offset), how many of the
+    cohort were active. Two aggregates and one join — the cohort
+    frontier is one row per user, and the (cohort, offset) matrix is
+    bounded by weeks², never events."""
+    from pyspark.sql import functions as F
+
+    e = t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    cohort = first.select(
+        "user_id",
+        F.date_trunc("week", F.col("cohort_day")).cast("date").alias("cohort_week"),
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("d")).cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            # string-typed week label: pandas round-trips dates through
+            # datetime64, so raw DATE columns dtype-mismatch the oracle
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+QUERIES = {
+    "q60_data_quality_report": q60_data_quality_report,
+    "q61_conversion_funnel": q61_conversion_funnel,
+    "q62_cohort_retention": q62_cohort_retention,
+}
 
 ORACLE = {
+    # Spark exact `percentile` == DuckDB quantile_cont (the q59/d37
+    # parity device); hours = one epoch-µs subtraction + one division
+    "q61_conversion_funnel": """
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click, MIN(v.t_view) AS t_view
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase, MIN(c.t_view) AS t_view
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        ),
+        ph AS (
+          SELECT CAST(epoch_us(t_purchase) - epoch_us(t_view) AS DOUBLE)
+                 / 3600000000.0 AS hours
+          FROM p
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_click_after_view,
+               (SELECT COUNT(*) FROM ph) AS n_purchase_after_click,
+               (SELECT round(quantile_cont(hours, 0.5), 6) FROM ph)
+                 AS median_hours_to_purchase
+    """,
+    # both week-truncations land on ISO Mondays, so the day diff is an
+    # exact multiple of 7 and the /7 cast is rounding-proof
+    "q62_cohort_retention": """
+        WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        fst AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+        cohort AS (
+          SELECT user_id, CAST(date_trunc('week', cohort_day) AS DATE) AS cohort_week
+          FROM fst
+        ),
+        active AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('week', d) AS DATE) AS week
+          FROM e
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+               COUNT(DISTINCT user_id) AS n_active
+        FROM active JOIN cohort USING (user_id)
+        GROUP BY 1, 2
+    """,
     "q60_data_quality_report": """
         WITH agg AS (
           SELECT
