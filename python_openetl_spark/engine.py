@@ -261,6 +261,12 @@ class Dataset:
 
         return Dataset(ivf_pq_topk(self.df, queries_pdf, **kw))
 
+    def maxsim_topk(self, queries: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.late_interaction import maxsim_topk
+
+        q = queries.df if isinstance(queries, Dataset) else queries
+        return Dataset(maxsim_topk(self.df, q, **kw))
+
     def blocked_fuzzy_pairs(self, **kw) -> "Dataset":
         from python_openetl_spark.operators.dedup import blocked_fuzzy_pairs
 

@@ -127,6 +127,21 @@ def d43_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x11_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction top-k
+    (operators/late_interaction.py): per-token vectors are the 8
+    PQ-style sub-vectors of the stored embedding; the full q×d×8×8 dot
+    lattice stays inside one whole-stage-codegen expression and the
+    decimal fold makes the scores bit-matchable by the SQL oracle."""
+    from python_openetl_spark.operators.late_interaction import maxsim_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return maxsim_topk(emb, q, k=5, m=8)
+
+
 def d44_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap every synthesized domain at 8 documents; emits the kept rows
     (deterministic hash-order membership, the d24 portable-md5 device)
@@ -242,6 +257,7 @@ QUERIES = {
     "d42_k_anonymity": d42_k_anonymity,
     "d43_corpus_drift_kl": d43_corpus_drift_kl,
     "d44_domain_cap": d44_domain_cap,
+    "x11_maxsim_topk": x11_maxsim_topk,
 }
 
 from python_openetl_spark.workload.llm3 import _TOKS as _TOKS_L3  # noqa: E402
@@ -351,6 +367,31 @@ _CANON_SQL = f"""
 """
 
 ORACLE = {
+    # mirrors maxsim_score: sequential-fold dots rounded to 9, exact
+    # max, DECIMAL(20,9)-summed maxes; DuckDB range() is end-exclusive
+    # and list indexing 1-based, hence the offsets
+    "x11_maxsim_topk": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN (1, 5, 9)
+        ),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS dv FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 CAST(list_sum(list_transform(range(0, 8), s ->
+                   CAST(list_max(list_transform(range(0, 8), t ->
+                     round(list_sum(list_transform(range(1, 9),
+                       i -> qv[s*8 + i] * dv[t*8 + i])), 9)
+                   )) AS DECIMAL(20,9))
+                 )) AS DOUBLE) AS maxsim
+          FROM c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, maxsim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY maxsim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
     "d40_pagerank": _pagerank_oracle(_PR_ITERS, _PR_DAMPING),
     "d41_blocked_fuzzy_pairs": _D41_SQL.format(off=_OFF41),
     # mirrors token_kl_divergence: p/q one IEEE division each, ln

@@ -58,3 +58,42 @@ def test_quantized_extremes_hit_full_range(spark):
         quantize_int8(F.col("v")).alias("qv")
     ).collect()[0]["qv"]
     assert max(out["q"]) == 127  # the max-magnitude component saturates
+
+
+def test_maxsim_score_hand_computed(spark):
+    """m=2, dsub=2: maxsim = sum over query halves of the best dot
+    against either doc half — computed by hand."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.late_interaction import maxsim_score
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 2.0], [3.0, 0.0, 0.0, 5.0])],
+        "q array<double>, d array<double>",
+    )
+    got = df.select(
+        maxsim_score(F.col("q"), F.col("d"), m=2, dsub=2).alias("s")
+    ).collect()[0].s
+    # q1=[1,0]: dots 3 (d1), 0 (d2) -> 3; q2=[0,2]: dots 0, 10 -> 10
+    assert got == 13.0
+
+
+def test_maxsim_topk_guard_and_self_exclusion(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.late_interaction import maxsim_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, float(i % 3)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = maxsim_topk(emb, q, k=3, m=2).collect()
+    assert len(out) == 3
+    assert all(r.vec_id != 1 for r in out)          # self excluded
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    with _pytest.raises(ValueError, match="max_rows"):
+        maxsim_topk(emb, q, k=3, m=2, max_rows=5)
