@@ -116,8 +116,12 @@ def _trend_vs_snapshot(
     timings: dict[str, float], medians: dict[str, float], sf: float | str
 ) -> list[str] | None:
     """Compare this run's medians to the committed ./bench_out.json
-    (median-to-median — min-to-min is noise-asymmetric). Returns the
-    names >25% AND >0.2s slower, or None when no comparable snapshot."""
+    (median-to-median — min-to-min is noise-asymmetric). A query is
+    flagged as a REGRESSION only when BOTH its median and its min
+    regressed >25% and >0.2s: a genuine plan regression moves the
+    floor too, while background load during one repeat moves only the
+    median (the round-5 run flagged four such phantoms). Returns the
+    flagged names, or None when no comparable snapshot."""
     snap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     try:
         with open(snap_path) as f:
@@ -127,13 +131,22 @@ def _trend_vs_snapshot(
     if snap.get("sf") != sf:
         return None
     prev = snap.get("queries_median") or snap.get("queries") or {}
+    prev_min = snap.get("queries") or {}
     regressions: list[str] = []
     for name in sorted(set(prev) & set(medians)):
         old, new = prev[name], medians[name]
         delta = new - old
-        if old > 0 and delta / old > 0.25 and delta > 0.2:
+        old_min, new_min = prev_min.get(name, 0.0), timings.get(name, 0.0)
+        min_regressed = (
+            old_min > 0
+            and (new_min - old_min) / old_min > 0.25
+            and new_min - old_min > 0.2
+        )
+        if old > 0 and delta / old > 0.25 and delta > 0.2 and min_regressed:
             regressions.append(name)
             tag = "  <-- REGRESSION"
+        elif old > 0 and delta / old > 0.25 and delta > 0.2:
+            tag = "  (median up, min flat: load noise, not flagged)"
         elif old > 0 and delta / old < -0.25 and -delta > 0.2:
             tag = "  (improved)"
         else:
