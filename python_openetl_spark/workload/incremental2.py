@@ -174,3 +174,73 @@ ORACLE["m14_partition_overwrite"] = """
     FROM m WHERE o_month = '1996-07' AND o_orderstatus = 'F'
     GROUP BY o_month
 """
+
+
+def m15_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactional publish (plans/txn.py publish_all —
+    the reference's one-transaction-per-pipeline scope restated over
+    the directory-swap protocol): a status rollup of orders and a
+    returnflag rollup of lineitem are prepared fully, then committed
+    together; the query reads BOTH tables back through their published
+    paths and emits one row per (table, group), so a publish that
+    dropped, half-wrote, or double-wrote either side hash-mismatches.
+    Failure-atomicity (rollback of completed swaps) is proven in
+    tests/test_txn.py."""
+    import tempfile
+
+    from python_openetl_spark.plans.pipelines import ParquetTable
+    from python_openetl_spark.plans.txn import Publish, publish_all
+
+    base = tempfile.mkdtemp(prefix="poe_m15_")
+    ta = ParquetTable(base + "/orders_by_status")
+    tb = ParquetTable(base + "/lineitem_by_flag")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    publish_all(
+        [
+            Publish(
+                ta,
+                o.groupBy("o_orderstatus").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v_dec"),
+                ),
+            ),
+            Publish(
+                tb,
+                li.groupBy("l_returnflag").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                        "v_dec"
+                    ),
+                ),
+            ),
+        ]
+    )
+    a = ta.read(spark).select(
+        F.lit("orders_by_status").alias("table_name"),
+        F.col("o_orderstatus").alias("grp"),
+        "n",
+        F.col("v_dec").cast("double").alias("value"),
+    )
+    b = tb.read(spark).select(
+        F.lit("lineitem_by_flag").alias("table_name"),
+        F.col("l_returnflag").alias("grp"),
+        "n",
+        F.col("v_dec").cast("double").alias("value"),
+    )
+    return a.unionByName(b)
+
+
+QUERIES["m15_multi_table_publish"] = m15_multi_table_publish
+
+ORACLE["m15_multi_table_publish"] = """
+    SELECT 'orders_by_status' AS table_name, o_orderstatus AS grp,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'lineitem_by_flag', l_returnflag,
+           COUNT(*),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM lineitem GROUP BY l_returnflag
+"""

@@ -364,3 +364,51 @@ def test_chunk_documents_reconstructs_token_stream(spark, texts, chunk, overlap)
         acc.extend(span if r["chunk_idx"] == 0 else span[overlap:])
     for i, t in enumerate(texts):
         assert per_doc.get(i, []) == toks[i]
+
+
+_url_piece = st.text(
+    alphabet="abcXYZ019-._~/?&=#:%", min_size=0, max_size=25
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]),
+    host=st.text(alphabet="abcDEF01.-", min_size=1, max_size=15),
+    rest=_url_piece,
+)
+@settings(max_examples=30, deadline=None)
+def test_canonical_url_is_idempotent(spark, scheme, host, rest):
+    """canon(canon(u)) == canon(u) for arbitrary scheme://host/rest —
+    the defining property of a canonicalizer (a second pass finding
+    more to strip means variants of the same URL can still diverge)."""
+    from python_openetl_spark.functions.urls import canonical_url
+
+    url = f"{scheme}://{host}/{rest}"
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonical_url("url").alias("c"))
+    twice = once.select(canonical_url("c").alias("c"))
+    a = once.collect()[0].c
+    b = twice.collect()[0].c
+    assert a == b, f"not idempotent: {url!r} -> {a!r} -> {b!r}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_pagerank_mass_conservation(spark, edges):
+    """Ranks stay a probability distribution (sum 1 within rounding)
+    for arbitrary small graphs — dangling redistribution included."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.linkrank import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    if e.filter("src != dst").count() == 0:
+        return  # all self-loops: no graph survives preprocessing
+    total = pagerank(e, iters=2).agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-8
