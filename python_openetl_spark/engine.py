@@ -335,6 +335,13 @@ class Engine:
     def ingest_tarball(self, tar_path: str, dest_dir: str, **kw) -> dict[str, ParquetTable]:
         return ingest_tarball(self.spark, tar_path, dest_dir, **kw)
 
+    def publish_all(self, publishes: list) -> None:
+        """Multi-table atomic publish (plans.txn.publish_all): pass a
+        list of ``txn.Publish(table, df, partition_by)``."""
+        from python_openetl_spark.plans.txn import publish_all
+
+        publish_all(publishes)
+
     def safe_append(
         self, target: Dataset | DataFrame, rows: Dataset | DataFrame, pk: str = "id"
     ) -> Dataset:

@@ -244,3 +244,67 @@ ORACLE["m15_multi_table_publish"] = """
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
     FROM lineitem GROUP BY l_returnflag
 """
+
+
+def m16_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel (plans/versioned.py VersionedTable
+    — immutable v{N} snapshots + one atomic pointer commit, the
+    Delta/Iceberg architecture reduced to a filesystem): commit a
+    pre-cutoff rollup as v1, the full rollup as v2, read BOTH versions
+    back, then roll back to v1 and read the current pointer again —
+    a pointer path that mutates snapshots, reads the wrong version, or
+    loses the rollback hash-mismatches."""
+    import tempfile
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v_dec"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    vt = VersionedTable(tempfile.mkdtemp(prefix="poe_m16_") + "/t")
+    vt.commit(rollup(o.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp_ltz"))))
+    vt.commit(rollup(o))
+    v1 = vt.read(spark, version=1)
+    v2 = vt.read(spark, version=2)
+    vt.rollback(1)
+    cur = vt.read(spark)
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("snapshot"),
+            F.col("o_orderstatus").alias("grp"),
+            "n",
+            F.col("v_dec").cast("double").alias("value"),
+        )
+
+    return (
+        tag(v1, "v1")
+        .unionByName(tag(v2, "v2"))
+        .unionByName(tag(cur, "after_rollback"))
+    )
+
+
+QUERIES["m16_time_travel"] = m16_time_travel
+
+ORACLE["m16_time_travel"] = f"""
+    WITH pre AS (
+      SELECT o_orderstatus AS grp, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+      GROUP BY o_orderstatus
+    ),
+    allr AS (
+      SELECT o_orderstatus AS grp, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'v1' AS snapshot, * FROM pre
+    UNION ALL
+    SELECT 'v2', * FROM allr
+    UNION ALL
+    SELECT 'after_rollback', * FROM pre
+"""
