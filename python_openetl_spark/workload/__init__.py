@@ -97,6 +97,12 @@ _MODULES = (
 #      so they get driver rows immediately instead of waiting for R6.
 # That is exactly 50; after R5 every query declared through round 4 has
 # a driver row from r3, r4, or r5, and nothing predates r3.
+#
+# _WINDOW_R6 should lead with the round-5 post-window additions that
+# have never had a driver row — q60-q62, d39-d44, x11, m15, m16
+# (12 rows; all locally oracle-gated incl. hostile/empty suites AND
+# the sf0.1 soak) — then rotate the oldest r3-checked rows back
+# through (see COVERAGE.md's per-query ledger for exact staleness).
 _WINDOW_R5 = (
     # never driver-checked (round-4 post-window additions)
     "d31_leakage_safe_split", "d32_unigram_logprob", "d33_cms_heavy_hitters",
