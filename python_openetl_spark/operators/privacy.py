@@ -55,3 +55,35 @@ def k_anonymity_report(
         "min_group_size",
         (F.col("min_group_size") >= k).alias("is_k_anonymous"),
     )
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], *, salt: str = "", prefix: str = "tok_"
+) -> DataFrame:
+    """Deterministic pseudonymization of identifier columns: each value
+    is replaced by ``prefix + first-12-hex(md5(salt + ':' + value))`` —
+    the governance step between full redaction (d20, destroys
+    joinability) and leaving identifiers raw: equal values map to equal
+    tokens, so grouping/joining on the column still works, while the
+    raw value never leaves the scan. A per-dataset ``salt`` prevents
+    cross-dataset token linkage (and rainbow-table reversal of
+    low-entropy identifiers). NULL stays NULL.
+
+    One in-scan expression per column (md5 is codegen; no UDF, no
+    shuffle, no lookup table to manage — the stateless alternative to
+    a tokenization vault, trading revocability for zero infrastructure).
+    """
+    out = df
+    for c in cols:
+        v = F.col(c).cast("string")
+        out = out.withColumn(
+            c,
+            F.when(
+                v.isNotNull(),
+                F.concat(
+                    F.lit(prefix),
+                    F.substring(F.md5(F.concat(F.lit(f"{salt}:"), v)), 1, 12),
+                ),
+            ),
+        )
+    return out

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.util import t
 
 #: planted-twin id offset for d39 (the d38/_OFF convention)
@@ -124,6 +125,61 @@ def d43_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return token_kl_divergence(
         d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+def d45_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic identifier pseudonymization
+    (operators/privacy.py pseudonymize): the source column tokenized
+    in-scan, then grouped BY TOKEN — group sizes must equal the raw
+    source's group sizes (joinability preserved), and the tokens
+    themselves are md5-derived so the oracle mirrors them exactly. A
+    path that salts inconsistently, collides tokens, or leaks raw
+    values hash-mismatches."""
+    from python_openetl_spark.operators.privacy import pseudonymize
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        pseudonymize(d, ["source"], salt="r5")
+        .groupBy(F.col("source").alias("source_token"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def e05_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus datasheet (the 'dataset card' statistics block a
+    corpus release ships): per language — document count, corpus
+    share, exact-decimal mean length, token volume, distinct exact-dup
+    fingerprints and the implied duplicate rate. One hash aggregate
+    over one scan plus a broadcast 1-row total; every ratio enters as
+    decimal-exact division rounded to 6."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(20,0)")).alias("chars_dec"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens"),
+        F.count_distinct(F.md5(F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+        ))).alias("n_unique"),
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("share"),
+        # decimal-exact numerator, ONE IEEE division (decimal/decimal
+        # quotient scale rules differ between engines)
+        F.round(
+            F.col("chars_dec").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("avg_chars"),
+        "n_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_unique").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("dup_rate"),
     )
 
 
@@ -257,6 +313,8 @@ QUERIES = {
     "d42_k_anonymity": d42_k_anonymity,
     "d43_corpus_drift_kl": d43_corpus_drift_kl,
     "d44_domain_cap": d44_domain_cap,
+    "d45_pseudonymize": d45_pseudonymize,
+    "e05_dataset_card": e05_dataset_card,
     "x11_maxsim_topk": x11_maxsim_topk,
 }
 
@@ -367,6 +425,32 @@ _CANON_SQL = f"""
 """
 
 ORACLE = {
+    "d45_pseudonymize": """
+        SELECT 'tok_' || substr(md5('r5:' || source), 1, 12) AS source_token,
+               COUNT(*) AS n_docs
+        FROM documents WHERE source IS NOT NULL
+        GROUP BY 1
+        UNION ALL
+        SELECT NULL, COUNT(*) FROM documents WHERE source IS NULL
+        HAVING COUNT(*) > 0
+    """,
+    "e05_dataset_card": f"""
+        WITH per AS (
+          SELECT lang,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(CAST(n_chars AS DECIMAL(20,0))) AS DOUBLE) AS chars_d,
+                 CAST(SUM(len({_TOKS_L3})) AS BIGINT) AS n_tokens,
+                 COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_unique
+          FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT COUNT(*) AS n_total FROM documents)
+        SELECT lang, n_docs,
+               round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+               round(chars_d / CAST(n_docs AS DOUBLE), 6) AS avg_chars,
+               n_tokens,
+               round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+        FROM per CROSS JOIN tot
+    """,
     # mirrors maxsim_score: sequential-fold dots rounded to 9, exact
     # max, DECIMAL(20,9)-summed maxes; DuckDB range() is end-exclusive
     # and list indexing 1-based, hence the offsets

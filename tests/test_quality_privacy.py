@@ -86,3 +86,23 @@ def test_k_anonymity_null_quasi_values_form_groups(spark):
     # the lone 'en' row violates; the NULL group has 3 members and passes
     assert rep.n_violating_groups == 1
     assert rep.n_rows_at_risk == 1
+
+
+def test_pseudonymize_deterministic_joinable_nullsafe(spark):
+    df = spark.createDataFrame(
+        [(1, "alice@x.com", "en"), (2, "alice@x.com", "de"),
+         (3, "bob@y.org", "en"), (4, None, "fr")],
+        "id long, email string, lang string",
+    )
+    out = privacy.pseudonymize(df, ["email"], salt="s1").collect()
+    toks = {r.id: r.email for r in out}
+    assert toks[1] == toks[2]                      # equal value -> equal token
+    assert toks[1] != toks[3]                      # distinct stays distinct
+    assert toks[4] is None                         # NULL stays NULL
+    assert toks[1].startswith("tok_") and len(toks[1]) == 16
+    # a different salt breaks cross-dataset linkage
+    other = {r.id: r.email for r in
+             privacy.pseudonymize(df, ["email"], salt="s2").collect()}
+    assert other[1] != toks[1]
+    # untouched columns intact
+    assert {r.lang for r in out} == {"en", "de", "fr"}
