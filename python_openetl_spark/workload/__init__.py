@@ -29,10 +29,12 @@ from python_openetl_spark.workload import (
     llm6,
     llm7,
     llm8,
+    llm9,
     relational,
     relational2,
     relational3,
     relational4,
+    relational5,
     scale,
     sinks_io,
     streaming2,
@@ -71,6 +73,8 @@ _MODULES = (
     # round-5 post-window additions (rotate into _WINDOW_R6)
     relational4,
     llm8,
+    llm9,
+    relational5,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:
@@ -99,8 +103,8 @@ _MODULES = (
 # a driver row from r3, r4, or r5, and nothing predates r3.
 #
 # _WINDOW_R6 should lead with the round-5 post-window additions that
-# have never had a driver row — q60-q62, d39-d44, x11, m15, m16
-# (12 rows; all locally oracle-gated incl. hostile/empty suites AND
+# have never had a driver row — q60-q63, d39-d46, e05, x11, x12, m15,
+# m16, s08 (all locally oracle-gated incl. hostile/empty suites AND
 # the sf0.1 soak) — then rotate the oldest r3-checked rows back
 # through (see COVERAGE.md's per-query ledger for exact staleness).
 _WINDOW_R5 = (

@@ -1,0 +1,140 @@
+"""Round-5 LLM-data additions, batch 2: tokenizer training + staged
+retrieval.
+
+- d46: distributed BPE merge training (operators/bpe.py) — the
+  tokenizer-fitting step of a training-data pipeline, verified against
+  an UNROLLED per-iteration SQL oracle (the d40 pagerank pattern):
+  each greedy merge round is one CTE chain of
+  pair-count → argmax → replace, and string ``replace`` is
+  left-to-right non-overlapping in both engines, which is exactly
+  BPE's within-word merge order (verified byte-for-byte).
+- x12: Matryoshka two-stage retrieval (operators/similarity.py
+  ``matryoshka_topk``) — rank the corpus on the 16-dim embedding
+  prefix, rerank the survivors with the full 64-dim cosine. The
+  oracle mirrors BOTH stages exactly (prefix slice included), so the
+  check is deterministic equality, not a recall bound.
+
+Registered after ``llm8`` in ``_MODULES``; locally oracle-gated now,
+rotates into ``_WINDOW_R6``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+_BPE_ITERS = 3
+
+
+def d46_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three learned BPE merges over the documents corpus."""
+    from python_openetl_spark.operators.bpe import bpe_train, word_counts
+
+    return bpe_train(word_counts(t(spark, sf_dir, "documents")), iters=_BPE_ITERS)
+
+
+_X12_QUERY_IDS = (1, 5, 9)
+_X12_PREFIX = 16
+_X12_K = 5
+_X12_RERANK = 4
+
+
+def x12_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_openetl_spark.operators.similarity import matryoshka_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_X12_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return matryoshka_topk(
+        emb,
+        queries,
+        prefix_dims=_X12_PREFIX,
+        k=_X12_K,
+        rerank_factor=_X12_RERANK,
+    )
+
+
+def _bpe_oracle(iters: int) -> str:
+    """Unrolled BPE training oracle: one (pairs → top-merge → apply)
+    CTE chain per iteration, over the distinct-word frequency table."""
+    parts = [
+        """WITH w AS (
+  SELECT u.word AS word, COUNT(*) AS cnt
+  FROM documents, unnest(string_split_regex(lower(text), '\\s+')) AS u(word)
+  WHERE length(u.word) > 0
+  GROUP BY 1
+),
+s0 AS (SELECT cnt, array_to_string(string_split(word, ''), chr(31)) AS seq FROM w)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT ts[j] AS l, ts[j + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS freq
+  FROM (SELECT cnt, string_split(seq, chr(31)) AS ts FROM s{i - 1}) s,
+       unnest(range(1, len(ts))) AS u(j)
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT CAST({i} AS BIGINT) AS iteration, l, r, freq
+         FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
+s{i} AS (
+  SELECT cnt,
+         replace(seq,
+                 (SELECT l FROM m{i}) || chr(31) || (SELECT r FROM m{i}),
+                 (SELECT l FROM m{i}) || (SELECT r FROM m{i})) AS seq
+  FROM s{i - 1}
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))
+    parts.append(
+        f"""
+SELECT iteration, l AS left_tok, r AS right_tok, freq AS pair_freq
+FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+QUERIES = {
+    "d46_bpe_merge_train": d46_bpe_merge_train,
+    "x12_matryoshka_topk": x12_matryoshka_topk,
+}
+
+ORACLE = {
+    "d46_bpe_merge_train": _bpe_oracle(_BPE_ITERS),
+    "x12_matryoshka_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 embedding::DOUBLE[] AS qv,
+                 (embedding::DOUBLE[])[1:{_X12_PREFIX}] AS qp
+          FROM embeddings WHERE vec_id IN {_X12_QUERY_IDS}
+        ),
+        c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 (embedding::DOUBLE[])[1:{_X12_PREFIX}] AS vp
+          FROM embeddings
+        ),
+        s1 AS (
+          SELECT q.query_id, c.vec_id, c.v, q.qv,
+                 list_dot_product(c.vp, q.qp)
+                   / (sqrt(list_dot_product(c.vp, c.vp)) * sqrt(list_dot_product(q.qp, q.qp))) AS pre_sim
+          FROM c, q WHERE c.vec_id <> q.query_id
+        ),
+        cand AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pre_sim DESC, vec_id) AS prerank
+          FROM s1
+        ),
+        re AS (
+          SELECT query_id, vec_id, pre_sim,
+                 list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos_sim
+          FROM cand WHERE prerank <= {_X12_K * _X12_RERANK}
+        )
+        SELECT query_id, vec_id, pre_sim, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM re
+        ) WHERE rank <= {_X12_K}
+    """,
+}

@@ -84,10 +84,55 @@ def s07_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s08_watermark_scoped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dropDuplicatesWithinWatermark`` (streaming/
+    dedup.py): duplicates arriving within the 10-minute state-retention
+    window are dropped; a re-arrival after the watermark has evicted
+    the key's state is kept as a new first arrival.
+
+    The planted stream re-emits every event at +2 minutes (inside the
+    window → dropped) and at +40 minutes (state evicted → kept). With
+    at most one duplicate inside any 10-minute horizon, the
+    anchor-based streaming semantics and this lag-gap sessionization
+    coincide exactly (a chain of duplicates each <10 min apart but
+    spanning >10 min total would diverge — the true state-based
+    behavior for that shape is exercised by the micro-batch replay in
+    tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    near = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES")).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    far = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 MINUTES")).withColumn(
+        "value", F.col("value") + F.lit(2000.0)
+    )
+    stream = ev.unionByName(near).unionByName(far)
+    w = Window.partitionBy("event_id").orderBy("ts", "value")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = stream.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 10 MINUTES")),
+                1,
+            ).otherwise(0)
+        ).over(run),
+    )
+    ws = Window.partitionBy("event_id", "sid").orderBy("ts", "value")
+    return (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+
+
 QUERIES = {
     "s05_stream_static_enrichment": s05_stream_static_enrichment,
     "s06_interval_join": s06_interval_join,
     "s07_outer_interval_join": s07_outer_interval_join,
+    "s08_watermark_scoped_dedup": s08_watermark_scoped_dedup,
 }
 
 ORACLE = {
@@ -119,5 +164,31 @@ ORACLE = {
           ON p.user_id = c.user_id
          AND epoch_us(c.ts) <= epoch_us(p.ts)
          AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+    """,
+    "s08_watermark_scoped_dedup": """
+        WITH ev AS (SELECT event_id, ts, value FROM events),
+        stream AS (
+          SELECT event_id, ts, value FROM ev
+          UNION ALL
+          SELECT event_id, ts + INTERVAL 2 MINUTE, value + 1000.0 FROM ev
+          UNION ALL
+          SELECT event_id, ts + INTERVAL 40 MINUTE, value + 2000.0 FROM ev
+        ),
+        lagged AS (
+          SELECT *, lag(ts) OVER (PARTITION BY event_id ORDER BY ts, value) AS prev_ts
+          FROM stream
+        ),
+        sess AS (
+          SELECT *, SUM(CASE WHEN prev_ts IS NULL
+                              OR ts > prev_ts + INTERVAL 10 MINUTE
+                             THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY event_id ORDER BY ts, value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM lagged
+        )
+        SELECT event_id, epoch_us(ts) AS ts_us, value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id, sid ORDER BY ts, value) AS rn
+          FROM sess
+        ) WHERE rn = 1
     """,
 }

@@ -8,7 +8,10 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.io import load_table
 from python_openetl_spark.plans.pipelines import ParquetTable
-from python_openetl_spark.streaming.dedup import stream_dedup
+from python_openetl_spark.streaming.dedup import (
+    stream_dedup,
+    stream_dedup_within_watermark,
+)
 from python_openetl_spark.streaming.sinks import UpsertSink
 from python_openetl_spark.streaming.sources import read_file_stream, stage_replay_dir
 from python_openetl_spark.streaming.windows import tumbling_window_agg, with_watermark
@@ -55,6 +58,30 @@ def test_streaming_dedup_drops_replayed_keys(spark, tmp_path):
     deduped = stream_dedup(stream, keys=("event_id",), ts_col="ts", delay="30 days")
     _run_to_completion(deduped, "append", tmp_path, "dedup")
     got = spark.sql("SELECT count(*) c, count(distinct event_id) d FROM dedup").collect()[0]
+    assert got["c"] == got["d"] == ev.count()
+
+
+def test_streaming_dedup_within_watermark_drops_near_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate that arrives within
+    the delay of the first occurrence is dropped; with availableNow
+    replay every planted near-duplicate falls inside retained state, so
+    exactly one row per key survives (the workload's s08 batch twin
+    states the same semantics for DuckDB). The delay must also cover
+    the replay's event-time disorder — the chunks are row-ordered, not
+    time-ordered, so a tight delay would drop genuinely-first arrivals
+    as late data once the watermark has advanced past them."""
+    ev = _events(spark).select("event_id", "ts", "value").limit(300)
+    near = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES")).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    stream = _replay_stream(spark, tmp_path, ev.unionByName(near), chunks=3)
+    deduped = stream_dedup_within_watermark(
+        stream, keys=("event_id",), ts_col="ts", delay="30 days"
+    )
+    _run_to_completion(deduped, "append", tmp_path, "dedup_within")
+    got = spark.sql(
+        "SELECT count(*) c, count(distinct event_id) d FROM dedup_within"
+    ).collect()[0]
     assert got["c"] == got["d"] == ev.count()
 
 
