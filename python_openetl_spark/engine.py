@@ -303,6 +303,28 @@ class Dataset:
 
         return Dataset(k_anonymity_report(self.df, quasi_cols, k))
 
+    def bpe_train(self, iters: int = 3, text_col: str = "text", **kw) -> "Dataset":
+        from python_openetl_spark.operators.bpe import bpe_train, word_counts
+
+        return Dataset(bpe_train(word_counts(self.df, text_col), iters=iters, **kw))
+
+    def gap_fill(self, keys, date_col: str, **kw) -> "Dataset":
+        from python_openetl_spark.operators.timeseries import gap_fill
+
+        return Dataset(gap_fill(self.df, keys, date_col, **kw))
+
+    def matryoshka_topk(self, queries: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.similarity import matryoshka_topk
+
+        q = queries.df if isinstance(queries, Dataset) else queries
+        return Dataset(matryoshka_topk(self.df, q, **kw))
+
+    def quantized_topk(self, queries: "Dataset | DataFrame", **kw) -> "Dataset":
+        from python_openetl_spark.operators.similarity import quantized_topk
+
+        q = queries.df if isinstance(queries, Dataset) else queries
+        return Dataset(quantized_topk(self.df, q, **kw))
+
 
 class Engine:
     """Session + sources + pipeline verbs in one handle."""

@@ -57,10 +57,16 @@ def asof_join(
 
     Both directions are the same union-merge dataflow: forward only
     flips the traversal to descending time — still one shuffle + one
-    per-key sort, no plan-shape change.
+    per-key sort, no plan-shape change. ``direction="nearest"`` (pandas
+    parity: closest right row in either direction, backward wins exact
+    ties) evaluates BOTH carries over the same partitioning — Catalyst
+    plans one Exchange and two sorts, not two shuffles — and picks the
+    smaller absolute gap per left row.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     rpay_cols = [c for c in right.columns if c != by]
     # no seq_col → content-derived tiebreaker: equal-timestamp right rows
     # resolve by xxhash64 of the full right row, which is reproducible
@@ -84,31 +90,60 @@ def asof_join(
     )
     l = l.withColumn("__rpay", F.lit(None).cast(r.schema["__rpay"].dataType.simpleString()))
     both = l.unionByName(r)
+
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    is_ts = isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType))
+
+    def _cmp(c: F.Column) -> F.Column:
+        # exact integer micros — a double epoch-seconds compare has
+        # ~0.5µs of ulp error at 2024 epoch magnitudes
+        return F.unix_micros(c) if is_ts else c.cast("double")
+
+    tol = None
+    if tolerance is not None:
+        tol = (
+            F.lit(int(round(float(tolerance) * 1_000_000)))
+            if is_ts
+            else F.lit(float(tolerance))
+        )
+
     # traversal order: time toward the left row, rights (side 0) before
     # lefts at equal timestamps (inclusive match), greater seq later so
     # last() resolves right-side ties to the greatest seq
-    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
-    w = (
-        Window.partitionBy(by)
-        .orderBy(t_order, F.col("__side"), F.col("__seq"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = both.withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
-    out = carried.filter(F.col("__side") == 1)
-    match = F.col("__match")
-    if tolerance is not None:
-        from pyspark.sql.types import TimestampNTZType, TimestampType
+    def _carry(descending: bool) -> F.Column:
+        t_order = F.col("__t").desc() if descending else F.col("__t")
+        w = (
+            Window.partitionBy(by)
+            .orderBy(t_order, F.col("__side"), F.col("__seq"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__rpay", ignorenulls=True).over(w)
 
-        if isinstance(left.schema[on].dataType, (TimestampType, TimestampNTZType)):
-            # exact integer micros — a double epoch-seconds compare has
-            # ~0.5µs of ulp error at 2024 epoch magnitudes
-            lt, rt = F.unix_micros(F.col("__t")), F.unix_micros(F.col(f"__match.{on}"))
-            tol = F.lit(int(round(float(tolerance) * 1_000_000)))
-        else:
-            lt, rt = F.col("__t").cast("double"), F.col(f"__match.{on}").cast("double")
-            tol = F.lit(float(tolerance))
-        gap = (lt - rt) if direction == "backward" else (rt - lt)
-        match = F.when(gap <= tol, F.col("__match"))
+    if direction in ("backward", "forward"):
+        carried = both.withColumn("__match", _carry(direction == "forward"))
+        out = carried.filter(F.col("__side") == 1)
+        match = F.col("__match")
+        if tol is not None:
+            lt, rt = _cmp(F.col("__t")), _cmp(F.col(f"__match.{on}"))
+            gap = (lt - rt) if direction == "backward" else (rt - lt)
+            match = F.when(gap <= tol, F.col("__match"))
+    else:  # nearest: both carries over ONE partitioning (two sorts, one shuffle)
+        carried = both.withColumn("__mb", _carry(False)).withColumn("__mf", _carry(True))
+        out = carried.filter(F.col("__side") == 1)
+        lt = _cmp(F.col("__t"))
+        gap_b = lt - _cmp(F.col(f"__mb.{on}"))
+        gap_f = _cmp(F.col(f"__mf.{on}")) - lt
+        mb, mf = F.col("__mb"), F.col("__mf")
+        if tol is not None:
+            mb, gap_b = F.when(gap_b <= tol, mb), F.when(gap_b <= tol, gap_b)
+            mf, gap_f = F.when(gap_f <= tol, mf), F.when(gap_f <= tol, gap_f)
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(gap_b <= gap_f, mb)  # exact tie -> backward (pandas parity)
+            .otherwise(mf)
+        )
     cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
     out = out.withColumn("__m2", match)
     cols += [F.col(f"__m2.{c}").alias(f"{right_prefix}{c}") for c in rpay_cols]

@@ -30,19 +30,24 @@ def seed_bucketed(
     num_buckets: int = 32,
     sort_by: str | list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (and optionally sorted) catalog table.
 
     ``num_buckets`` should match the join parallelism you want and MUST
     match between tables that join co-located. ``sort_by`` additionally
     sorts each bucket file, turning the downstream sort-merge join's
-    sort into a no-op read.
+    sort into a no-op read. ``path`` makes the table external at that
+    location instead of the session warehouse directory (use when the
+    process cwd must stay clean).
     """
     cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
     writer = df.write.mode(mode).bucketBy(num_buckets, *cols)
     if sort_by:
         scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*scols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

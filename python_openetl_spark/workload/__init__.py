@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from python_openetl_spark.workload import (
     incremental,
     incremental2,
+    incremental3,
     llm,
     llm2,
     llm3,
@@ -75,6 +76,7 @@ _MODULES = (
     llm8,
     llm9,
     relational5,
+    incremental3,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:
@@ -103,8 +105,8 @@ _MODULES = (
 # a driver row from r3, r4, or r5, and nothing predates r3.
 #
 # _WINDOW_R6 should lead with the round-5 post-window additions that
-# have never had a driver row — q60-q63, d39-d46, e05, x11, x12, m15,
-# m16, s08 (all locally oracle-gated incl. hostile/empty suites AND
+# have never had a driver row — q60-q64, d39-d46, e05, x11-x13, m15,
+# m16, m17, s08 (all locally oracle-gated incl. hostile/empty suites AND
 # the sf0.1 soak) — then rotate the oldest r3-checked rows back
 # through (see COVERAGE.md's per-query ledger for exact staleness).
 _WINDOW_R5 = (

@@ -97,9 +97,24 @@ FROM ({union})"""
     return "".join(parts)
 
 
+def x13_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized first pass (4x less data moved per scan
+    row) + exact full-precision rerank. Both stages deterministic JVM
+    folds, so the oracle mirrors the full two-stage plan including the
+    x06 quantization formula."""
+    from python_openetl_spark.operators.similarity import quantized_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_X12_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return quantized_topk(emb, queries, k=_X12_K, rerank_factor=_X12_RERANK)
+
+
 QUERIES = {
     "d46_bpe_merge_train": d46_bpe_merge_train,
     "x12_matryoshka_topk": x12_matryoshka_topk,
+    "x13_quantized_topk": x13_quantized_topk,
 }
 
 ORACLE = {
@@ -133,6 +148,45 @@ ORACLE = {
           FROM cand WHERE prerank <= {_X12_K * _X12_RERANK}
         )
         SELECT query_id, vec_id, pre_sim, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM re
+        ) WHERE rank <= {_X12_K}
+    """,
+    # stage-1 quantization mirrors the x06 oracle's formula exactly
+    # (per-vector symmetric scale, round-half-up); the int products stay
+    # exact in doubles, so the two-stage result is deterministic
+    "x13_quantized_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        z AS (
+          SELECT vec_id, v,
+                 CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS amax
+                FROM e)
+        ),
+        qz AS (
+          SELECT vec_id, v, scale,
+                 list_transform(v, x -> floor(x / scale + 0.5)) AS qq
+          FROM z
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv, scale AS qscale, qq AS qqq
+              FROM qz WHERE vec_id IN {_X12_QUERY_IDS}),
+        s1 AS (
+          SELECT q.query_id, c.vec_id, c.v, q.qv,
+                 list_dot_product(c.qq, q.qqq) * c.scale * q.qscale AS approx_ip
+          FROM qz c, q WHERE c.vec_id <> q.query_id
+        ),
+        cand AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY approx_ip DESC, vec_id) AS prerank
+          FROM s1
+        ),
+        re AS (
+          SELECT query_id, vec_id, approx_ip,
+                 list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos_sim
+          FROM cand WHERE prerank <= {_X12_K * _X12_RERANK}
+        )
+        SELECT query_id, vec_id, approx_ip, cos_sim, rank FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
           FROM re
         ) WHERE rank <= {_X12_K}

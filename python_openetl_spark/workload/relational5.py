@@ -51,8 +51,43 @@ def q63_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (operators/asof.py): each purchase
+    matched to the same user's closest click in EITHER direction within
+    a 30-minute tolerance; exact-distance ties prefer the backward
+    match (pandas ``merge_asof(direction='nearest')`` parity, pinned in
+    tests/test_asof.py). One shuffle, two per-key sorts."""
+    from python_openetl_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        seq_col="c_id",
+        direction="nearest",
+        tolerance=1800,
+    )
+    return out.select(
+        "p_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("asof_c_id").alias("c_id"),
+        F.unix_micros("asof_ts").alias("click_us"),
+        F.col("asof_value").alias("click_value"),
+    )
+
+
 QUERIES = {
     "q63_gap_fill_daily_revenue": q63_gap_fill_daily_revenue,
+    "q64_asof_nearest": q64_asof_nearest,
 }
 
 ORACLE = {
@@ -88,5 +123,31 @@ ORACLE = {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS avg_price_ffill
         FROM j
+    """,
+    # candidate semantics mirror the operator: the latest click <= the
+    # purchase IS the nearest backward candidate (and symmetrically
+    # forward), so a bounded left join + argmin(gap) states "nearest
+    # within tolerance"; ties prefer backward, then the greatest c_id
+    # (the operator's seq_col) among equal-timestamp clicks
+    "q64_asof_nearest": """
+        WITH p AS (SELECT event_id AS p_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS c_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'),
+        cand AS (
+          SELECT p.p_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+                 c.c_id, epoch_us(c.ts) AS click_us, c.value AS click_value,
+                 abs(epoch_us(p.ts) - epoch_us(c.ts)) AS gap,
+                 CASE WHEN epoch_us(c.ts) <= epoch_us(p.ts) THEN 0 ELSE 1 END AS fwd
+          FROM p LEFT JOIN c
+            ON p.user_id = c.user_id
+           AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+        )
+        SELECT p_id, user_id, purchase_us, c_id, click_us, click_value FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY p_id
+                   ORDER BY gap NULLS LAST, fwd, c_id DESC) AS rn
+          FROM cand
+        ) WHERE rn = 1
     """,
 }

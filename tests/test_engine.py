@@ -124,3 +124,36 @@ def test_facade_quality_and_privacy(spark):
     assert checks == {"not_null(k)": 0, "unique(k)": 1}
     rep = ds.k_anonymity_report(["lang"], k=2).collect()[0]
     assert rep.n_violating_groups == 1 and not rep.is_k_anonymous
+
+
+def test_facade_bpe_timeseries_matryoshka(spark):
+    import datetime
+
+    from python_openetl_spark.engine import Dataset
+
+    docs = Dataset(
+        spark.createDataFrame([(1, "abc abc abd")], "doc_id long, text string")
+    )
+    m = docs.bpe_train(iters=1).collect()
+    assert (m[0].left_tok, m[0].right_tok, m[0].pair_freq) == ("a", "b", 3)
+
+    d = datetime.date
+    daily = Dataset(
+        spark.createDataFrame(
+            [("a", d(2024, 1, 1), 1), ("a", d(2024, 1, 3), 2)], "g string, day date, n long"
+        )
+    )
+    filled = daily.gap_fill(["g"], "day", zero_cols=["n"]).collect()
+    assert len(filled) == 3 and {r.n for r in filled} == {0, 1, 2}
+
+    emb = Dataset(
+        spark.createDataFrame(
+            [(i, [float(i == j) for j in range(8)]) for i in range(4)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 7)], "query_id long, embedding array<float>"
+    )
+    top = emb.matryoshka_topk(q, prefix_dims=4, k=2, rerank_factor=2).collect()
+    assert len(top) == 2 and top[0].query_id == 0
