@@ -170,12 +170,34 @@ def k05_manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k06_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write layout (plans/zorder.py) end to end: lay events
+    out by the interleaved (user_id, value) z-key — range-partitioned
+    into files and sorted within each — then answer a two-dimensional
+    range predicate from the laid-out copy. Multi-column clustering
+    gives BOTH predicates row-group min/max locality from one layout
+    (a single-column sort can only serve one); the skipping itself is
+    pinned in tests/test_plans.py, this row proves the layout write
+    loses/duplicates nothing under a selective 2-D read."""
+    from python_openetl_spark.plans.zorder import zorder_layout
+
+    src = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    path = _tmp("zorder")
+    zorder_layout(src, ["user_id", "value"], num_files=8).write.parquet(path)
+    back = spark.read.parquet(path)
+    return back.filter(
+        (F.col("user_id") >= 100) & (F.col("user_id") < 200)
+        & (F.col("value") >= 50.0) & (F.col("value") < 150.0)
+    ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+
+
 QUERIES = {
     "k01_csv_roundtrip": k01_csv_roundtrip,
     "k02_json_roundtrip": k02_json_roundtrip,
     "k03_orc_roundtrip": k03_orc_roundtrip,
     "k04_parquet_roundtrip": k04_parquet_roundtrip,
     "k05_manifest_pruned_scan": k05_manifest_pruned_scan,
+    "k06_zorder_layout_scan": k06_zorder_layout_scan,
 }
 
 ORACLE = {
@@ -211,5 +233,11 @@ ORACLE = {
         WHERE o_orderdate >= TIMESTAMP '1996-04-01'
           AND o_orderdate <= TIMESTAMP '1996-07-01'
         GROUP BY o_month
+    """,
+    "k06_zorder_layout_scan": """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM events
+        WHERE user_id >= 100 AND user_id < 200
+          AND value >= 50.0 AND value < 150.0
     """,
 }

@@ -136,11 +136,36 @@ def u04_python_udtf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u05_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow tier: the batch stays a pyarrow RecordBatch end to
+    end — no pandas materialization, no per-row Python — with the
+    transformation done by Arrow compute kernels (C++). The cheapest
+    Python extension point when the kernel exists in Arrow; here a
+    winsorize-style clip of the value column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+
+    def clip_batches(batches):
+        for batch in batches:
+            clipped = pc.min_element_wise(
+                pc.max_element_wise(batch.column("value"), pa.scalar(10.0)),
+                pa.scalar(500.0),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_id"), clipped], ["event_id", "value_clipped"]
+            )
+
+    return ev.mapInArrow(clip_batches, schema="event_id long, value_clipped double")
+
+
 QUERIES = {
     "u01_pandas_udf_norm": u01_pandas_udf_norm,
     "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
     "u03_python_udf_priority": u03_python_udf_priority,
     "u04_python_udtf_terms": u04_python_udtf_terms,
+    "u05_map_in_arrow": u05_map_in_arrow,
 }
 
 ORACLE = {
@@ -181,5 +206,11 @@ ORACLE = {
         )
         SELECT term, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf
         FROM per_doc GROUP BY term
+    """,
+    # min/max over doubles are exact (no fp accumulation), so the Arrow
+    # kernel path compares unrounded
+    "u05_map_in_arrow": """
+        SELECT event_id, LEAST(GREATEST(value, 10.0), 500.0) AS value_clipped
+        FROM events
     """,
 }
