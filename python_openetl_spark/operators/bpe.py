@@ -15,9 +15,16 @@ Spark-first design for 100 TB corpora:
 - Each word is represented as its symbol sequence joined by an
   unprintable separator (``\\x1f``). Pair counting is pure JVM
   expressions (split → slice → arrays_zip → explode → sum), fully
-  whole-stage-codegen'd; applying a merge is a single ``replace`` —
-  string replace is left-to-right non-overlapping in both Spark and
-  DuckDB, which is exactly BPE's greedy within-word merge order.
+  whole-stage-codegen'd; applying a merge is a token-exact left-to-
+  right fold (``aggregate`` over the split sequence): append each
+  token, fusing it into the previous one exactly when the previous
+  WHOLE token is ``l`` and the current is ``r``. A plain string
+  ``replace`` of ``l+SEP+r`` would also match when ``l`` is merely the
+  *suffix* of a longer merged token (e.g. pair ``(b,c)`` corrupting
+  ``[ab, c]`` into ``[abc]``) — the fold can't, and it reproduces
+  BPE's greedy non-overlapping order including ``l==r`` chains
+  (``aaaa -> [aa][aa]``). Property-tested against a single-node
+  reference trainer (tests/test_properties.py).
 - Per iteration the driver collects **one row** (the winning pair) —
   the same tiny driver action per merge that single-node BPE trainers
   perform; the vocabulary itself never leaves the executors. The
@@ -82,6 +89,22 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merge(seq, left: str, right: str):
+    """Greedy left-to-right merge of adjacent tokens (left, right) in a
+    SEP-joined sequence, token-exact (see module docstring)."""
+    sep_l = F.lit(SEP + left)
+
+    def step(acc, x):
+        prev_is_left = (acc == F.lit(left)) | acc.endswith(sep_l)
+        return (
+            F.when(acc == F.lit(""), x)
+            .when(prev_is_left & (x == F.lit(right)), F.concat(acc, x))
+            .otherwise(F.concat(acc, F.lit(SEP), x))
+        )
+
+    return F.aggregate(F.split(seq, SEP), F.lit(""), step)
+
+
 def bpe_train(words: DataFrame, iters: int = 3) -> DataFrame:
     """Learn the first ``iters`` BPE merges from a word-frequency table
     (output of :func:`word_counts`). Returns the merge table
@@ -108,12 +131,7 @@ def bpe_train(words: DataFrame, iters: int = 3) -> DataFrame:
             row = top[0]
             merges.append((it, row["l"], row["r"], row["freq"]))
             cur = cur.withColumn(
-                "seq",
-                F.replace(
-                    F.col("seq"),
-                    F.lit(row["l"] + SEP + row["r"]),
-                    F.lit(row["l"] + row["r"]),
-                ),
+                "seq", _apply_merge(F.col("seq"), row["l"], row["r"])
             )
         return spark.createDataFrame(merges, MERGES_SCHEMA)
     finally:

@@ -5,9 +5,9 @@ retrieval.
   tokenizer-fitting step of a training-data pipeline, verified against
   an UNROLLED per-iteration SQL oracle (the d40 pagerank pattern):
   each greedy merge round is one CTE chain of
-  pair-count → argmax → replace, and string ``replace`` is
-  left-to-right non-overlapping in both engines, which is exactly
-  BPE's within-word merge order (verified byte-for-byte).
+  pair-count → argmax → token-exact merge fold (Spark ``aggregate``
+  mirrored by DuckDB ``list_reduce``; a plain string replace would
+  corrupt merges whose left symbol is the suffix of a longer token).
 - x12: Matryoshka two-stage retrieval (operators/similarity.py
   ``matryoshka_topk``) — rank the corpus on the 16-dim embedding
   prefix, rerank the survivors with the full 64-dim cosine. The
@@ -82,10 +82,11 @@ m{i} AS (SELECT CAST({i} AS BIGINT) AS iteration, l, r, freq
          FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
 s{i} AS (
   SELECT cnt,
-         replace(seq,
-                 (SELECT l FROM m{i}) || chr(31) || (SELECT r FROM m{i}),
-                 (SELECT l FROM m{i}) || (SELECT r FROM m{i})) AS seq
-  FROM s{i - 1}
+         list_reduce(string_split(seq, chr(31)), (acc, x) ->
+           CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l)) AND x = m.r
+                THEN acc || x
+                ELSE acc || chr(31) || x END) AS seq
+  FROM s{i - 1}, m{i} AS m
 )"""
         )
     union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, iters + 1))

@@ -412,3 +412,84 @@ def test_pagerank_mass_conservation(spark, edges):
         return  # all self-loops: no graph survives preprocessing
     total = pagerank(e, iters=2).agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 1.0) < 1e-8
+
+
+_daily_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 40), st.integers(0, 50)),
+    max_size=12, unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(rows=_daily_rows)
+@_settings
+def test_gap_fill_covers_spine_and_preserves_observations(spark, rows):
+    from python_openetl_spark.operators.timeseries import gap_fill
+
+    if not rows:
+        return
+    base = dt.date(2024, 1, 1)
+    data = [(g, base + dt.timedelta(days=d), float(v)) for g, d, v in rows]
+    daily = spark.createDataFrame(data, "g long, day date, v double")
+    out = {
+        (r["g"], r["day"]): r["v"]
+        for r in gap_fill(daily, ["g"], "day", zero_cols=["v"]).collect()
+    }
+    # every observed row survives unchanged
+    for g, day, v in data:
+        assert out[(g, day)] == v
+    # per-group: exactly the [min, max] day range, gaps zero-filled
+    import collections
+    spans = collections.defaultdict(list)
+    for g, day, _ in data:
+        spans[g].append(day)
+    want_n = sum((max(ds) - min(ds)).days + 1 for ds in spans.values())
+    assert len(out) == want_n
+    observed = {(g, d) for g, d, _ in data}
+    assert all(v == 0.0 for k, v in out.items() if k not in observed)
+
+
+_bpe_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+)
+
+
+@given(words=_bpe_words)
+@_settings
+def test_bpe_train_matches_sequential_reference(spark, words):
+    """The distributed trainer must equal a straightforward single-node
+    greedy BPE (count adjacent pairs weighted by word frequency, merge
+    the (freq desc, pair asc) winner left-to-right, repeat)."""
+    from collections import Counter
+
+    from python_openetl_spark.operators.bpe import bpe_train, word_counts
+
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    got = [
+        (r["iteration"], r["left_tok"], r["right_tok"], r["pair_freq"])
+        for r in bpe_train(word_counts(docs), iters=3).collect()
+    ]
+
+    vocab = Counter(words)
+    seqs = {w: list(w) for w in vocab}
+    want = []
+    for it in range(1, 4):
+        pairs = Counter()
+        for w, n in vocab.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (l, r), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((it, l, r, f))
+        for w in seqs:
+            s, merged, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(s[i])
+                    i += 1
+            seqs[w] = merged
+    assert got == want
