@@ -298,6 +298,12 @@ class Dataset:
 
         return Dataset(run_checks(self.df, checks, table_name))
 
+    def quarantine_split(self, checks: list) -> "tuple[Dataset, Dataset]":
+        from python_openetl_spark.operators.quality import quarantine_split
+
+        good, bad = quarantine_split(self.df, checks)
+        return Dataset(good), Dataset(bad)
+
     def k_anonymity_report(self, quasi_cols: list[str], k: int = 5) -> "Dataset":
         from python_openetl_spark.operators.privacy import k_anonymity_report
 

@@ -200,16 +200,41 @@ def canonicalize_corpus(
     id_col: str = "doc_id",
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
+    prefer_col: str | None = None,
 ) -> DataFrame:
-    """The deduplicated corpus: drop every clustered doc except the
-    member with the minimum id; docs in no pair survive untouched.
+    """The deduplicated corpus: drop every clustered doc except one
+    canonical member per cluster; docs in no pair survive untouched.
+
+    Canonical selection: the minimum id by default, or — with
+    ``prefer_col`` — the member with the GREATEST value of that ``df``
+    column (ties → min id): "keep the longest / highest-quality copy",
+    the curation policy real pipelines want instead of id order.
 
     One anti-join against the (small) non-canonical member set — the
     corpus itself is never shuffled, so 100 TB of documents flow through
     with only the id column of the duplicate graph in the exchange.
+    With ``prefer_col`` the duplicate graph is additionally broadcast
+    against the corpus's (id, score) projection, so scoring adds a
+    column-pruned scan, not a corpus shuffle.
     """
+    from pyspark.sql.window import Window
+
     comps = connected_components(pairs, src_col, dst_col)
-    losers = comps.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    if prefer_col is None:
+        losers = comps.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        scores = df.select(
+            F.col(id_col).alias("id"), F.col(prefer_col).alias("__pref")
+        )
+        members = scores.join(F.broadcast(comps), "id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("__pref").desc(), F.col("id")
+        )
+        losers = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")

@@ -152,3 +152,74 @@ def run_checks(df: DataFrame, checks: list[Check], table_name: str) -> DataFrame
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def _row_violation(c: Check, df: DataFrame):
+    """Row-level predicate: TRUE where this row violates the check.
+    ``unique`` needs a per-key window count; ``ref_integrity`` is
+    handled by ``quarantine`` itself (one join, not an expression)."""
+    col = F.col(c.column)
+    if c.kind == "not_null":
+        return col.isNull()
+    if c.kind == "in_range":
+        lo, hi = c.params["lo"], c.params["hi"]
+        return col.isNotNull() & ((col < F.lit(lo)) | (col > F.lit(hi)))
+    if c.kind == "accepted_values":
+        return col.isNotNull() & ~col.isin(c.params["values"])
+    if c.kind == "matches":
+        return col.isNotNull() & ~col.rlike(c.params["pattern"])
+    if c.kind == "unique":
+        from pyspark.sql.window import Window
+
+        return col.isNotNull() & (
+            F.count(F.lit(1)).over(Window.partitionBy(col)) > 1
+        )
+    raise ValueError(f"no row-level form for check kind: {c.kind}")
+
+
+def quarantine(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Row-level quality gate: every input row, annotated with
+    ``dq_reasons`` (comma-joined names of the checks it fails, in the
+    given check order — deterministic) and ``dq_valid``.
+
+    The write-side half of the expectations story: ``run_checks``
+    reports table health, ``quarantine`` routes the actual bad rows to
+    a dead-letter table instead of poisoning the publish (split with
+    :func:`quarantine_split`).
+
+    Scale shape: scan-local checks stay one pass; each ``unique`` adds
+    one window (shuffle on that key); each ``ref_integrity`` adds one
+    left join against the (broadcast when small) distinct key set —
+    never a second scan of the fact table per check.
+    """
+    reasons = []
+    out = df
+    for c in checks:
+        if c.kind == "ref_integrity":
+            other = c.params["other"]
+            keys = other.select(
+                F.col(c.params["other_col"]).alias(c.column),
+                F.lit(True).alias(f"__ref_{c.name}"),
+            ).distinct()
+            out = out.join(F.broadcast(keys), c.column, "left")
+            viol = F.col(c.column).isNotNull() & F.col(f"__ref_{c.name}").isNull()
+            out = out.withColumn(f"__v_{c.name}", viol).drop(f"__ref_{c.name}")
+        else:
+            out = out.withColumn(f"__v_{c.name}", _row_violation(c, df))
+        reasons.append(F.when(F.col(f"__v_{c.name}"), F.lit(c.name)))
+    out = out.withColumn("dq_reasons", F.concat_ws(",", *reasons))
+    out = out.select(
+        *df.columns,
+        F.when(F.col("dq_reasons") == "", None).otherwise(F.col("dq_reasons")).alias("dq_reasons"),
+        (F.col("dq_reasons") == "").alias("dq_valid"),
+    )
+    return out
+
+
+def quarantine_split(df: DataFrame, checks: list[Check]) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined): good rows with the original schema,
+    quarantined rows with ``dq_reasons`` attached."""
+    annotated = quarantine(df, checks)
+    good = annotated.filter(F.col("dq_valid")).select(*df.columns)
+    bad = annotated.filter(~F.col("dq_valid")).drop("dq_valid")
+    return good, bad

@@ -112,14 +112,55 @@ def x13_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk(emb, queries, k=_X12_K, rerank_factor=_X12_RERANK)
 
 
+def d47_quality_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-aware cluster canonicalization
+    (operators/cluster.py canonicalize_corpus(prefer_col=...)): keep
+    each duplicate cluster's LONGEST member instead of its min id — on
+    the twin corpus the planted twins are 4 chars longer, so the
+    surviving set provably differs from d13's min-id policy."""
+    from python_openetl_spark.operators.cluster import canonicalize_corpus
+    from python_openetl_spark.workload.llm import _docs_with_twins, _jaccard_pairs
+
+    docs = _docs_with_twins(spark, sf_dir).withColumn("sz", F.length("text"))
+    out = canonicalize_corpus(
+        docs, _jaccard_pairs(spark, sf_dir), "doc_id", prefer_col="sz"
+    )
+    return out.select("doc_id", "text")
+
+
 QUERIES = {
     "d46_bpe_merge_train": d46_bpe_merge_train,
     "x12_matryoshka_topk": x12_matryoshka_topk,
     "x13_quantized_topk": x13_quantized_topk,
+    "d47_quality_canonical_corpus": d47_quality_canonical_corpus,
 }
+
+def _d47_oracle() -> str:
+    from python_openetl_spark.workload.llm import _COMPONENTS_SQL, _TWINS_SQL
+
+    return f"""
+        WITH comp AS ({_COMPONENTS_SQL}),
+        docs AS ({_TWINS_SQL}),
+        members AS (
+          SELECT comp.id, comp.cluster_id, length(d.text) AS sz
+          FROM comp JOIN docs d ON comp.id = d.doc_id
+        ),
+        win AS (
+          SELECT id FROM (
+            SELECT id, ROW_NUMBER() OVER (
+                     PARTITION BY cluster_id ORDER BY sz DESC, id) AS rn
+            FROM members
+          ) WHERE rn = 1
+        )
+        SELECT d.doc_id, d.text
+        FROM docs d LEFT JOIN comp ON d.doc_id = comp.id
+        WHERE comp.id IS NULL OR d.doc_id IN (SELECT id FROM win)
+    """
+
 
 ORACLE = {
     "d46_bpe_merge_train": _bpe_oracle(_BPE_ITERS),
+    "d47_quality_canonical_corpus": _d47_oracle(),
     "x12_matryoshka_topk": f"""
         WITH q AS (
           SELECT vec_id AS query_id,

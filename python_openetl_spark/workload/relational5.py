@@ -85,9 +85,65 @@ def q64_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: planted-violation id offsets for q65 (one family per defect class)
+_Q65_OFF = 10_000_000
+
+
+def _orders_with_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic defect stream: every 50th order re-appears four
+    times, each copy violating exactly one expectation, plus every
+    500th order duplicated verbatim (unique violation on both copies)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    seed = o.filter(F.col("o_orderkey") % 50 == 0)
+    bad_price = seed.select(
+        (F.col("o_orderkey") + _Q65_OFF).alias("o_orderkey"), "o_custkey",
+        "o_orderstatus", F.lit(-5.0).alias("o_totalprice"), "o_orderpriority",
+    )
+    bad_status = seed.select(
+        (F.col("o_orderkey") + 2 * _Q65_OFF).alias("o_orderkey"), "o_custkey",
+        F.lit("X").alias("o_orderstatus"), "o_totalprice", "o_orderpriority",
+    )
+    bad_prio = seed.select(
+        (F.col("o_orderkey") + 3 * _Q65_OFF).alias("o_orderkey"), "o_custkey",
+        "o_orderstatus", "o_totalprice", F.lit("9-BOGUS").alias("o_orderpriority"),
+    )
+    orphan = seed.select(
+        (F.col("o_orderkey") + 4 * _Q65_OFF).alias("o_orderkey"),
+        F.lit(-999).cast("long").alias("o_custkey"),
+        "o_orderstatus", "o_totalprice", "o_orderpriority",
+    )
+    dup = o.filter(F.col("o_orderkey") % 500 == 0)
+    return o.unionByName(bad_price).unionByName(bad_status).unionByName(
+        bad_prio
+    ).unionByName(orphan).unionByName(dup)
+
+
+def q65_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level quality gate (operators/quality.py quarantine): the
+    planted defect stream routed through five expectations; returns the
+    quarantined rows with their comma-joined failure reasons (check
+    order = declaration order, deterministic on both engines)."""
+    from python_openetl_spark.operators import quality as Q
+
+    stream = _orders_with_defects(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer")
+    checks = [
+        Q.in_range("o_totalprice", 0.0, 1_000_000.0),
+        Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        Q.matches("o_orderpriority", r"^[1-5]-"),
+        Q.unique("o_orderkey"),
+        Q.ref_integrity("o_custkey", cust, "c_custkey"),
+    ]
+    bad = Q.quarantine(stream, checks).filter(~F.col("dq_valid"))
+    return bad.select("o_orderkey", "o_custkey", "dq_reasons")
+
+
 QUERIES = {
     "q63_gap_fill_daily_revenue": q63_gap_fill_daily_revenue,
     "q64_asof_nearest": q64_asof_nearest,
+    "q65_quarantine_rows": q65_quarantine_rows,
 }
 
 ORACLE = {
@@ -149,5 +205,46 @@ ORACLE = {
                    ORDER BY gap NULLS LAST, fwd, c_id DESC) AS rn
           FROM cand
         ) WHERE rn = 1
+    """,
+    "q65_quarantine_rows": """
+        WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                          o_totalprice, o_orderpriority FROM orders),
+        seed AS (SELECT * FROM o WHERE o_orderkey % 50 = 0),
+        stream AS (
+          SELECT * FROM o
+          UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                           -5.0, o_orderpriority FROM seed
+          UNION ALL SELECT o_orderkey + 20000000, o_custkey, 'X',
+                           o_totalprice, o_orderpriority FROM seed
+          UNION ALL SELECT o_orderkey + 30000000, o_custkey, o_orderstatus,
+                           o_totalprice, '9-BOGUS' FROM seed
+          UNION ALL SELECT o_orderkey + 40000000, -999, o_orderstatus,
+                           o_totalprice, o_orderpriority FROM seed
+          UNION ALL SELECT * FROM o WHERE o_orderkey % 500 = 0
+        ),
+        ann AS (
+          SELECT s.*,
+            (s.o_totalprice IS NOT NULL
+               AND (s.o_totalprice < 0.0 OR s.o_totalprice > 1000000.0)) AS v1,
+            (s.o_orderstatus IS NOT NULL
+               AND s.o_orderstatus NOT IN ('O', 'F', 'P')) AS v2,
+            (s.o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(s.o_orderpriority, '^[1-5]-')) AS v3,
+            (s.o_orderkey IS NOT NULL
+               AND COUNT(*) OVER (PARTITION BY s.o_orderkey) > 1) AS v4,
+            (s.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS v5
+          FROM stream s
+          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+            ON s.o_custkey = c.c_custkey
+        )
+        SELECT o_orderkey, o_custkey,
+               concat_ws(',',
+                 CASE WHEN v1 THEN 'in_range(o_totalprice)' END,
+                 CASE WHEN v2 THEN 'accepted_values(o_orderstatus)' END,
+                 CASE WHEN v3 THEN 'matches(o_orderpriority)' END,
+                 CASE WHEN v4 THEN 'unique(o_orderkey)' END,
+                 CASE WHEN v5 THEN 'ref_integrity(o_custkey)' END) AS dq_reasons
+        FROM ann
+        WHERE v1 OR v2 OR v3 OR v4 OR v5
     """,
 }

@@ -106,3 +106,63 @@ def test_pseudonymize_deterministic_joinable_nullsafe(spark):
     assert other[1] != toks[1]
     # untouched columns intact
     assert {r.lang for r in out} == {"en", "de", "fr"}
+
+
+def test_quarantine_split_row_level_reasons(spark):
+    from python_openetl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", 100),   # clean
+            (2, -1.0, "O", 100),   # range
+            (3, 5.0, "Z", 100),    # accepted_values
+            (4, None, "O", 100),   # NULL price: not a range violation
+            (5, 5.0, "O", 999),    # orphan custkey
+            (6, 5.0, "O", 100),    # duplicated key below
+            (6, 7.0, "O", 100),
+        ],
+        "k long, price double, status string, ck long",
+    )
+    cust = spark.createDataFrame([(100,), (101,)], "c long")
+    checks = [
+        Q.in_range("price", 0.0, 50.0),
+        Q.accepted_values("status", ["O", "F"]),
+        Q.unique("k"),
+        Q.ref_integrity("ck", cust, "c"),
+    ]
+    good, bad = Q.quarantine_split(df, checks)
+    assert good.columns == df.columns
+    assert sorted(r["k"] for r in good.collect()) == [1, 4]
+    got = {(r["k"], r["price"]): r["dq_reasons"] for r in bad.collect()}
+    assert got[(2, -1.0)] == "in_range(price)"
+    assert got[(3, 5.0)] == "accepted_values(status)"
+    assert got[(5, 5.0)] == "ref_integrity(ck)"
+    assert got[(6, 5.0)] == got[(6, 7.0)] == "unique(k)"
+
+
+def test_quarantine_multi_reason_order_is_declaration_order(spark):
+    from python_openetl_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1, -1.0, "Z")], "k long, price double, status string")
+    bad = Q.quarantine(
+        df, [Q.in_range("price", 0.0, 50.0), Q.accepted_values("status", ["O"])]
+    ).filter("NOT dq_valid")
+    assert bad.collect()[0]["dq_reasons"] == "in_range(price),accepted_values(status)"
+
+
+def test_canonicalize_prefer_col_keeps_best_member(spark):
+    from python_openetl_spark.operators.cluster import canonicalize_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 9), (3, "c", 9), (4, "d", 1)],
+        "doc_id long, text string, score long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    # min-id policy keeps 1; prefer=score keeps 2 (score 9, tie vs 3 -> min id)
+    kept_min = {r["doc_id"] for r in canonicalize_corpus(docs, pairs).collect()}
+    assert kept_min == {1, 4}
+    kept_best = {
+        r["doc_id"]
+        for r in canonicalize_corpus(docs, pairs, prefer_col="score").collect()
+    }
+    assert kept_best == {2, 4}
