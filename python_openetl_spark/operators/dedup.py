@@ -708,3 +708,69 @@ def blocked_fuzzy_pairs(
         .filter(F.col("edit_distance") <= max_edit)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def cross_doc_repeated_windows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document substring detection at token-window
+    granularity (the "dedup repeated spans across the corpus" primitive
+    of Lee et al. 2022, public algorithm): per document, every
+    ``window``-token sliding window is keyed by the md5 of its joined
+    tokens; a window is *repeated* when it occurs in at least
+    ``min_docs`` DISTINCT documents. Returns per-document
+    ``(id, n_windows, n_repeated, repeat_frac)`` — the span-level
+    duplication signal quality filters threshold on.
+
+    Scale shape: windows explode the corpus by ~1 row per token (each
+    row ``window`` tokens re-joined — the engine-standard trade of
+    recompute-per-window vs materializing token arrays); the repeated
+    set comes from one map-side-combined groupBy on the window key, and
+    rejoining it to the window stream is a key-partitioned join that
+    AQE converts to broadcast when the repeated set is small (the usual
+    case: boilerplate is rare relative to the corpus). No driver-side
+    state; md5 keys make the result engine-reproducible (and collisions
+    negligible at 128 bits).
+    """
+    from python_openetl_spark.functions.text import tokens
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    tk = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    idx = F.when(
+        F.size("toks") >= window,
+        F.sequence(F.lit(1), F.size("toks") - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = tk.select(
+        id_col,
+        F.explode(idx).alias("pos"),
+        "toks",
+    ).select(
+        id_col,
+        F.md5(F.array_join(F.slice("toks", F.col("pos"), window), " ")).alias("h"),
+    )
+    repeated = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    flagged = wins.join(repeated.withColumn("__rep", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("__rep"), F.lit(0))).alias("n_repeated"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            F.col("n_repeated").cast("long").alias("n_repeated"),
+            F.round(F.col("n_repeated") / F.col("n_windows"), 6).alias("repeat_frac"),
+        )
+    )

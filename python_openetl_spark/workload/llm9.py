@@ -128,11 +128,28 @@ def d47_quality_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+_D48_W = 8
+
+
+def d48_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document substring duplication
+    (operators/dedup.py cross_doc_repeated_windows): per-doc fraction
+    of 8-token sliding windows that also occur in another document —
+    the Lee-et-al-style span-level dedup signal. Documents shorter
+    than the window are absent by contract."""
+    from python_openetl_spark.operators.dedup import cross_doc_repeated_windows
+
+    return cross_doc_repeated_windows(
+        t(spark, sf_dir, "documents"), window=_D48_W, min_docs=2
+    )
+
+
 QUERIES = {
     "d46_bpe_merge_train": d46_bpe_merge_train,
     "x12_matryoshka_topk": x12_matryoshka_topk,
     "x13_quantized_topk": x13_quantized_topk,
     "d47_quality_canonical_corpus": d47_quality_canonical_corpus,
+    "d48_cross_doc_repeated_spans": d48_cross_doc_repeated_spans,
 }
 
 def _d47_oracle() -> str:
@@ -158,9 +175,36 @@ def _d47_oracle() -> str:
     """
 
 
+def _d48_oracle() -> str:
+    from python_openetl_spark.workload.llm import _TOKS_SQL
+
+    w = _D48_W
+    return f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        wins AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(toks, i, i + {w - 1}), ' ')) AS h
+          FROM tk, unnest(range(1, len(toks) - {w} + 2)) AS u(i)
+          WHERE len(toks) >= {w}
+        ),
+        rep AS (
+          SELECT h FROM (
+            SELECT h, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY h
+          ) WHERE nd >= 2
+        )
+        SELECT w.doc_id, COUNT(*) AS n_windows,
+               CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+               ROUND(CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*), 6) AS repeat_frac
+        FROM wins w LEFT JOIN rep r ON w.h = r.h
+        GROUP BY w.doc_id
+    """
+
+
 ORACLE = {
     "d46_bpe_merge_train": _bpe_oracle(_BPE_ITERS),
     "d47_quality_canonical_corpus": _d47_oracle(),
+    "d48_cross_doc_repeated_spans": _d48_oracle(),
     "x12_matryoshka_topk": f"""
         WITH q AS (
           SELECT vec_id AS query_id,

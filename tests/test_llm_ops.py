@@ -376,3 +376,35 @@ def test_blocked_fuzzy_pairs_first_token_typo_blocks_on_last(spark):
     pairs = {(r.id_a, r.id_b): r.edit_distance
              for r in dedup.blocked_fuzzy_pairs(docs).collect()}
     assert pairs == {(1, 2): 1}
+
+
+def test_cross_doc_repeated_windows_semantics(spark):
+    from python_openetl_spark.operators.dedup import cross_doc_repeated_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares the abcd window with doc 2
+            (2, "a b c d x y"),
+            (3, "p q r s t u"),        # unique content
+            (4, "a b"),                # shorter than window -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_repeated"], r["repeat_frac"])
+        for r in cross_doc_repeated_windows(docs, window=4, min_docs=2).collect()
+    }
+    # 6 tokens, window 4 -> 3 windows each; docs 1/2 share exactly "a b c d"
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 0, 0.0)
+    assert 4 not in out
+
+
+def test_cross_doc_repeated_windows_rejects_bad_window(spark):
+    import pytest
+
+    from python_openetl_spark.operators.dedup import cross_doc_repeated_windows
+
+    with pytest.raises(ValueError):
+        cross_doc_repeated_windows(spark.range(1), window=0)
