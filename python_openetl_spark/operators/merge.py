@@ -163,12 +163,15 @@ def safe_append(target: DataFrame, rows: DataFrame, pk: str | list[str]) -> Data
 
 
 def snapshot_diff(
-    old: DataFrame, new: DataFrame, pk: str | list[str]
+    old: DataFrame, new: DataFrame, pk: str | list[str], *, include_old: bool = False
 ) -> DataFrame:
     """Change-data-capture feed from two snapshots: the new snapshot's
     rows tagged ``change_type`` ∈ {I, U, D} (inserted / updated /
     deleted keys; unchanged rows are omitted). Deleted keys carry the
-    OLD row's values.
+    OLD row's values. With ``include_old`` each value column also ships
+    its before-image as ``old_<col>`` (NULL on I rows) — the retraction
+    half that downstream incremental aggregate maintenance
+    (``rollup.apply_cdc_rollup``) needs for U/D rows.
 
     This is the reference's whole update pipeline (delta upsert +
     delete propagation, /root/reference/pyopenetl/operations.py:515-599)
@@ -197,10 +200,18 @@ def snapshot_diff(
         F.when(F.col("__in_new").isNull(), F.col(f"__old_{c}")).otherwise(F.col(c)).alias(c)
         for c in vals
     ]
+    old_vals = (
+        [
+            F.when(F.col("__in_old").isNotNull(), F.col(f"__old_{c}")).alias(f"old_{c}")
+            for c in vals
+        ]
+        if include_old
+        else []
+    )
     return (
         j.withColumn("change_type", change)
         .filter(F.col("change_type").isNotNull())
-        .select(*keys, *out_vals, "change_type")
+        .select(*keys, *out_vals, *old_vals, "change_type")
     )
 
 

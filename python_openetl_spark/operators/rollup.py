@@ -76,3 +76,76 @@ def incremental_rollup(
     then merge. Equivalent to recomputing over history ∪ delta (asserted
     differentially in tests) at the cost of the delta alone."""
     return merge_partial_aggs(rollup, partial_aggs(delta_rows, keys, spec), keys, spec)
+
+
+def apply_cdc_rollup(
+    rollup: DataFrame,
+    cdc: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    count_name: str = "n_rows",
+    change_col: str = "change_type",
+    old_prefix: str = "old_",
+) -> DataFrame:
+    """Maintain a count/sum rollup from a CDC feed WITH retractions —
+    the incremental-view-maintenance step ``incremental_rollup`` (append
+    -only) cannot do: updates retract the before-image and apply the
+    after-image (including rows that MIGRATE between groups when a key
+    column changed), deletes retract, groups whose count reaches zero
+    disappear.
+
+    ``cdc`` is ``merge.snapshot_diff(old, new, pk, include_old=True)``
+    output: I/U rows carry after-images in the value columns, U/D rows
+    carry before-images in ``old_<col>``. ``rollup`` carries ``keys``,
+    ``count_name``, and ``sum_<c>`` per sum column — with the sums in
+    DECIMAL so maintenance stays exact (maintenance == full recompute,
+    bit-for-bit; asserted differentially in tests and by the m18
+    oracle). Only abelian aggregates (count/sum) are retractable; for
+    max/min keep ``incremental_rollup`` + periodic recompute.
+
+    Scale shape: the CDC feed explodes into ≤2 weighted contribution
+    rows per change, one map-side-combined groupBy over the DELTA only,
+    then a full-outer join with the (comparatively small) maintained
+    rollup — history is never re-scanned.
+    """
+    w = F.col("__w")
+    plus = cdc.filter(F.col(change_col).isin("I", "U")).select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(1).alias("__w"),
+        *[F.col(c).alias(c) for c in sum_cols],
+    )
+    minus = cdc.filter(F.col(change_col).isin("U", "D")).select(
+        *[F.col(f"{old_prefix}{k}").alias(k) for k in keys],
+        F.lit(-1).alias("__w"),
+        *[F.col(f"{old_prefix}{c}").alias(c) for c in sum_cols],
+    )
+    delta = (
+        plus.unionByName(minus)
+        .groupBy(*keys)
+        .agg(
+            F.sum(w).alias("__dn"),
+            *[
+                F.sum(F.col(c).cast("decimal(24,6)") * w).alias(f"__ds_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    joined = rollup.join(delta, keys, "full_outer")
+    zero = F.lit(0).cast("decimal(24,6)")
+    out_cols = [
+        (
+            F.coalesce(F.col(count_name), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).cast("long").alias(count_name)
+    ] + [
+        (
+            F.coalesce(F.col(_out_name(c, "sum")).cast("decimal(24,6)"), zero)
+            + F.coalesce(F.col(f"__ds_{c}"), zero)
+        ).alias(_out_name(c, "sum"))
+        for c in sum_cols
+    ]
+    return (
+        joined.select(*keys, *out_cols)
+        .filter(F.col(count_name) > 0)
+    )

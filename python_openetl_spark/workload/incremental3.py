@@ -51,8 +51,64 @@ def m17_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUTOFF = "2000-01-01"
+
+
+def m18_cdc_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH retractions
+    (operators/rollup.py apply_cdc_rollup over
+    merge.snapshot_diff(include_old=True)): the per-status order
+    rollup is maintained through a planted I/U/D wave where updates
+    BOTH change the sum (price doubled) and MIGRATE rows to a new
+    group (status flipped to 'X') — the oracle recomputes the rollup
+    from the new snapshot, so the maintenance path must equal a full
+    recompute bit-for-bit (sums kept in DECIMAL until the final
+    cast)."""
+    from python_openetl_spark.operators.merge import snapshot_diff
+    from python_openetl_spark.operators.rollup import apply_cdc_rollup
+
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp_ltz")
+    old = o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    kept = (
+        old.filter(F.col("o_orderkey") % 3 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    inserted = o.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = kept.unionByName(inserted)
+    cdc = snapshot_diff(old, new, "o_orderkey", include_old=True)
+    rollup_old = old.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("sum_o_totalprice"),
+    )
+    maintained = apply_cdc_rollup(
+        rollup_old, cdc, ["o_orderstatus"], ["o_totalprice"]
+    )
+    return maintained.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("revenue"),
+    )
+
+
 QUERIES = {
     "m17_bucketed_colocated_join": m17_bucketed_colocated_join,
+    "m18_cdc_rollup_maintenance": m18_cdc_rollup_maintenance,
 }
 
 ORACLE = {
@@ -61,5 +117,28 @@ ORACLE = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1
+    """,
+    # full recompute over the planted new snapshot: the maintenance
+    # path (retract before-images, apply after-images) must equal it
+    "m18_cdc_rollup_maintenance": f"""
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderdate < TIMESTAMP '{_CUTOFF}'
+        ),
+        kept AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+                 CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS o_totalprice
+          FROM old WHERE o_orderkey % 3 <> 0
+        ),
+        ins AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderdate >= TIMESTAMP '{_CUTOFF}'
+        ),
+        new AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM new GROUP BY 1
     """,
 }

@@ -493,3 +493,48 @@ def test_bpe_train_matches_sequential_reference(spark, words):
                     i += 1
             seqs[w] = merged
     assert got == want
+
+
+_snap_rows = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 2), st.integers(-50, 50)),
+    max_size=14, unique_by=lambda t: t[0],
+)
+
+
+@given(old=_snap_rows, new=_snap_rows)
+@_settings
+def test_apply_cdc_rollup_equals_recompute(spark, old, new):
+    """CDC-maintained count/sum rollup == full recompute over the new
+    snapshot, for ANY pair of snapshots (group migration, deletes down
+    to empty groups, inserts into new groups)."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.merge import snapshot_diff
+    from python_openetl_spark.operators.rollup import apply_cdc_rollup
+
+    schema = "pk long, g long, v double"
+    old_df = spark.createDataFrame(
+        [(k, g, float(v)) for k, g, v in old], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, g, float(v)) for k, g, v in new], schema
+    )
+    rollup_old = old_df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(24,6)")).alias("sum_v"),
+    )
+    cdc = snapshot_diff(old_df, new_df, "pk", include_old=True)
+    got = {
+        r["g"]: (r["n_rows"], float(r["sum_v"] or 0))
+        for r in apply_cdc_rollup(rollup_old, cdc, ["g"], ["v"]).collect()
+    }
+    want = {
+        r["g"]: (r["n_rows"], float(r["sum_v"] or 0))
+        for r in new_df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(24,6)")).alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
