@@ -170,3 +170,53 @@ def quantile_banded_sample(
     for b, frac in rates.items():
         cond = cond | ((F.col("band") == b) & (bucket < int(frac * SAMPLE_D)))
     return x.filter(cond).drop(*[f"__t{i}" for i in range(len(probs))])
+
+
+def balanced_shards(
+    df,
+    n_shards: int,
+    size_col: str,
+    id_col: str = "doc_id",
+):
+    """Deterministic size-balanced shard assignment: documents ranked
+    by (size DESC, id) and dealt round-robin across ``n_shards`` — the
+    export-time step that keeps training shards near-equal in token
+    count (greedy round-robin on the sorted sizes bounds shard skew by
+    one maximum document, vs unbounded skew from hash sharding when
+    sizes are heavy-tailed).
+
+    Scale shape: the global order comes from a RANGE-PARTITIONED
+    distributed sort (no single-partition window), and the global index
+    from ``zipWithIndex`` — one extra lightweight job to count
+    partition sizes, offsets applied per-partition. This is the one
+    place the engine drops to the RDD layer: Spark SQL has no
+    distributed global-index expression, and a partitionless
+    ``row_number()`` window would funnel the corpus through one task.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    ordered = df.select(F.col(id_col), F.col(size_col).cast("long").alias("__sz")) \
+        .orderBy(F.col("__sz").desc(), F.col(id_col))
+    spark = df.sparkSession
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), True),
+            StructField(size_col, LongType(), True),
+            StructField("shard_id", IntegerType(), False),
+        ]
+    )
+    assigned = spark.createDataFrame(
+        ordered.rdd.zipWithIndex().map(
+            lambda t: (t[0][0], t[0][1], int(t[1] % n_shards))
+        ),
+        schema,
+    )
+    return assigned

@@ -144,12 +144,36 @@ def d48_cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D49_SHARDS = 8
+
+
+def d49_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard export (operators/sampling.py
+    balanced_shards): rank-and-deal round-robin over token counts —
+    per-shard stats prove the deal; the distributed total order makes
+    the assignment deterministic, so the SQL oracle's ROW_NUMBER deal
+    matches exactly."""
+    from python_openetl_spark.functions.text import token_count
+    from python_openetl_spark.operators.sampling import balanced_shards
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    sh = balanced_shards(docs, _D49_SHARDS, "n_tok")
+    return sh.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
 QUERIES = {
     "d46_bpe_merge_train": d46_bpe_merge_train,
     "x12_matryoshka_topk": x12_matryoshka_topk,
     "x13_quantized_topk": x13_quantized_topk,
     "d47_quality_canonical_corpus": d47_quality_canonical_corpus,
     "d48_cross_doc_repeated_spans": d48_cross_doc_repeated_spans,
+    "d49_balanced_shards": d49_balanced_shards,
 }
 
 def _d47_oracle() -> str:
@@ -201,10 +225,30 @@ def _d48_oracle() -> str:
     """
 
 
+def _d49_oracle() -> str:
+    from python_openetl_spark.workload.llm import _TOKS_SQL
+
+    return f"""
+        WITH tk AS (SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+                    FROM documents),
+        rk AS (
+          SELECT doc_id, n_tok,
+                 ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) - 1 AS rn
+          FROM tk
+        )
+        SELECT CAST(rn % {_D49_SHARDS} AS INT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               MAX(n_tok) AS max_tokens
+        FROM rk GROUP BY 1
+    """
+
+
 ORACLE = {
     "d46_bpe_merge_train": _bpe_oracle(_BPE_ITERS),
     "d47_quality_canonical_corpus": _d47_oracle(),
     "d48_cross_doc_repeated_spans": _d48_oracle(),
+    "d49_balanced_shards": _d49_oracle(),
     "x12_matryoshka_topk": f"""
         WITH q AS (
           SELECT vec_id AS query_id,

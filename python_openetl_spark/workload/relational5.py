@@ -140,10 +140,46 @@ def q65_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("o_orderkey", "o_custkey", "dq_reasons")
 
 
+def q66_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / customer-value decile report: per-customer revenue
+    ranked into NTILE(10) deciles, then per-decile size, revenue, and
+    cumulative revenue share. The ntile window runs over the
+    ALREADY-AGGREGATED per-customer rollup — one row per customer, the
+    standard shape where a global window is acceptable because the
+    windowed relation is orders of magnitude smaller than the facts —
+    and all sums stay DECIMAL until the final share division."""
+    from pyspark.sql import Window
+
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("rev"))
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    dec = per_cust.withColumn("decile", F.ntile(10).over(w))
+    by_dec = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("dec_rev"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return by_dec.select(
+        "decile",
+        "n_customers",
+        F.col("dec_rev").cast("double").alias("decile_revenue"),
+        F.round(
+            (F.sum("dec_rev").over(wc) / F.sum("dec_rev").over(wt)).cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
 QUERIES = {
     "q63_gap_fill_daily_revenue": q63_gap_fill_daily_revenue,
     "q64_asof_nearest": q64_asof_nearest,
     "q65_quarantine_rows": q65_quarantine_rows,
+    "q66_customer_value_deciles": q66_customer_value_deciles,
 }
 
 ORACLE = {
@@ -246,5 +282,26 @@ ORACLE = {
                  CASE WHEN v5 THEN 'ref_integrity(o_custkey)' END) AS dq_reasons
         FROM ann
         WHERE v1 OR v2 OR v3 OR v4 OR v5
+    """,
+    "q66_customer_value_deciles": """
+        WITH per_cust AS (
+          SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS rev
+          FROM orders GROUP BY 1
+        ),
+        dec AS (
+          SELECT o_custkey, rev,
+                 NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+          FROM per_cust
+        ),
+        by_dec AS (
+          SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS dec_rev
+          FROM dec GROUP BY 1
+        )
+        SELECT decile, n_customers,
+               CAST(dec_rev AS DOUBLE) AS decile_revenue,
+               ROUND(CAST(SUM(dec_rev) OVER (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      / SUM(dec_rev) OVER () AS DOUBLE), 6) AS cum_share
+        FROM by_dec
     """,
 }

@@ -408,3 +408,33 @@ def test_cross_doc_repeated_windows_rejects_bad_window(spark):
 
     with pytest.raises(ValueError):
         cross_doc_repeated_windows(spark.range(1), window=0)
+
+
+def test_balanced_shards_dealing_and_balance(spark):
+    from python_openetl_spark.operators.sampling import balanced_shards
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(40)], "doc_id long, n long"
+    )
+    sh = balanced_shards(docs, 4, "n")
+    rows = sh.collect()
+    assert len(rows) == 40
+    per = {}
+    for r in rows:
+        per.setdefault(r["shard_id"], []).append(r["n"])
+    assert set(per) == {0, 1, 2, 3}
+    totals = sorted(sum(v) for v in per.values())
+    # round-robin on sorted sizes: skew bounded by one max document
+    assert totals[-1] - totals[0] <= max(r["n"] for r in rows)
+    # deterministic across invocations
+    again = {(r["doc_id"], r["shard_id"]) for r in balanced_shards(docs, 4, "n").collect()}
+    assert again == {(r["doc_id"], r["shard_id"]) for r in rows}
+
+
+def test_balanced_shards_rejects_bad_n(spark):
+    import pytest
+
+    from python_openetl_spark.operators.sampling import balanced_shards
+
+    with pytest.raises(ValueError):
+        balanced_shards(spark.range(1), 0, "id")
