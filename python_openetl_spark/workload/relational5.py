@@ -175,11 +175,50 @@ def q66_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap aggregation: each event becomes an
+    interval [ts, ts + (value mod 30 + 1) minutes); max concurrent
+    intervals per event_type via the +1/-1 boundary explode and a
+    running sum — NO self-join (the naive overlap join is quadratic per
+    key; the sweep is one explode + one partitioned sort). Boundary
+    convention: ends sort BEFORE starts at the same instant
+    (half-open intervals — a meeting ending exactly when another
+    starts does not overlap it)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            # floor, not cast: double->long truncates in Spark but ROUNDS
+            # in DuckDB; floor agrees everywhere (and pmod covers
+            # negative values on both engines)
+            + (F.pmod(F.floor("value").cast("long"), F.lit(30)) + 1) * 60_000_000
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        "t", "d"  # d=-1 sorts before +1: close before open at the same t
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conc = pts.withColumn("c", F.sum("d").over(w))
+    return conc.groupBy("event_type").agg(
+        F.max("c").cast("long").alias("max_concurrent"),
+        F.count(F.lit(1)).alias("n_boundaries"),
+    )
+
+
 QUERIES = {
     "q63_gap_fill_daily_revenue": q63_gap_fill_daily_revenue,
     "q64_asof_nearest": q64_asof_nearest,
     "q65_quarantine_rows": q65_quarantine_rows,
     "q66_customer_value_deciles": q66_customer_value_deciles,
+    "q67_interval_concurrency": q67_interval_concurrency,
 }
 
 ORACLE = {
@@ -303,5 +342,29 @@ ORACLE = {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       / SUM(dec_rev) OVER () AS DOUBLE), 6) AS cum_share
         FROM by_dec
+    """,
+    # MAX over the sweep's prefix sums is order-independent within
+    # equal-(t,d) tie runs (same value set), so the compare is stable
+    "q67_interval_concurrency": """
+        WITH iv AS (
+          SELECT event_type, epoch_us(ts) AS s,
+                 epoch_us(ts)
+                   + ((((FLOOR(value)::BIGINT % 30) + 30) % 30) + 1) * 60000000 AS e
+          FROM events
+        ),
+        pts AS (
+          SELECT event_type, s AS t, 1 AS d FROM iv
+          UNION ALL
+          SELECT event_type, e AS t, -1 AS d FROM iv
+        ),
+        c AS (
+          SELECT event_type,
+                 SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM pts
+        )
+        SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent,
+               COUNT(*) AS n_boundaries
+        FROM c GROUP BY 1
     """,
 }

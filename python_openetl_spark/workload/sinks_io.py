@@ -191,6 +191,33 @@ def k06_zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
 
 
+def k07_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The K5 layout family's hive-partitioning member as a driver
+    verb: seed orders partitioned by status (C1's partition_by =
+    the reference's index replication as directory layout), then
+    answer a status-filtered rollup from the partitioned copy —
+    Catalyst prunes to the matching partition directories
+    (PartitionFilters; asserted in tests/test_pipelines.py), and the
+    oracle proves the layout write + pruned read loses nothing."""
+    from python_openetl_spark.plans.pipelines import seed
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    table = seed(src, _tmp("hivepart"), partition_by=["o_orderstatus"])
+    back = table.read(spark)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 QUERIES = {
     "k01_csv_roundtrip": k01_csv_roundtrip,
     "k02_json_roundtrip": k02_json_roundtrip,
@@ -198,6 +225,7 @@ QUERIES = {
     "k04_parquet_roundtrip": k04_parquet_roundtrip,
     "k05_manifest_pruned_scan": k05_manifest_pruned_scan,
     "k06_zorder_layout_scan": k06_zorder_layout_scan,
+    "k07_hive_partition_pruned_scan": k07_hive_partition_pruned_scan,
 }
 
 ORACLE = {
@@ -239,5 +267,13 @@ ORACLE = {
         FROM events
         WHERE user_id >= 100 AND user_id < 200
           AND value >= 50.0 AND value < 150.0
+    """,
+    "k07_hive_partition_pruned_scan": """
+        SELECT STRFTIME(o_orderdate, '%Y') AS o_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY 1
     """,
 }
