@@ -498,3 +498,72 @@ def vocab_encode(
             F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
         )
     )
+
+
+def gopher_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics) as a named-reason gate — the document counterpart of
+    quality.quarantine: per doc, which rules fail and whether it is
+    kept.
+
+    Rules (all engine-mirrorable closed forms, one scan, no UDF):
+
+    - ``word_count``: token count in [min_words, max_words]; NULL/empty
+      text counts 0 and fails here (not in the derived rules).
+    - ``mean_word_len``: mean token length in
+      [min_mean_word_len, max_mean_word_len], computed EXACTLY as
+      ``(len(normalized_text) - (n-1)) / n`` — the normalized text is
+      tokens joined by single spaces, so no per-token explode is
+      needed.
+    - ``symbol_ratio``: fraction of characters outside [A-Za-z0-9 ]
+      at most ``max_symbol_ratio``.
+
+    Derived rules are skipped (not failed) when the doc has no tokens —
+    ``word_count`` already reports that. Output:
+    ``(id, n_words, reasons, keep)`` with reasons comma-joined in rule
+    order (deterministic).
+    """
+    from python_openetl_spark.functions.text import normalized_text, tokens
+
+    txt = F.col(text_col)
+    n = F.coalesce(F.size(tokens(text_col)), F.lit(0))
+    norm_len = F.length(normalized_text(text_col))
+    # try_divide, not /: under ANSI a zero denominator raises even when
+    # the consuming predicate is gated (codegen hoists the division);
+    # NULL ratios fall out of the gated comparisons as FALSE
+    mean_len = F.try_divide(norm_len - (n - 1), n)
+    stripped = F.regexp_replace(txt, "[^A-Za-z0-9 ]", "")
+    sym_ratio = F.try_divide(F.length(txt) - F.length(stripped), F.length(txt))
+
+    v_words = (n < min_words) | (n > max_words)
+    v_mean = (n > 0) & (
+        (mean_len < F.lit(float(min_mean_word_len)))
+        | (mean_len > F.lit(float(max_mean_word_len)))
+    )
+    v_sym = (
+        txt.isNotNull()
+        & (F.length(txt) > 0)
+        & (sym_ratio > F.lit(float(max_symbol_ratio)))
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(v_words, F.lit("word_count")),
+        F.when(v_mean, F.lit("mean_word_len")),
+        F.when(v_sym, F.lit("symbol_ratio")),
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.when(reasons == "", None).otherwise(reasons).alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -167,6 +167,24 @@ def d49_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d50_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document gate (operators/prep.py
+    gopher_quality_gate) with thresholds tightened so the fixture
+    corpus actually splits (fixture docs average ~50 short words):
+    word-count window [20, 60], mean word length [3.5, 6.0], symbol
+    ratio ≤ 0.1."""
+    from python_openetl_spark.operators.prep import gopher_quality_gate
+
+    return gopher_quality_gate(
+        t(spark, sf_dir, "documents"),
+        min_words=20,
+        max_words=60,
+        min_mean_word_len=3.5,
+        max_mean_word_len=6.0,
+        max_symbol_ratio=0.1,
+    )
+
+
 QUERIES = {
     "d46_bpe_merge_train": d46_bpe_merge_train,
     "x12_matryoshka_topk": x12_matryoshka_topk,
@@ -174,6 +192,7 @@ QUERIES = {
     "d47_quality_canonical_corpus": d47_quality_canonical_corpus,
     "d48_cross_doc_repeated_spans": d48_cross_doc_repeated_spans,
     "d49_balanced_shards": d49_balanced_shards,
+    "d50_gopher_quality_gate": d50_gopher_quality_gate,
 }
 
 def _d47_oracle() -> str:
@@ -249,6 +268,35 @@ ORACLE = {
     "d47_quality_canonical_corpus": _d47_oracle(),
     "d48_cross_doc_repeated_spans": _d48_oracle(),
     "d49_balanced_shards": _d49_oracle(),
+    "d50_gopher_quality_gate": """
+        WITH s AS (
+          SELECT doc_id,
+                 COALESCE(len(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')), 0) AS n,
+                 length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_len,
+                 length(text) AS raw_len,
+                 length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS kept_len
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, n,
+                 (n < 20 OR n > 60) AS v_words,
+                 (n > 0 AND ((CAST(norm_len - (n - 1) AS DOUBLE) / NULLIF(n, 0)) < 3.5
+                          OR (CAST(norm_len - (n - 1) AS DOUBLE) / NULLIF(n, 0)) > 6.0)) AS v_mean,
+                 (raw_len IS NOT NULL AND raw_len > 0
+                  AND (CAST(raw_len - kept_len AS DOUBLE) / NULLIF(raw_len, 0)) > 0.1) AS v_sym
+          FROM s
+        )
+        SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+               CASE WHEN NOT (v_words OR v_mean OR v_sym) THEN NULL
+                    ELSE concat_ws(',',
+                           CASE WHEN v_words THEN 'word_count' END,
+                           CASE WHEN v_mean THEN 'mean_word_len' END,
+                           CASE WHEN v_sym THEN 'symbol_ratio' END) END AS reasons,
+               NOT (v_words OR v_mean OR v_sym) AS keep
+        FROM f
+    """,
     "x12_matryoshka_topk": f"""
         WITH q AS (
           SELECT vec_id AS query_id,

@@ -160,12 +160,42 @@ def u05_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInArrow(clip_batches, schema="event_id long, value_clipped double")
 
 
+def trimmed_mean_udf():
+    """Grouped-aggregate pandas UDF: 5% two-sided trimmed mean — the
+    robust-statistic shape that has no builtin. Arrow moves each
+    group's column once; the kernel is numpy. Built lazily (decoration
+    needs an active session)."""
+
+    @F.pandas_udf(DoubleType())
+    def _trimmed_mean(v: pd.Series) -> float:
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        k = len(x) // 20
+        core = x[k : len(x) - k] if len(x) - 2 * k > 0 else x
+        return float(np.round(core.mean(), 6))
+
+    return _trimmed_mean
+
+
+def u06_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-AGGREGATE pandas UDF tier (completing the ladder:
+    scalar pandas_udf / grouped-map / row UDF / UDTF / mapInArrow /
+    grouped-agg): per-event-type 5% trimmed mean of value. Trim count
+    is n // 20 (integer arithmetic — a float 0.05*n would round
+    differently across engines); the mean is rounded per the
+    module-wide float policy."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        trimmed_mean_udf()(F.col("value")).alias("trimmed_mean_value")
+    )
+
+
 QUERIES = {
     "u01_pandas_udf_norm": u01_pandas_udf_norm,
     "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
     "u03_python_udf_priority": u03_python_udf_priority,
     "u04_python_udtf_terms": u04_python_udtf_terms,
     "u05_map_in_arrow": u05_map_in_arrow,
+    "u06_grouped_agg_trimmed_mean": u06_grouped_agg_trimmed_mean,
 }
 
 ORACLE = {
@@ -212,5 +242,19 @@ ORACLE = {
     "u05_map_in_arrow": """
         SELECT event_id, LEAST(GREATEST(value, 10.0), 500.0) AS value_clipped
         FROM events
+    """,
+    # trim count n // 20 in INTEGER arithmetic on both sides; the mean
+    # itself is rounded (numpy pairwise vs sequential fold, ~1 ulp)
+    "u06_grouped_agg_trimmed_mean": """
+        WITH r AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        )
+        SELECT event_type, ROUND(AVG(value), 6) AS trimmed_mean_value
+        FROM r
+        WHERE rn > n // 20 AND rn <= n - n // 20
+        GROUP BY 1
     """,
 }
