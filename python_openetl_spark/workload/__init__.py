@@ -105,8 +105,8 @@ _MODULES = (
 # a driver row from r3, r4, or r5, and nothing predates r3.
 #
 # _WINDOW_R6 should lead with the round-5 post-window additions that
-# have never had a driver row — q60-q67, d39-d50, e05, x11-x13,
-# m15-m18, s08, u05, u06, k06, k07 (all locally oracle-gated incl. hostile/empty
+# have never had a driver row — q60-q68, d39-d50, e05, x11-x13,
+# m15-m18, s08, u05, u06, k06-k08 (all locally oracle-gated incl. hostile/empty
 # suites where applicable AND
 # the sf0.1 soak) — then rotate the oldest r3-checked rows back
 # through (see COVERAGE.md's per-query ledger for exact staleness).

@@ -213,12 +213,42 @@ def q67_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median absolute deviation
+    (exact medians via ``percentile``, interpolating — both engines'
+    continuous-median definition) and the count of events beyond
+    3 × MAD from the group median. Two grouped passes over events
+    (median, then MAD of residuals — MAD is not algebraic, a second
+    pass is the honest plan) and one broadcast join of the 5-row stats
+    back onto the stream; medians and bounds rounded to 6 so the
+    comparison is engine-stable."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    out = ev.join(F.broadcast(mad), "event_type")
+    return out.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "q63_gap_fill_daily_revenue": q63_gap_fill_daily_revenue,
     "q64_asof_nearest": q64_asof_nearest,
     "q65_quarantine_rows": q65_quarantine_rows,
     "q66_customer_value_deciles": q66_customer_value_deciles,
     "q67_interval_concurrency": q67_interval_concurrency,
+    "q68_mad_outliers": q68_mad_outliers,
 }
 
 ORACLE = {
@@ -366,5 +396,27 @@ ORACLE = {
         SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent,
                COUNT(*) AS n_boundaries
         FROM c GROUP BY 1
+    """,
+    # interpolating (continuous) median on both engines; stats rounded
+    # to 6 before the residual pass so the outlier threshold is the
+    # same literal on both sides
+    "q68_mad_outliers": """
+        WITH med AS (
+          SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+          FROM events GROUP BY 1
+        ),
+        mad AS (
+          SELECT e.event_type,
+                 ROUND(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+                 ANY_VALUE(m.med) AS med
+          FROM events e JOIN med m USING (event_type)
+          GROUP BY 1
+        )
+        SELECT e.event_type, ANY_VALUE(s.med) AS med, ANY_VALUE(s.mad) AS mad,
+               CAST(SUM(CASE WHEN abs(e.value - s.med) > 3 * s.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               COUNT(*) AS n_events
+        FROM events e JOIN mad s USING (event_type)
+        GROUP BY 1
     """,
 }

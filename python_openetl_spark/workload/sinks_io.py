@@ -218,6 +218,67 @@ def k07_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def k08_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row-tolerant CSV ingestion (S3/C3 hardening): a CSV
+    with planted corrupt lines — a non-numeric key column (every
+    500th order) and a truncated row (every 300th) — read back under
+    ``mode=PERMISSIVE`` with a ``columnNameOfCorruptRecord`` column;
+    good rows aggregate, bad rows count. The oracle derives the
+    expected good/bad split from the orders table itself (we control
+    exactly which rows were corrupted), so the check states that
+    Spark's permissive parser recovers precisely the uncorrupted
+    subset — no file-read in the oracle, no ordering dependency.
+
+    The aggregate references EVERY data column (the checksums below are
+    not decoration): corrupt-record detection only fires for columns
+    the parser actually parses, and column pruning would otherwise push
+    just (_bad, o_totalprice) down to the scan — the malformed
+    o_custkey field would never be parsed and n_bad would read 0 (the
+    documented corrupt-column/pruning interaction; caching is the other
+    workaround)."""
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    line = (
+        F.when(
+            F.col("o_orderkey") % 500 == 0,
+            F.concat_ws(",", F.col("o_orderkey"), F.lit("notanumber"),
+                        F.col("o_totalprice")),
+        )
+        .when(F.col("o_orderkey") % 300 == 0, F.col("o_orderkey").cast("string"))
+        .otherwise(
+            F.concat_ws(",", F.col("o_orderkey"), F.col("o_custkey"),
+                        F.col("o_totalprice"))
+        )
+    )
+    path = _tmp("permissive_csv")
+    src.select(line.alias("value")).repartition(1).sortWithinPartitions(
+        "value"
+    ).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_custkey long, o_totalprice double, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    good = F.col("_bad").isNull()
+    return parsed.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum(F.col("_bad").isNotNull().cast("long")).alias("n_bad"),
+        F.sum(
+            F.when(good, F.col("o_totalprice"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(24,6)")
+        ).cast("double").alias("good_revenue"),
+        F.sum(F.when(good, F.col("o_orderkey"))).cast("long").alias("key_checksum"),
+        F.sum(F.when(good, F.col("o_custkey"))).cast("long").alias("cust_checksum"),
+    )
+
+
 QUERIES = {
     "k01_csv_roundtrip": k01_csv_roundtrip,
     "k02_json_roundtrip": k02_json_roundtrip,
@@ -226,6 +287,7 @@ QUERIES = {
     "k05_manifest_pruned_scan": k05_manifest_pruned_scan,
     "k06_zorder_layout_scan": k06_zorder_layout_scan,
     "k07_hive_partition_pruned_scan": k07_hive_partition_pruned_scan,
+    "k08_permissive_csv_ingest": k08_permissive_csv_ingest,
 }
 
 ORACLE = {
@@ -275,5 +337,20 @@ ORACLE = {
         FROM orders
         WHERE o_orderstatus = 'F'
         GROUP BY 1
+    """,
+    "k08_permissive_csv_ingest": """
+        WITH s AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 (o_orderkey % 500 = 0 OR o_orderkey % 300 = 0) AS corrupt
+          FROM orders WHERE o_orderkey % 100 = 0
+        )
+        SELECT CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+               CAST(SUM(CASE WHEN NOT corrupt
+                             THEN CAST(o_totalprice AS DECIMAL(24,6))
+                             ELSE 0 END) AS DOUBLE) AS good_revenue,
+               CAST(SUM(CASE WHEN NOT corrupt THEN o_orderkey END) AS BIGINT) AS key_checksum,
+               CAST(SUM(CASE WHEN NOT corrupt THEN o_custkey END) AS BIGINT) AS cust_checksum
+        FROM s
     """,
 }
