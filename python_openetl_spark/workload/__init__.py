@@ -104,12 +104,50 @@ _MODULES = (
 # That is exactly 50; after R5 every query declared through round 4 has
 # a driver row from r3, r4, or r5, and nothing predates r3.
 #
-# _WINDOW_R6 should lead with the round-5 post-window additions that
-# have never had a driver row — q60-q68, d39-d50, e05, x11-x13,
-# m15-m18, s08, u05, u06, k06-k08 (all locally oracle-gated incl. hostile/empty
-# suites where applicable AND
-# the sf0.1 soak) — then rotate the oldest r3-checked rows back
-# through (see COVERAGE.md's per-query ledger for exact staleness).
+# Round 6's window (_WINDOW_R6), per the r5 verdict's plan item 1:
+#   1. the 35 round-5 post-window additions that have NEVER had a
+#      driver row (q60-q68, d39-d50, e05, x11-x13, m15-m18, s08,
+#      u05-u06, k06-k08 — all green in the judge's independently-run
+#      sf0.1 soak);
+#   2. the 15 oldest r3-checked rows per COVERAGE.md's ledger
+#      (d01, d06, d12, d14, d18-d24, e01, k02, x05, x07).
+# That is exactly 50; after R6 every one of the 183 r5-era queries has
+# had a driver row at least once, and nothing predates r3 except rows
+# already re-proven in r4/r5.
+#
+# _WINDOW_R7 should lead with any round-6 post-window additions, then
+# rotate the remaining r3-checked rows (m01-m12, q02, q12, q24,
+# q27/q28, q37, q47, q50-q53, s01-s06, d25-d29, x08 — see COVERAGE.md).
+_WINDOW_R6 = (
+    # never driver-checked (round-5 post-window additions)
+    "q60_data_quality_report", "q61_conversion_funnel",
+    "q62_cohort_retention", "q63_gap_fill_daily_revenue",
+    "q64_asof_nearest", "q65_quarantine_rows",
+    "q66_customer_value_deciles", "q67_interval_concurrency",
+    "q68_mad_outliers",
+    "d39_url_dedup", "d40_pagerank", "d41_blocked_fuzzy_pairs",
+    "d42_k_anonymity", "d43_corpus_drift_kl", "d44_domain_cap",
+    "d45_pseudonymize", "d46_bpe_merge_train",
+    "d47_quality_canonical_corpus", "d48_cross_doc_repeated_spans",
+    "d49_balanced_shards", "d50_gopher_quality_gate",
+    "e05_dataset_card",
+    "x11_maxsim_topk", "x12_matryoshka_topk", "x13_quantized_topk",
+    "m15_multi_table_publish", "m16_time_travel",
+    "m17_bucketed_colocated_join", "m18_cdc_rollup_maintenance",
+    "s08_watermark_scoped_dedup",
+    "u05_map_in_arrow", "u06_grouped_agg_trimmed_mean",
+    "k06_zorder_layout_scan", "k07_hive_partition_pruned_scan",
+    "k08_permissive_csv_ingest",
+    # oldest r3-checked rows, rotated back through
+    "d01_exact_dedup", "d06_minhash_lsh_candidates", "d12_dup_clusters",
+    "d14_embedding_dup_clusters", "d18_repetition_stats",
+    "d19_contamination_check", "d20_pii_redaction",
+    "d21_sequence_packing", "d22_mixture_resample",
+    "d23_incremental_dedup", "d24_training_shuffle",
+    "e01_prepare_corpus", "k02_json_roundtrip",
+    "x05_ivf_topk", "x07_ivf_full_probe",
+)
+
 _WINDOW_R5 = (
     # never driver-checked (round-4 post-window additions)
     "d31_leakage_safe_split", "d32_unigram_logprob", "d33_cms_heavy_hitters",
@@ -200,9 +238,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R5 if n not in out]
+    missing = [n for n in _WINDOW_R6 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R5}
+    ordered = {n: out[n] for n in _WINDOW_R6}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
