@@ -143,35 +143,39 @@ def q65_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q66_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / customer-value decile report: per-customer revenue
     ranked into NTILE(10) deciles, then per-decile size, revenue, and
-    cumulative revenue share. The ntile window runs over the
-    ALREADY-AGGREGATED per-customer rollup — one row per customer, the
-    standard shape where a global window is acceptable because the
-    windowed relation is orders of magnitude smaller than the facts —
-    and all sums stay DECIMAL until the final share division."""
-    from pyspark.sql import Window
+    cumulative revenue share. The decile assignment uses
+    ``operators/ranking.py global_ntile`` — the exact NTILE integers via
+    banded two-pass ranking — instead of a partitionless window, so the
+    per-customer rollup (~10^8 rows at 100 TB) never funnels through one
+    task; the cumulative share over the 10-row decile relation is a
+    broadcast triangle self-join (cardinality fixed at 10 by
+    construction), leaving the whole plan window-free at fact scale.
+    All sums stay DECIMAL until the final share division."""
+    from python_openetl_spark.operators.ranking import global_ntile
 
     per_cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(24,6)")).alias("rev"))
     )
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    dec = per_cust.withColumn("decile", F.ntile(10).over(w))
+    dec = global_ntile(per_cust, "rev", ["o_custkey"], k=10, out_col="decile")
     by_dec = dec.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev").alias("dec_rev"),
-    )
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wt = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    return by_dec.select(
-        "decile",
-        "n_customers",
-        F.col("dec_rev").cast("double").alias("decile_revenue"),
-        F.round(
-            (F.sum("dec_rev").over(wc) / F.sum("dec_rev").over(wt)).cast("double"), 6
-        ).alias("cum_share"),
+    ).persist()  # 10 rows; referenced by three join branches below
+    total = by_dec.agg(F.sum("dec_rev").alias("tot"))
+    prior = by_dec.select(F.col("decile").alias("d2"), F.col("dec_rev").alias("rev2"))
+    return (
+        by_dec.join(F.broadcast(prior), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_customers", "dec_rev")
+        .agg(F.sum("rev2").alias("cum_rev"))
+        .join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("dec_rev").cast("double").alias("decile_revenue"),
+            F.round((F.col("cum_rev") / F.col("tot")).cast("double"), 6).alias("cum_share"),
+        )
     )
 
 
