@@ -121,10 +121,14 @@ def derive_partition_bounds(
     JDBC range partitioning is meaningless there — scan without a
     partition_column instead.
     """
-    col = _checked_identifier(partition_column, "partition_column")
-    tbl = ".".join(_checked_identifier(p, "table") for p in table.split("."))
+    # Quote the (charset-checked) identifiers: Spark's JDBC writer
+    # creates columns QUOTED, so an unquoted probe would be case-folded
+    # by the database (uppercase on Derby, lowercase on Postgres) and
+    # miss them. Quoting matches Spark-written tables on both.
+    col = f'"{_checked_identifier(partition_column, "partition_column")}"'
+    tbl = ".".join(f'"{_checked_identifier(p, "table")}"' for p in table.split("."))
     row = read_query(
-        spark, source, f"SELECT min({col}) AS lo, max({col}) AS hi FROM {tbl}"
+        spark, source, f'SELECT min({col}) AS "lo", max({col}) AS "hi" FROM {tbl}'
     ).collect()[0]
     if row["lo"] is None or row["hi"] is None:
         raise ValueError(
