@@ -155,13 +155,21 @@ def x05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     0) hash-mismatches while legitimate ANN approximation noise does
     not. Tight recall assertions with pinned settings live in
     tests/test_similarity.py; x07 covers the nprobe=nlist exact case
-    with a full value oracle."""
+    with a full value oracle.
+
+    nlist/nprobe are DERIVED from the corpus count
+    (operators/tuning.py ivf_params: nlist ~ sqrt(n), nprobe = 0.75 *
+    nlist), so a fixture regeneration at a different scale degrades
+    recall gracefully instead of flipping the oracle boolean —
+    perturbation-tested at 0.5x/2x in tests/test_tuning.py."""
+    from python_openetl_spark.operators.tuning import ivf_params
+
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(*_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    approx = similarity.ivf_topk(emb, queries.toPandas(), k=5, nlist=16, nprobe=12)
+    approx = similarity.ivf_topk(emb, queries.toPandas(), k=5, **ivf_params(emb.count()))
     hits = (
         approx.select("query_id", "vec_id")
         .join(exact, ["query_id", "vec_id"])

@@ -56,35 +56,28 @@ def x09_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise cannot. Tight pinned-recall assertions live in
     tests/test_pq.py.
 
-    RETUNING PROCEDURE (when the fixture generation or scale changes):
-    the recall_ok boolean is oracle-checked TRUE, so settings must
-    clear >=3x the 0.2 floor at EVERY fixture sf or the row hard-fails
-    on a scale that is merely noisier, not broken. Before freezing a
-    new fixture generation, run
-    ``SPARK_GRAFT_SOAK=1 pytest tests/test_workload_soak.py -k x09``
-    (sf0.1) plus the sf0.001/sf0.01 oracle tests; if recall dips, bump
-    in this order: (1) ksub — PQ centroids must grow with corpus
-    density, the sf0.1 soak showed ksub=16 collapsing to recall 0 at
-    2000 vectors; (2) nprobe toward nlist — widens the coarse probe;
-    (3) rerank_factor — widens the exact re-rank window. The pinned
-    values (nlist=16, nprobe=14, ksub=32, rerank_factor=30) hold
-    recall 1.0 at sf0.001/0.01/0.1; production twins with
-    scale-realistic settings live in the x04p/d14p bench-twin family,
-    not here."""
+    All index parameters are DERIVED from the corpus count
+    (operators/tuning.py: nlist ~ sqrt(n) with a 0.75 probe fraction;
+    ksub ~ n/16 clamped to [16, 256] — the r5 soak showed a pinned
+    ksub=16 collapsing to recall 0 at 2000 vectors, the cliff this
+    derivation removes; rerank_factor widens as codebooks coarsen).
+    A fixture regeneration at a different scale therefore degrades
+    recall gracefully instead of flipping the oracle boolean —
+    perturbation-tested at 0.5x/2x corpus size in
+    tests/test_tuning.py."""
     from python_openetl_spark.operators import similarity
     from python_openetl_spark.operators.pq import ivf_pq_topk
+    from python_openetl_spark.operators.tuning import ivf_params, pq_params
 
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    # settings chosen for >=3x the 0.2 recall floor at every fixture
-    # scale (sf0.1 soak: ksub=16/rerank=8 bottomed out at 0.0 for one
-    # query — too few PQ centroids for a 2000-vector corpus)
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
     approx = ivf_pq_topk(
-        emb, queries.toPandas(), k=5, nlist=16, nprobe=14, m=8, ksub=32,
-        rerank_factor=30,
+        emb, queries.toPandas(), k=5, **ivf_params(n), **pq_params(n, dim)
     )
     hits = (
         approx.select("query_id", "vec_id")

