@@ -308,7 +308,9 @@ ORACLE = {
           SELECT event_id, ts + INTERVAL 1 HOUR AS ts, value + 1000.0 AS value FROM events
         )
         SELECT event_id, epoch_us(ts) AS ts_epoch_us, value FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC) rn
+          -- value DESC mirrors dedupe_latest's content tiebreak: a
+          -- same-(pk, ts) tie must resolve identically on both engines
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts DESC, value DESC) rn
           FROM dup_delta
         ) WHERE rn = 1
     """,
@@ -400,12 +402,33 @@ ORACLE = {
         FROM orders
     """,
     "m10_upsert_sync_roundtrip": f"""
-        SELECT o_orderkey, o_custkey, o_orderstatus,
-               CASE WHEN o_orderdate >= TIMESTAMP '{_OVERLAP}'
-                    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        -- models the pipeline exactly: delta read (window >= overlap),
+        -- latest-wins dedup of duplicate-pk delta rows (ts, then the
+        -- non-pk columns name-sorted DESC — dedupe_latest's content
+        -- tiebreak), MERGE, and delete propagation (%13 pks vanish)
+        WITH delta AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate
+          FROM orders
+          WHERE o_orderkey % 13 <> 0 AND o_orderdate >= TIMESTAMP '{_OVERLAP}'
+        ),
+        dedup AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+          FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+              ORDER BY o_orderdate DESC, o_custkey DESC,
+                       o_orderstatus DESC, o_totalprice DESC) rn
+            FROM delta) WHERE rn = 1
+        ),
+        kept AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+          FROM orders
+          WHERE o_orderdate < TIMESTAMP '{_CUTOFF}' AND o_orderkey % 13 <> 0
+            AND o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                epoch_us(o_orderdate) AS updated_us
-        FROM orders
-        WHERE o_orderkey % 13 <> 0
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM dedup)
     """,
     "m11_normalize_timestamps": """
         SELECT event_id,

@@ -112,6 +112,14 @@ def _star_tables() -> dict[str, pa.Table]:
         (11, 7, "F", 80.0, "2001-08-01", "5-LOW"),       # range max
         (12, 1, "F", 90.0, "1996-08-15", "1-URGENT"),    # no lineitems at all
         (13, 1, "O", 15.0, "1996-08-15", "1-URGENT"),    # same date tie
+        # merge-family hostile shapes (r5 verdict item 6): a duplicate
+        # pk arriving twice in the SAME delta batch (both post-cutoff,
+        # so the dup exercises the insert path of m01/m04/m06/m12
+        # without target-side multiplicity), and an orphan customer FK
+        # flowing through the merge/report joins
+        (20, 2, "O", 11.0, "2000-06-15", "1-URGENT"),    # dup-pk delta v1
+        (20, 3, "F", 22.0, "2000-06-15", "2-HIGH"),      # dup-pk delta v2
+        (21, 777, "O", 33.0, "2000-07-01", "3-MEDIUM"),  # orphan o_custkey
     ]
     orders = {
         "o_orderkey": [r[0] for r in o_rows],
@@ -172,6 +180,11 @@ def _star_tables() -> dict[str, pa.Table]:
         (7, mins(500), 3, "signup", 0.0, '{"deep": {"k": 1}}'),  # single-event user
         (8, mins(1000), 4, "error", 1e9, '{"page": "x", "ms": 0}'),
         (9, mins(1001), 4, "click", -1e9, '{"page": "x"}'),
+        # same-pk same-timestamp tie: m02's latest-wins dedup must
+        # resolve it by CONTENT (value desc), not arrival order —
+        # nondeterministic on either engine otherwise
+        (12, mins(2000), 5, "tick", 2.0, '{}'),
+        (12, mins(2000), 5, "tick", 3.0, '{}'),
     ]
     events = {
         "event_id": [r[0] for r in e_rows],
