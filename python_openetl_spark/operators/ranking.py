@@ -15,8 +15,9 @@ integers with the classic two-pass banded-rank scheme:
 2. **Local rank** inside each band with an ordinary *partitioned*
    window (parallel, one band per task group).
 3. **Offsets**: per-band counts (≤ ``bands`` rows) are collected,
-   prefix-summed driver-side, and broadcast-joined back; the global
-   rank is ``offset + local_rank``.
+   prefix-summed driver-side, and applied back as a literal band→offset
+   map expression (no join, no exchange); the global rank is
+   ``offset + local_rank``.
 
 Accuracy of the quantile sketch affects only band *balance* (skew),
 never the rank values. Heavily tied order values co-locate in one band
@@ -39,7 +40,6 @@ from pyspark.sql import functions as F
 
 _BAND = "__gr_band"
 _LOCAL = "__gr_lr"
-_OFF = "__gr_off"
 
 
 def _band_expr(value_dbl: Column, splits: Sequence[float], descending: bool) -> Column:
@@ -102,13 +102,15 @@ def global_row_number(
     for b in range(len(uniq) + 1):
         offsets.append((b, total))
         total += int(counts.get(b, 0))
-    off_df = spark.createDataFrame(offsets, f"{_BAND} int, {_OFF} long")
-
-    ranked = (
-        local.join(F.broadcast(off_df), _BAND)
-        .withColumn(out_col, (F.col(_OFF) + F.col(_LOCAL)).cast("long"))
-        .drop(_BAND, _LOCAL, _OFF)
-    )
+    # band -> offset as a LITERAL map expression (≤ bands entries), not
+    # a broadcast join: cheaper (no exchange at all), and a post-join
+    # projection over the join shape trips a Catalyst binding bug
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) on local-relation inputs in
+    # Spark 4.1
+    off_map = F.create_map(*[F.lit(x) for b, off in offsets for x in (b, off)])
+    ranked = local.withColumn(
+        out_col, (F.element_at(off_map, F.col(_BAND)) + F.col(_LOCAL)).cast("long")
+    ).drop(_BAND, _LOCAL)
     return ranked, total
 
 

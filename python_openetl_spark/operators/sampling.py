@@ -185,38 +185,26 @@ def balanced_shards(
     one maximum document, vs unbounded skew from hash sharding when
     sizes are heavy-tailed).
 
-    Scale shape: the global order comes from a RANGE-PARTITIONED
-    distributed sort (no single-partition window), and the global index
-    from ``zipWithIndex`` — one extra lightweight job to count
-    partition sizes, offsets applied per-partition. This is the one
-    place the engine drops to the RDD layer: Spark SQL has no
-    distributed global-index expression, and a partitionless
-    ``row_number()`` window would funnel the corpus through one task.
+    Scale shape: the global index comes from
+    ``operators.ranking.global_row_number`` — deterministic quantile
+    bands, per-band partitioned windows, broadcast prefix offsets — so
+    neither a partitionless window nor the RDD layer is involved.
+    (Through round 5 this was the engine's single RDD dependency, via
+    ``zipWithIndex``; the banded rank computes the same integers with
+    DataFrame ops only, keeping the whole engine on the Catalyst path.)
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
+
+    from python_openetl_spark.operators.ranking import global_row_number
 
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    ordered = df.select(F.col(id_col), F.col(size_col).cast("long").alias("__sz")) \
-        .orderBy(F.col("__sz").desc(), F.col(id_col))
-    spark = df.sparkSession
-    schema = StructType(
-        [
-            StructField(id_col, LongType(), True),
-            StructField(size_col, LongType(), True),
-            StructField("shard_id", IntegerType(), False),
-        ]
+    ordered = df.select(F.col(id_col), F.col(size_col).cast("long").alias("__sz"))
+    ranked, _n = global_row_number(
+        ordered, "__sz", [id_col], descending=True, out_col="__rn"
     )
-    assigned = spark.createDataFrame(
-        ordered.rdd.zipWithIndex().map(
-            lambda t: (t[0][0], t[0][1], int(t[1] % n_shards))
-        ),
-        schema,
+    return ranked.select(
+        F.col(id_col),
+        F.col("__sz").alias(size_col),
+        ((F.col("__rn") - 1) % n_shards).cast("int").alias("shard_id"),
     )
-    return assigned
