@@ -16,6 +16,7 @@ built-ins cannot express.
 from python_openetl_spark.session import get_spark, tune_session
 from python_openetl_spark.io import load_table, load_tables, register_views, TABLES
 from python_openetl_spark.engine import Dataset, Engine
+from python_openetl_spark.doctor import Capability, doctor
 
 __version__ = "0.4.0"
 

@@ -338,6 +338,15 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = tune_session(spark) if spark is not None else get_spark()
 
+    def doctor(self) -> list:
+        """Which environment-gated features would activate here
+        (doctor.doctor with this engine's live session — probes the JVM
+        classpath for connector jars and Python for codec/credential
+        runtimes)."""
+        from python_openetl_spark.doctor import doctor
+
+        return doctor(self.spark)
+
     # --- sources (S1-S8 via the registry) -----------------------------------
     def read(self, spec: dict) -> Dataset:
         return Dataset(registry.read(self.spark, spec))
