@@ -493,3 +493,50 @@ def cosine_pairs_exact(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def filtered_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    filter_col: str,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Attribute-filtered exact top-k (the "filtered ANN" problem):
+    each query retrieves only among corpus rows whose ``filter_col``
+    equals the query's own — the PRE-filter strategy, expressed as an
+    equi-join on the filter attribute instead of ``cosine_topk``'s
+    broadcast cross join.
+
+    Why pre-filter: post-filtering a top-k list (retrieve k', discard
+    non-matching, hope k survive) has no recall guarantee when the
+    filter is selective; pre-filtering keeps exactness and SHRINKS the
+    scored set by the filter's selectivity. At scale the corpus is
+    written partitioned by the filter attribute, so the equi-join
+    prunes partitions before any distance math; the scored remainder
+    is the same window top-k as the unfiltered operator.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(filter_col).alias("__qf"),
+        F.col(vec_col).alias("__qv"),
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(filter_col), F.col(vec_col))
+        .join(F.broadcast(q), F.col(filter_col) == F.col("__qf"))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -23,6 +23,7 @@ from python_openetl_spark.workload import (
     incremental2,
     incremental3,
     llm,
+    llm10,
     llm2,
     llm3,
     llm4,
@@ -36,6 +37,7 @@ from python_openetl_spark.workload import (
     relational3,
     relational4,
     relational5,
+    relational6,
     scale,
     sinks_io,
     streaming2,
@@ -77,6 +79,9 @@ _MODULES = (
     llm9,
     relational5,
     incremental3,
+    # round-6 post-window additions (rotate into _WINDOW_R7)
+    relational6,
+    llm10,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

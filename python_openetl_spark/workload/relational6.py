@@ -1,0 +1,139 @@
+"""Round-6 relational additions: recursive-hierarchy, bag set ops,
+and the remaining rank-function surface.
+
+- q69: parent-pointer hierarchy depth histogram via
+  ``operators/hierarchy.py tree_depths`` — pointer doubling
+  (``log2(depth)`` self-joins) instead of the per-level iteration a
+  recursive CTE executes. The synthetic hierarchy is the ternary tree
+  ``parent = doc_id DIV 3`` over the documents table, so the oracle is
+  a genuine DuckDB ``WITH RECURSIVE``.
+- q70: bag-semantics set operations (``EXCEPT ALL`` /
+  ``INTERSECT ALL``) — multiset counts subtract/min, a different
+  engine path (Spark ``exceptAll``/``intersectAll``) from q07's
+  DISTINCT set ops.
+- q71: ``dense_rank`` / ``percent_rank`` / ``cume_dist`` per nation —
+  the rank-function family q05/q47 (row_number, frames) left
+  uncovered. Tiebreak on c_custkey makes every rank deterministic.
+
+Registered after ``incremental3`` in ``_MODULES``; locally
+oracle-gated now, rotates into ``_WINDOW_R7``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+
+def q69_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roots are defined structurally — doc 0, plus any doc whose
+    parent id is ABSENT from the table — so a fixture regeneration
+    with id gaps or subset sampling keeps both engines on identical
+    semantics (every doc gets exactly one depth; a broken chain makes
+    its head a depth-0 root). Negative ids are excluded up front:
+    integer division near zero truncates on Spark but floors in
+    DuckDB, so they cannot participate in the parent function."""
+    from python_openetl_spark.operators.hierarchy import tree_depths
+
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") >= 0)
+    cand = docs.filter(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("node"),
+        F.expr("doc_id DIV 3").alias("parent"),
+    )
+    parents = docs.select(F.col("doc_id").alias("parent"))
+    edges = cand.join(parents, "parent", "left_semi")
+    roots = docs.filter(F.col("doc_id") == 0).unionByName(
+        cand.join(parents, "parent", "left_anti").select(F.col("node").alias("doc_id"))
+    )
+    with_root = tree_depths(edges).select("depth").unionByName(
+        roots.select(F.lit(0).cast("long").alias("depth"))
+    )
+    return (
+        with_root.groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("depth")
+    )
+
+
+def q70_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "l_partkey", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), "l_partkey", "n")
+    )
+    return ex.unionByName(it)
+
+
+def q71_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    # floor-scale instead of ROUND: prank/cdist are exact rationals
+    # (k/n) whose doubles are bit-identical on both engines, but ROUND
+    # at a decimal tie diverges (Spark rounds the shortest decimal
+    # repr half-up; DuckDB rounds the binary value) — floor of the
+    # identical product is engine-stable
+    def f6(col):
+        return F.floor(col * F.lit(1_000_000.0)) / F.lit(1_000_000.0)
+
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.dense_rank().over(w).alias("drank"),
+        f6(F.percent_rank().over(w)).alias("prank"),
+        f6(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+QUERIES = {
+    "q69_hierarchy_depths": q69_hierarchy_depths,
+    "q70_bag_set_ops": q70_bag_set_ops,
+    "q71_rank_functions": q71_rank_functions,
+}
+
+ORACLE = {
+    "q69_hierarchy_depths": """
+        WITH RECURSIVE docs0 AS (SELECT doc_id FROM documents WHERE doc_id >= 0),
+        d AS (
+          SELECT doc_id, 0::BIGINT AS depth FROM docs0
+          WHERE doc_id = 0
+             OR (doc_id // 3) NOT IN (SELECT doc_id FROM docs0)
+          UNION ALL
+          SELECT c.doc_id, p.depth + 1 FROM docs0 c
+          JOIN d p ON c.doc_id // 3 = p.doc_id
+          WHERE c.doc_id > 0
+        )
+        SELECT depth, COUNT(*) AS n_docs FROM d GROUP BY depth ORDER BY depth
+    """,
+    "q70_bag_set_ops": """
+        WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'),
+             b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+        SELECT 'except' AS op, l_partkey, COUNT(*) AS n
+        FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+        UNION ALL
+        SELECT 'intersect' AS op, l_partkey, COUNT(*) AS n
+        FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+    """,
+    "q71_rank_functions": """
+        SELECT c_custkey, c_nationkey,
+               DENSE_RANK() OVER w AS drank,
+               FLOOR(PERCENT_RANK() OVER w * 1000000) / 1000000 AS prank,
+               FLOOR(CUME_DIST() OVER w * 1000000) / 1000000 AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey)
+    """,
+}
