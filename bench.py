@@ -94,6 +94,12 @@ def main() -> None:
         medians[name] = runs[len(runs) // 2]
         total += runs[0]
         print(f"# {name}: {n} rows, min {runs[0]}s of {runs}", file=sys.stderr)
+        # a few operators persist() small intermediates (banded rank,
+        # iterative graph frontiers, BPE); drop them between queries so
+        # storage-memory pressure can't accumulate across the 180+ query
+        # suite and show up as a uniform late-suite slowdown (r5->r6
+        # triage: the drift tracked suite/JVM state, not plan changes)
+        spark.catalog.clearCache()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     regressions = _trend_vs_snapshot(timings, medians, sf_val)
