@@ -44,13 +44,21 @@ _LOCAL = "__gr_lr"
 
 def _band_expr(value_dbl: Column, splits: Sequence[float], descending: bool) -> Column:
     """Deterministic band index from literal split points (monotone in
-    the order direction: band 0 holds the first-ranked values)."""
+    the order direction: band 0 holds the first-ranked values).
+
+    NULL values band where Spark's sort puts them — LAST for DESC,
+    FIRST for ASC — so the band order always agrees with the
+    within-band window order (a NULL in band 0 of a DESC ranking would
+    silently corrupt every global rank after it)."""
     arr = F.array(*[F.lit(float(s)) for s in splits])
     if descending:
         cmp = lambda s: F.when(s > value_dbl, 1).otherwise(0)  # noqa: E731
+        null_band = len(splits)  # DESC → NULLS LAST
     else:
         cmp = lambda s: F.when(s < value_dbl, 1).otherwise(0)  # noqa: E731
-    return F.aggregate(arr, F.lit(0), lambda acc, s: acc + cmp(s))
+        null_band = 0  # ASC → NULLS FIRST
+    banded = F.aggregate(arr, F.lit(0), lambda acc, s: acc + cmp(s))
+    return F.when(value_dbl.isNull(), F.lit(null_band)).otherwise(banded)
 
 
 def global_row_number(
@@ -84,10 +92,11 @@ def global_row_number(
     splits = df.select(
         F.percentile_approx(vdbl, F.array(*[F.lit(q) for q in qs]), F.lit(1000)).alias("s")
     ).first()["s"]
-    if not splits:  # empty frame: no bands to cut
-        return df.withColumn(out_col, F.lit(None).cast("long")), 0
-    # dedupe split points (flat distributions collapse quantiles)
-    uniq = sorted(set(splits), reverse=descending)
+    # dedupe split points (flat distributions collapse quantiles); an
+    # empty or all-NULL frame yields no splits -> one band, which the
+    # count/offset machinery below handles (empty -> empty, all-NULL ->
+    # one windowed band ordered by the tiebreakers)
+    uniq = sorted(set(splits), reverse=descending) if splits else []
 
     banded = df.withColumn(_BAND, _band_expr(vdbl, uniq, descending))
     order = [F.col(value_col).desc() if descending else F.col(value_col).asc()]

@@ -78,3 +78,26 @@ def test_q66_plan_is_window_free_at_fact_scale(spark):
     df = q66_customer_value_deciles(spark, SF_DIR)
     assert_no_partitionless_window(df)
     assert df.count() == 10
+
+
+@pytest.mark.parametrize("desc", [True, False])
+def test_null_values_band_with_their_sort_position(spark, desc):
+    """NULLs must rank where Spark's sort puts them (LAST for DESC,
+    FIRST for ASC) — the hostile-fixture regression: a NULL banded
+    first in a DESC ranking shifts every rank after it."""
+    rows = [(1, 5.0), (2, None), (3, 1.0), (4, None), (5, 9.0), (6, 5.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got, total = global_row_number(df, "v", ["id"], descending=desc, bands=3, out_col="rn")
+    assert total == 6
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()]
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert {(r.id, r.rn) for r in got.collect()} == {
+        (r.id, r.rn) for r in want.collect()
+    }
+
+
+def test_all_null_values_still_rank_by_tiebreaker(spark):
+    df = spark.createDataFrame([(3, None), (1, None), (2, None)], "id long, v double")
+    got, total = global_row_number(df, "v", ["id"], out_col="rn")
+    assert total == 3
+    assert {(r.id, r.rn) for r in got.collect()} == {(1, 1), (2, 2), (3, 3)}
