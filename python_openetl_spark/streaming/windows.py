@@ -97,3 +97,47 @@ def session_window_agg(
             "total_value",
         )
     )
+
+
+def chained_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    size: str = "1 hour",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two CHAINED stateful aggregations in one query: per-(window, key)
+    counts, then a per-window distribution over those counts — the
+    multiple-stateful-operators pipeline Structured Streaming supports
+    since Spark 3.4 (the first agg's ``window`` column feeds the second
+    ``groupBy(window)`` directly, so the engine threads event-time
+    watermarks through both stages; on batch input the same plan is two
+    ordinary hash aggregations).
+
+    Why this shape matters at scale: the first aggregation is keyed by
+    (window x user) — high cardinality, map-side partial; the second
+    collapses to one row per window. Computing the distribution in one
+    pass over raw events would need count-distinct-style state per
+    window; chaining keeps each stage's state proportional to its own
+    key space.
+    """
+    per_key = df.groupBy(F.window(ts_col, size).alias("w"), key).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(24,2)")).alias("key_value"),
+    )
+    return (
+        per_key.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_keys"),
+            F.max("n_events").alias("max_events_per_key"),
+            F.sum("key_value").cast("double").alias("total_value"),
+            (F.sum("n_events") / F.count(F.lit(1))).alias("avg_events_per_key"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n_active_keys",
+            "max_events_per_key",
+            "total_value",
+            "avg_events_per_key",
+        )
+    )

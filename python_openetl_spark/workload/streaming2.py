@@ -128,14 +128,55 @@ def s08_watermark_scoped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s09_chained_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two CHAINED stateful aggregations in one query
+    (streaming/windows.py chained_window_agg): per-(hour, user) counts,
+    then a per-hour distribution over those counts — Spark's
+    multiple-stateful-operators pipeline (3.4+), where the first agg's
+    window column feeds the second groupBy so the watermark threads
+    through both stages. Batch twin here; the streaming run (append
+    mode, in-order replay, watermark-gated emission) is exercised in
+    tests/test_streaming.py. avg is floor-scaled, not ROUNDed: the
+    ratio doubles are bit-identical across engines but decimal
+    rounding of a tie is not."""
+    from python_openetl_spark.streaming.windows import chained_window_agg
+
+    out = chained_window_agg(t(spark, sf_dir, "events"))
+    return out.select(
+        "window_start",
+        "n_active_keys",
+        "max_events_per_key",
+        "total_value",
+        (F.floor(F.col("avg_events_per_key") * 1_000_000.0) / 1_000_000.0).alias(
+            "avg_events_per_key"
+        ),
+    )
+
+
 QUERIES = {
     "s05_stream_static_enrichment": s05_stream_static_enrichment,
     "s06_interval_join": s06_interval_join,
     "s07_outer_interval_join": s07_outer_interval_join,
     "s08_watermark_scoped_dedup": s08_watermark_scoped_dedup,
+    "s09_chained_window_stats": s09_chained_window_stats,
 }
 
 ORACLE = {
+    "s09_chained_window_stats": """
+        WITH per_key AS (
+          SELECT date_trunc('hour', ts) AS w, user_id,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(value AS DECIMAL(24,2))) AS key_value
+          FROM events GROUP BY 1, 2
+        )
+        SELECT epoch_us(w) // 1000000 AS window_start,
+               COUNT(*) AS n_active_keys,
+               MAX(n_events) AS max_events_per_key,
+               CAST(SUM(key_value) AS DOUBLE) AS total_value,
+               FLOOR((SUM(n_events)::DOUBLE / COUNT(*)) * 1000000) / 1000000
+                 AS avg_events_per_key
+        FROM per_key GROUP BY 1
+    """,
     "s05_stream_static_enrichment": """
         SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name, c.c_mktsegment
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey

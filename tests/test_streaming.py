@@ -625,3 +625,33 @@ def test_transform_with_state_gate_consistent():
     except ModuleNotFoundError:
         runtime_present = False
     assert transform_with_state_available() == runtime_present
+
+
+def test_chained_stateful_aggs_stream(spark, tmp_path):
+    """Two chained stateful aggregations (3.4+ multi-stateful pipeline)
+    running as a REAL stream in append mode: with an in-order replay
+    and a 1-hour watermark, every window whose end is strictly older
+    than (max event time - 1h) must be emitted, each emitted row must
+    equal its batch twin, and nothing can be emitted twice."""
+    import datetime as dt
+
+    from python_openetl_spark.streaming.windows import chained_window_agg
+
+    ev = _events(spark).select("ts", "user_id", "value")
+    path = stage_replay_dir(
+        ev, str(tmp_path / "replay_chain"), chunks=4,
+        order_col="ts", shuffle_time_order=False,
+    )
+    stream = read_file_stream(spark, path, ev.schema)
+    agg = chained_window_agg(with_watermark(stream, "ts", "1 hour"))
+    _run_to_completion(agg, "append", tmp_path, "chained")
+    got = {
+        tuple(r): None for r in spark.sql("SELECT * FROM chained").collect()
+    }
+    want_all = {tuple(r): None for r in chained_window_agg(ev).collect()}
+    assert len(got) == spark.sql("SELECT COUNT(*) FROM chained").first()[0]  # no dups
+    assert set(got) <= set(want_all)  # every emitted row equals its batch twin
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = (max_ts - dt.timedelta(hours=2)).timestamp()  # window end + watermark
+    must = {k for k in want_all if k[0] + 3600 <= horizon}
+    assert must <= set(got), f"missing {len(must - set(got))} finalized windows"
