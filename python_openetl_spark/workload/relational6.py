@@ -98,13 +98,44 @@ def q71_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregate inside a window frame — a real engine-surface
+    gap: Spark's WindowExec rejects ``count(DISTINCT)`` outright, so
+    the idiomatic translation is ``size(array_distinct(collect_list))``
+    over the same frame (state bounded by the 10-row frame, partitioned
+    by user — never a global window). DuckDB states the semantics with
+    its native windowed DISTINCT aggregate."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).alias(
+            "distinct_types_10"
+        ),
+    )
+
+
 QUERIES = {
     "q69_hierarchy_depths": q69_hierarchy_depths,
     "q70_bag_set_ops": q70_bag_set_ops,
     "q71_rank_functions": q71_rank_functions,
+    "q72_windowed_distinct": q72_windowed_distinct,
 }
 
 ORACLE = {
+    "q72_windowed_distinct": """
+        SELECT event_id, user_id,
+               COUNT(DISTINCT event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+               )::INT AS distinct_types_10
+        FROM events
+    """,
     "q69_hierarchy_depths": """
         WITH RECURSIVE docs0 AS (SELECT doc_id FROM documents WHERE doc_id >= 0),
         d AS (
@@ -137,3 +168,4 @@ ORACLE = {
                      ORDER BY c_acctbal DESC, c_custkey)
     """,
 }
+
