@@ -103,6 +103,31 @@ class VersionedTable:
             os.path.join(self.path, state["versions"][str(v)]["dir"])
         )
 
+    def changes(
+        self,
+        spark: SparkSession,
+        pk: str | list,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental-consumer CDC feed between two committed versions:
+        the I/U/D rows (operators.merge.snapshot_diff) that transform
+        snapshot ``from_version`` into ``to_version`` (default: the
+        current pointer). Because versions are immutable directories,
+        the diff is reproducible forever — the "read incrementally
+        since version N" contract Delta/Iceberg consumers rely on,
+        computed as one co-partitioned full-outer pk join of the two
+        snapshots rather than from a stored log."""
+        from python_openetl_spark.operators.merge import snapshot_diff
+
+        if to_version is None:
+            to_version = self.current_version()
+        return snapshot_diff(
+            self.read(spark, version=from_version),
+            self.read(spark, version=to_version),
+            pk,
+        )
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` versions (never the
         current one). Returns the versions removed."""

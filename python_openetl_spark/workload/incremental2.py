@@ -308,3 +308,72 @@ ORACLE["m16_time_travel"] = f"""
     UNION ALL
     SELECT 'after_rollback', * FROM pre
 """
+
+
+def m19_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read between table versions
+    (plans/versioned.py VersionedTable.changes): commit the customer
+    dimension as v1, a mutated copy as v2 (deletes: custkey %11 == 0;
+    updates: +100 balance on %7 == 0; inserts: %13 == 0 echoed at
+    custkey + 1_000_000), then consume the v1->v2 CDC feed — the
+    "what changed since version N" contract, computed from the two
+    immutable snapshots with one full-outer pk join."""
+    import tempfile
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 11 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                "c_nationkey",
+                "c_acctbal",
+            )
+        )
+    )
+    vt = VersionedTable(tempfile.mkdtemp(prefix="poe_m19_") + "/t")
+    vt.commit(c)
+    vt.commit(v2)
+    return vt.changes(spark, "c_custkey", from_version=1)
+
+
+QUERIES["m19_version_changes"] = m19_version_changes
+
+ORACLE["m19_version_changes"] = """
+    WITH old AS (
+      SELECT c_custkey, c_nationkey, c_acctbal::DOUBLE AS c_acctbal FROM customer
+    ),
+    new AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM old WHERE c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_nationkey, c_acctbal
+      FROM old WHERE c_custkey % 13 = 0
+    )
+    SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+           CASE WHEN n.c_custkey IS NULL THEN o.c_nationkey ELSE n.c_nationkey END AS c_nationkey,
+           CASE WHEN n.c_custkey IS NULL THEN o.c_acctbal ELSE n.c_acctbal END AS c_acctbal,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                WHEN n.c_nationkey IS DISTINCT FROM o.c_nationkey
+                  OR n.c_acctbal IS DISTINCT FROM o.c_acctbal THEN 'U'
+           END AS change_type
+    FROM new n FULL OUTER JOIN old o ON n.c_custkey = o.c_custkey
+    WHERE CASE WHEN o.c_custkey IS NULL THEN 'I'
+               WHEN n.c_custkey IS NULL THEN 'D'
+               WHEN n.c_nationkey IS DISTINCT FROM o.c_nationkey
+                 OR n.c_acctbal IS DISTINCT FROM o.c_acctbal THEN 'U'
+          END IS NOT NULL
+"""

@@ -62,3 +62,19 @@ def test_vacuum_keeps_current_and_newest(spark, tmp_path):
     with pytest.raises(ValueError):
         t.read(spark, version=1)
     assert not os.path.exists(str(tmp_path / "vt" / "v1"))
+
+
+def test_changes_between_versions(spark, tmp_path):
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    vt = VersionedTable(str(tmp_path / "vt"))
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "id long, v double")
+    vt.commit(v1)
+    v2 = spark.createDataFrame([(1, 10.0), (2, 25.0), (4, 40.0)], "id long, v double")
+    vt.commit(v2)
+    got = {(r["id"], r["change_type"]) for r in vt.changes(spark, "id", 1).collect()}
+    assert got == {(2, "U"), (3, "D"), (4, "I")}
+    # explicit to_version + reproducibility on immutable snapshots
+    again = {(r["id"], r["change_type"]) for r in vt.changes(spark, "id", 1, 2).collect()}
+    assert again == got
+    assert vt.changes(spark, "id", 2, 2).count() == 0
