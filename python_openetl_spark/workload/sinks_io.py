@@ -218,6 +218,40 @@ def k07_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+
+def k09_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as a driver verb (the join-driven
+    complement of k07's static PartitionFilters): the fact table is
+    written hive-partitioned by status, the join's dim side carries a
+    selective filter, and Catalyst injects a dynamicpruning subquery so
+    the fact scan reads ONLY the partitions the dim rows name — decided
+    at runtime from the broadcast result, which is the mechanism that
+    makes star joins over partitioned 100 TB facts read 1/K of the
+    data. The DPP subquery's presence in the plan is asserted in
+    tests/test_pipelines.py; the oracle proves the pruned join loses
+    nothing."""
+    from python_openetl_spark.plans.pipelines import seed
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = seed(src, _tmp("dpp"), partition_by=["o_orderstatus"])
+    fact = table.read(spark)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "st string, st_name string"
+    ).filter(F.col("st_name") != "open")
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.st)
+        .groupBy("st_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def k08_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-row-tolerant CSV ingestion (S3/C3 hardening): a CSV
     with planted corrupt lines — a non-numeric key column (every
@@ -287,10 +321,19 @@ QUERIES = {
     "k05_manifest_pruned_scan": k05_manifest_pruned_scan,
     "k06_zorder_layout_scan": k06_zorder_layout_scan,
     "k07_hive_partition_pruned_scan": k07_hive_partition_pruned_scan,
+    "k09_dynamic_partition_pruned_join": k09_dynamic_partition_pruned_join,
     "k08_permissive_csv_ingest": k08_permissive_csv_ingest,
 }
 
 ORACLE = {
+    "k09_dynamic_partition_pruned_join": """
+        WITH dim(st, st_name) AS (VALUES ('F', 'final'), ('O', 'open'), ('P', 'pending'))
+        SELECT st_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders JOIN dim ON o_orderstatus = st
+        WHERE st_name <> 'open'
+        GROUP BY st_name
+    """,
     "k01_csv_roundtrip": """
         SELECT o_orderkey, o_custkey, o_orderstatus,
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_price,

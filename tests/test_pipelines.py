@@ -339,3 +339,16 @@ def test_overwrite_where_dynamic_escaped_partition_values(spark, tmp_path):
     )
     got = {(r.id, r.k, r.v) for r in table.read(spark).collect()}
     assert got == {(9, "a:b", 9.0), (2, "plain", 2.0)}
+
+
+def test_k09_plan_contains_dynamic_pruning(spark):
+    """The k09 join must actually inject a DPP subquery — without it
+    the fact scan reads every partition and the verb proves nothing."""
+    from python_openetl_spark.workload.sinks_io import (
+        k09_dynamic_partition_pruned_join,
+    )
+    from tests.conftest import SF_DIR
+
+    df = k09_dynamic_partition_pruned_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
