@@ -567,3 +567,39 @@ def gopher_quality_gate(
         F.when(reasons == "", None).otherwise(reasons).alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def token_budget_selection(
+    docs: DataFrame,
+    budget: int,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-group corpus selection under a token budget: within
+    each group, documents are ranked (token count DESC, id) and kept
+    while the running token total stays within ``budget`` — the
+    deterministic "fill each source's quota with its largest documents
+    first" step of a training-mixture build (the knapsack relaxation
+    every production pipeline actually ships). One partitioned window
+    per group; no global sort, no collect.
+
+    Returns the kept rows with ``n_tokens`` and the running
+    ``cum_tokens`` (≤ budget by construction). A single document larger
+    than the whole budget is excluded — the cumulative-sum-includes-
+    current-row convention, identical in SQL."""
+    from pyspark.sql import Window
+
+    from python_openetl_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("n_tokens").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.withColumn("n_tokens", token_count(text_col).cast("long"))
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -60,12 +60,50 @@ def x14_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filtered_cosine_topk(emb, queries, "label", k=5)
 
 
+def e06_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget corpus selection
+    (operators/prep.py token_budget_selection): each source's quota is
+    filled largest-documents-first until the 4000-token budget is hit;
+    the report states what survived per source. One partitioned window
+    — the deterministic knapsack relaxation of a mixture build."""
+    from python_openetl_spark.operators.prep import token_budget_selection
+
+    kept = token_budget_selection(
+        t(spark, sf_dir, "documents"), budget=4000, group_col="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.max("cum_tokens").alias("budget_used"),
+    )
+
+
+
 QUERIES = {
     "d51_lexical_richness": d51_lexical_richness,
     "x14_filtered_topk": x14_filtered_topk,
+    "e06_token_budget_selection": e06_token_budget_selection,
 }
 
 ORACLE = {
+    "e06_token_budget_selection": f"""
+        WITH sized AS (
+          SELECT source, doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens
+          FROM documents
+        ),
+        run AS (
+          SELECT source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM sized
+        )
+        SELECT source, COUNT(*) AS n_docs_kept,
+               SUM(n_tokens)::BIGINT AS tokens_kept,
+               MAX(cum_tokens)::BIGINT AS budget_used
+        FROM run WHERE cum_tokens <= 4000
+        GROUP BY source
+    """,
     "d51_lexical_richness": f"""
         WITH tk AS (SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents),
         per_type AS (SELECT lang, tok, COUNT(*) AS n FROM tk GROUP BY 1, 2)

@@ -252,6 +252,76 @@ def k09_dynamic_partition_pruned_join(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+
+def k10_tarball_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-file tarball ingestion as a driver verb (S4/C3,
+    reference `operations.py:634-686`): stage orders + customer as
+    CSVs inside a tar, run plans.pipelines.ingest_tarball (untar ->
+    header+inferSchema CSV scans -> seeded `cb_{name}` tables), then
+    answer a join rollup from the INGESTED tables. The oracle computes
+    the same rollup from the original fixtures, so the whole
+    untar/infer/seed path is value-checked, not just exercised."""
+    import os
+    import tarfile
+    import tempfile
+
+    from python_openetl_spark.plans.pipelines import ingest_tarball
+
+    tmp = tempfile.mkdtemp(prefix="poe_k10_")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    for name, df in (("orders", o), ("customer", c)):
+        df.toPandas().to_csv(os.path.join(tmp, f"{name}.csv"), index=False)
+    tar_path = os.path.join(tmp, "export.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        for name in ("orders", "customer"):
+            tf.add(os.path.join(tmp, f"{name}.csv"), arcname=f"{name}.csv")
+    tables = ingest_tarball(spark, tar_path, os.path.join(tmp, "ingested"))
+    io = tables["cb_orders"].read(spark)
+    ic = tables["cb_customer"].read(spark)
+    return (
+        io.join(ic, io.o_custkey == ic.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def k11_remote_csv_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-CSV seeding as a driver verb (S3/C1, reference
+    `operations.py:486-513`): stage the orders slice as a CSV, seed it
+    through sources.files.seed_from_remote_csv via a ``file://`` URL
+    (the same fetch -> parallel CSV scan -> atomic overwrite path an
+    http source takes), read the seeded table back and aggregate."""
+    import os
+    import tempfile
+
+    from python_openetl_spark.sources.files import seed_from_remote_csv
+
+    tmp = tempfile.mkdtemp(prefix="poe_k11_")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    csv_path = os.path.join(tmp, "orders.csv")
+    o.toPandas().to_csv(csv_path, index=False)
+    seed_from_remote_csv(
+        spark, "file://" + csv_path, os.path.join(tmp, "seeded")
+    )
+    back = spark.read.parquet(os.path.join(tmp, "seeded"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 def k08_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-row-tolerant CSV ingestion (S3/C3 hardening): a CSV
     with planted corrupt lines — a non-numeric key column (every
@@ -322,10 +392,23 @@ QUERIES = {
     "k06_zorder_layout_scan": k06_zorder_layout_scan,
     "k07_hive_partition_pruned_scan": k07_hive_partition_pruned_scan,
     "k09_dynamic_partition_pruned_join": k09_dynamic_partition_pruned_join,
+    "k10_tarball_ingest": k10_tarball_ingest,
+    "k11_remote_csv_seed": k11_remote_csv_seed,
     "k08_permissive_csv_ingest": k08_permissive_csv_ingest,
 }
 
 ORACLE = {
+    "k10_tarball_ingest": """
+        SELECT c_nationkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
+    "k11_remote_csv_seed": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus
+    """,
     "k09_dynamic_partition_pruned_join": """
         WITH dim(st, st_name) AS (VALUES ('F', 'final'), ('O', 'open'), ('P', 'pending'))
         SELECT st_name, COUNT(*) AS n_orders,
