@@ -32,8 +32,15 @@ def read_csv(spark: SparkSession, path: str, *, header: bool = True, infer: bool
     )
 
 
-def read_json(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.json(path)
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON scan; pass a DDL ``schema`` in production — JSON files
+    carry no schema of their own, so schema inference both costs an
+    extra pass over the data and returns NOTHING on an empty stage
+    (a zero-row day would break downstream column references)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

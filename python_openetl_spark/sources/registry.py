@@ -33,7 +33,7 @@ def _read_csv(spark: SparkSession, spec: dict) -> DataFrame:
 
 
 def _read_json(spark: SparkSession, spec: dict) -> DataFrame:
-    return files.read_json(spark, spec["path"])
+    return files.read_json(spark, spec["path"], schema=spec.get("schema"))
 
 
 def _read_jdbc(spark: SparkSession, spec: dict) -> DataFrame:

@@ -322,6 +322,66 @@ def k11_remote_csv_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def k12_registry_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-dispatch (C4, reference `pipelines.py` source/dest
+    switch) as a driver verb: the SAME orders slice is staged to
+    parquet, CSV, JSON, ORC, and a live in-memory Derby JDBC table,
+    then read back purely through `sources.registry.read` format
+    specs; one rollup per leg, tagged by format. Any dispatch route
+    that drops, re-types, or duplicates rows hash-mismatches its
+    four siblings and the oracle."""
+    import os
+    import tempfile
+
+    from python_openetl_spark.sources import registry
+    from python_openetl_spark.sources.jdbc import JdbcSource, write_table
+
+    tmp = tempfile.mkdtemp(prefix="poe_k12_")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.parquet(os.path.join(tmp, "pq"))
+    o.write.option("header", True).csv(os.path.join(tmp, "csv"))
+    o.write.json(os.path.join(tmp, "js"))
+    o.write.orc(os.path.join(tmp, "orc"))
+    derby = JdbcSource(
+        url="jdbc:derby:memory:poek12;create=true",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    write_table(o, derby, "K12_ORDERS", mode="overwrite")
+    specs = {
+        "parquet": {"format": "parquet", "path": os.path.join(tmp, "pq")},
+        "csv": {"format": "csv", "path": os.path.join(tmp, "csv")},
+        "json": {
+            "format": "json",
+            "path": os.path.join(tmp, "js"),
+            # JSON carries no schema; explicit DDL keeps an empty
+            # stage readable (and skips the inference pass)
+            "schema": "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        },
+        "orc": {"format": "orc", "path": os.path.join(tmp, "orc")},
+        "jdbc": {
+            "format": "jdbc",
+            "url": derby.url,
+            "driver": derby.driver,
+            "table": "K12_ORDERS",
+        },
+    }
+    out = None
+    for name, spec in specs.items():
+        df = registry.read(spark, spec)
+        leg = df.groupBy().agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+        ).select(F.lit(name).alias("fmt"), "n_orders", "revenue", "key_checksum")
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 def k08_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-row-tolerant CSV ingestion (S3/C3 hardening): a CSV
     with planted corrupt lines — a non-numeric key column (every
@@ -394,10 +454,21 @@ QUERIES = {
     "k09_dynamic_partition_pruned_join": k09_dynamic_partition_pruned_join,
     "k10_tarball_ingest": k10_tarball_ingest,
     "k11_remote_csv_seed": k11_remote_csv_seed,
+    "k12_registry_dispatch": k12_registry_dispatch,
     "k08_permissive_csv_ingest": k08_permissive_csv_ingest,
 }
 
 ORACLE = {
+    "k12_registry_dispatch": """
+        WITH agg AS (
+          SELECT COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+                 SUM(o_orderkey)::BIGINT AS key_checksum
+          FROM orders
+        )
+        SELECT fmt, n_orders, revenue, key_checksum
+        FROM (VALUES ('parquet'), ('csv'), ('json'), ('orc'), ('jdbc')) f(fmt), agg
+    """,
     "k10_tarball_ingest": """
         SELECT c_nationkey, COUNT(*) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
