@@ -538,3 +538,46 @@ def test_apply_cdc_rollup_equals_recompute(spark, old, new):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- ranking --
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=200),  # id (unique-ified below)
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-3, max_value=3),  # heavy ties + NULLs
+        ),
+    ),
+    max_size=14,
+)
+
+
+@given(rows=_rank_rows, desc=st.booleans(), k=st.integers(min_value=1, max_value=7))
+@_settings
+def test_global_ntile_matches_window_on_arbitrary_input(spark, rows, desc, k):
+    """operators/ranking.py: exact NTILE parity with the partitionless
+    window it replaces, under arbitrary ties, NULLs, and bucket counts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.ranking import global_ntile
+
+    uniq = {i: v for i, v in rows}  # ids must make the ordering total
+    data = [(int(i), None if v is None else float(v)) for i, v in uniq.items()]
+    if not data:
+        return
+    df = spark.createDataFrame(data, "id long, v double")
+    got = {
+        (r["id"], r["b"])
+        for r in global_ntile(
+            df, "v", ["id"], k=k, descending=desc, bands=3, out_col="b"
+        ).collect()
+    }
+    order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("id").asc()]
+    want = {
+        (r["id"], r["b"])
+        for r in df.withColumn("b", F.ntile(k).over(Window.orderBy(*order))).collect()
+    }
+    assert got == want
