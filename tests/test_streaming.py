@@ -655,3 +655,30 @@ def test_chained_stateful_aggs_stream(spark, tmp_path):
     horizon = (max_ts - dt.timedelta(hours=2)).timestamp()  # window end + watermark
     must = {k for k in want_all if k[0] + 3600 <= horizon}
     assert must <= set(got), f"missing {len(must - set(got))} finalized windows"
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmp_path):
+    from python_openetl_spark.streaming.windows import sliding_window_agg
+
+    ev = _events(spark)
+    stream = _replay_stream(spark, tmp_path, ev)
+    agg = sliding_window_agg(with_watermark(stream, "ts", "30 days"))
+    _run_to_completion(agg, "complete", tmp_path, "sliding")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sliding").collect()))
+    want = sorted(map(tuple, sliding_window_agg(ev).collect()))
+    assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Session windows as a REAL stream: sessions merge as late events
+    arrive (out-of-order replay), and with a watermark far beyond the
+    data range the final state equals the batch sessionization."""
+    from python_openetl_spark.streaming.windows import session_window_agg
+
+    ev = _events(spark)
+    stream = _replay_stream(spark, tmp_path, ev)
+    agg = session_window_agg(with_watermark(stream, "ts", "30 days"))
+    _run_to_completion(agg, "complete", tmp_path, "sess")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sess").collect()))
+    want = sorted(map(tuple, session_window_agg(ev).collect()))
+    assert got == want
