@@ -101,3 +101,26 @@ def test_all_null_values_still_rank_by_tiebreaker(spark):
     got, total = global_row_number(df, "v", ["id"], out_col="rn")
     assert total == 3
     assert {(r.id, r.rn) for r in got.collect()} == {(1, 1), (2, 2), (3, 3)}
+
+
+@pytest.mark.parametrize(
+    "module,qname",
+    [
+        ("relational", "q05_top_order_per_customer"),
+        ("llm", "x01_cosine_topk"),
+        ("llm10", "x14_filtered_topk"),
+    ],
+)
+def test_topk_plans_use_window_group_limit(spark, module, qname):
+    """rank()<=k filters must push INTO the window sort
+    (WindowGroupLimit, Spark 3.5+): each partition keeps a k-sized heap
+    instead of fully sorting — the difference between top-k and a full
+    per-group sort at 100x the rows. A plan that loses this (e.g. a
+    column rename between the window and the filter) silently reverts
+    to full sorts."""
+    import importlib
+
+    m = importlib.import_module(f"python_openetl_spark.workload.{module}")
+    df = m.QUERIES[qname](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, f"{qname} lost the group-limit pushdown"
