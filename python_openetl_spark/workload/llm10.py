@@ -79,13 +79,88 @@ def e06_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def x15_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained persisted IVF index
+    (operators/ivf_store.py): build the index from 90% of the corpus,
+    APPEND the remaining 10% at batch-sized cost (assign to existing
+    centroids, no retrain), then answer top-k by probing cell
+    partitions — the streaming-vector-ingest lifecycle. Driver
+    contract is the x05 pattern: exact anchors + an in-plan
+    recall-floor boolean over the FULL (built + appended) corpus, so
+    a broken append path (missing vectors -> recall collapse) or a
+    broken probe path hash-mismatches."""
+    import tempfile
+
+    from python_openetl_spark.operators import similarity
+    from python_openetl_spark.operators.ivf_store import (
+        append_to_ivf_store,
+        build_ivf_store,
+        ivf_store_topk,
+    )
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    if not base.take(1):  # degenerate corpus: nothing to index
+        return spark.createDataFrame(
+            [], "query_id long, k int, recall_ok boolean"
+        )
+    p = ivf_params(emb.count())
+    root = tempfile.mkdtemp(prefix="poe_x15_") + "/ivf"
+    build_ivf_store(base, root, nlist=p["nlist"])
+    append_to_ivf_store(batch, root)
+
+    queries = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = ivf_store_topk(
+        spark, root, queries.toPandas(), k=5, nprobe=p["nprobe"]
+    )
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k") >= 0.2).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+
 QUERIES = {
     "d51_lexical_richness": d51_lexical_richness,
     "x14_filtered_topk": x14_filtered_topk,
     "e06_token_budget_selection": e06_token_budget_selection,
+    "x15_incremental_ivf_topk": x15_incremental_ivf_topk,
 }
 
 ORACLE = {
+    "x15_incremental_ivf_topk": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN (1, 5, 9)),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id FROM c, q WHERE c.vec_id <> q.query_id
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            list_dot_product(c.v, q.qv)
+              / (sqrt(list_dot_product(c.v, c.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) DESC, c.vec_id) <= 5
+        )
+        SELECT query_id, COUNT(*)::INT AS k, TRUE AS recall_ok
+        FROM scored GROUP BY query_id
+    """,
     "e06_token_budget_selection": f"""
         WITH sized AS (
           SELECT source, doc_id, len({_TOKS_SQL})::BIGINT AS n_tokens

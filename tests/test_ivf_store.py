@@ -1,0 +1,87 @@
+"""operators/ivf_store.py — persisted incremental IVF index."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.operators import similarity
+from python_openetl_spark.operators.ivf_store import (
+    append_to_ivf_store,
+    build_ivf_store,
+    ivf_store_topk,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path_factory.mktemp("ivf") / "store")
+    build_ivf_store(emb.filter(F.col("vec_id") % 10 != 7), root, nlist=16)
+    append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
+    return root
+
+
+def _queries(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return (
+        emb.filter(F.col("vec_id").isin(1, 5, 9))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+
+
+def test_append_is_queryable_and_recall_holds(spark, store):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    stored = spark.read.parquet(store + "/assigned")
+    assert stored.count() == n  # nothing lost across build + append
+    assert stored.select("vec_id").distinct().count() == n
+
+    qpdf = _queries(spark)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(
+            emb, spark.createDataFrame(qpdf), k=5
+        ).collect()
+    }
+    # full probe == exact (every cell scanned -> no pruning loss)
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_store_topk(spark, store, qpdf, k=5, nprobe=16).collect()
+    }
+    assert full == exact
+    # narrow probe: recall floor, and appended vectors are reachable
+    narrow = ivf_store_topk(spark, store, qpdf, k=5, nprobe=12)
+    hits = len({(r["query_id"], r["vec_id"]) for r in narrow.collect()} & exact)
+    assert hits / len(exact) >= 0.6
+
+
+def test_probe_scan_is_partition_pruned(spark, store):
+    """The cell predicate must reach the scan as a PartitionFilter —
+    the disk-level pruning the partitioned layout exists for."""
+    df = ivf_store_topk(spark, store, _queries(spark), k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("PartitionFilters: [ cell", "PartitionFilters: [cell"), plan
+
+
+def test_appended_vector_is_findable_as_itself(spark, store):
+    """A freshly-appended vector queried for its own neighborhood must
+    appear in results for a query equal to it (nprobe=1 suffices: it
+    sits in its assigned cell, which is the query's nearest cell)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") % 10 == 7).first()
+    qpdf = pd.DataFrame({"query_id": [999_999], "embedding": [row["embedding"]]})
+    got = ivf_store_topk(spark, store, qpdf, k=3, nprobe=1).collect()
+    assert row["vec_id"] in {r["vec_id"] for r in got}
+    top = max(got, key=lambda r: r["cos_sim"])
+    assert top["vec_id"] == row["vec_id"] and top["cos_sim"] > 0.999999
+
+
+def test_build_empty_corpus_raises(spark, tmp_path):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ivf_store(empty, str(tmp_path / "x"))
