@@ -120,14 +120,43 @@ def q72_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic surface: under Spark 4's default ANSI
+    mode, division by zero, bad casts, and long overflow are runtime
+    ERRORS — the ``try_*`` family turns them into NULLs, which is what
+    a pipeline over dirty data needs. The oracle states the identical
+    NULL semantics with DuckDB's TRY_CAST / NULLIF / a CASE for the
+    overflow row (DuckDB has no try_add)."""
+    o = t(spark, sf_dir, "orders")
+    big = 9_223_372_036_854_775_807
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")).alias(
+            "price_per_bucket"
+        ),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.try_add(F.lit(big), F.col("o_orderkey")).alias("overflowing_add"),
+    )
+
+
+
 QUERIES = {
     "q69_hierarchy_depths": q69_hierarchy_depths,
     "q70_bag_set_ops": q70_bag_set_ops,
     "q71_rank_functions": q71_rank_functions,
     "q72_windowed_distinct": q72_windowed_distinct,
+    "q73_try_arithmetic": q73_try_arithmetic,
 }
 
 ORACLE = {
+    "q73_try_arithmetic": """
+        SELECT o_orderkey,
+               o_totalprice / NULLIF((o_orderkey % 3)::DOUBLE, 0.0) AS price_per_bucket,
+               TRY_CAST(o_orderstatus AS INT) AS status_as_int,
+               CASE WHEN o_orderkey <= 0 THEN 9223372036854775807 + o_orderkey
+                    ELSE NULL END AS overflowing_add
+        FROM orders
+    """,
     "q72_windowed_distinct": """
         SELECT event_id, user_id,
                COUNT(DISTINCT event_type) OVER (

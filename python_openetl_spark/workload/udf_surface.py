@@ -189,6 +189,35 @@ def u06_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def u07_apply_in_arrow_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow tier (Spark 4.0+): each group arrives as ONE
+    pyarrow Table — no pandas materialization at all, the zero-copy
+    complement of u02's applyInPandas. The kernel computes the
+    per-event-type value range (max - min: exact double arithmetic, no
+    accumulation order to disagree on) plus the group size with pure
+    pyarrow.compute calls."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def value_range(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "value_range": pa.array(
+                    [pc.max(v).as_py() - pc.min(v).as_py()], pa.float64()
+                ),
+            }
+        )
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInArrow(
+        value_range, schema="event_type string, n_events long, value_range double"
+    )
+
+
+
 QUERIES = {
     "u01_pandas_udf_norm": u01_pandas_udf_norm,
     "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
@@ -196,9 +225,15 @@ QUERIES = {
     "u04_python_udtf_terms": u04_python_udtf_terms,
     "u05_map_in_arrow": u05_map_in_arrow,
     "u06_grouped_agg_trimmed_mean": u06_grouped_agg_trimmed_mean,
+    "u07_apply_in_arrow_range": u07_apply_in_arrow_range,
 }
 
 ORACLE = {
+    "u07_apply_in_arrow_range": """
+        SELECT event_type, COUNT(*) AS n_events,
+               MAX(value) - MIN(value) AS value_range
+        FROM events GROUP BY event_type
+    """,
     "u01_pandas_udf_norm": """
         SELECT vec_id, label,
                ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
