@@ -139,14 +139,53 @@ def x15_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def x16_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched kNN JOIN: every 50th vector is a query (a query SET two
+    orders of magnitude larger than the x01/x03 anchor probes), each
+    finding its 3 nearest neighbors through the Arrow matmul kernel
+    (operators/similarity.py cosine_topk_arrow — one batch x Q^T GEMM
+    per Arrow batch, queries shipped once per executor). This is the
+    shape of dataset-vs-dataset linkage (dedup across snapshots,
+    nearest-example attribution), where per-query probing would launch
+    thousands of jobs."""
+    from python_openetl_spark.operators.similarity import cosine_topk_arrow
+
+    emb = t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return cosine_topk_arrow(emb, qpdf, k=3)
+
+
+
 QUERIES = {
     "d51_lexical_richness": d51_lexical_richness,
     "x14_filtered_topk": x14_filtered_topk,
     "e06_token_budget_selection": e06_token_budget_selection,
     "x15_incremental_ivf_topk": x15_incremental_ivf_topk,
+    "x16_knn_join": x16_knn_join,
 }
 
 ORACLE = {
+    "x16_knn_join": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+                 list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+          FROM c, q WHERE c.vec_id <> q.query_id
+        )
+        SELECT query_id, vec_id, cos_sim, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
     "x15_incremental_ivf_topk": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id IN (1, 5, 9)),
