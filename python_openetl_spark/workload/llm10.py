@@ -1,4 +1,4 @@
-"""Round-6 LLM-data additions: lexical richness and filtered ANN.
+"""Round-6 LLM-data additions.
 
 - d51: per-language lexical-richness profile — type/token ratio and
   hapax-legomenon ratio from one token explode + two grouped
@@ -9,6 +9,13 @@
   retrieves only among vectors sharing its ``label`` — the
   pre-filter strategy for the filtered-ANN problem, an equi-join on
   the filter attribute instead of a broadcast cross join.
+- e06: per-source token-budget corpus selection
+  (``operators/prep.py token_budget_selection``).
+- x15: persisted incrementally-maintained IVF index
+  (``operators/ivf_store.py`` — build / append-without-retrain /
+  partition-pruned probe).
+- x16: batched kNN join (every 50th vector as query through the
+  Arrow GEMM kernel).
 
 Registered after ``relational6`` in ``_MODULES``; locally
 oracle-gated now, rotates into ``_WINDOW_R7``.

@@ -1,5 +1,5 @@
 """Round-6 relational additions: recursive-hierarchy, bag set ops,
-and the remaining rank-function surface.
+rank functions, windowed DISTINCT, and ANSI-safe try arithmetic.
 
 - q69: parent-pointer hierarchy depth histogram via
   ``operators/hierarchy.py tree_depths`` — pointer doubling
