@@ -106,7 +106,12 @@ def build_ivf_store(
         _assign_fn(cnorm, id_col, vec_col),
         schema=f"{id_col} long, {vec_col} array<float>, cell int",
     )
-    assigned.write.partitionBy("cell").parquet(os.path.join(root, _ASSIGNED))
+    # repartition by cell BEFORE the partitioned write: otherwise every
+    # task writes a sliver into every cell directory (tasks x nlist
+    # small files — the small-files explosion that drowns later scans)
+    assigned.repartition("cell").write.partitionBy("cell").parquet(
+        os.path.join(root, _ASSIGNED)
+    )
 
 
 def append_to_ivf_store(
@@ -124,7 +129,7 @@ def append_to_ivf_store(
         _assign_fn(cnorm, id_col, vec_col),
         schema=f"{id_col} long, {vec_col} array<float>, cell int",
     )
-    assigned.write.mode("append").partitionBy("cell").parquet(
+    assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(root, _ASSIGNED)
     )
 
