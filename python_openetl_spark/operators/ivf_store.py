@@ -182,3 +182,38 @@ def ivf_store_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def rebuild_ivf_store(
+    spark: SparkSession,
+    root: str,
+    *,
+    nlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 43,
+) -> None:
+    """Drift repair: re-train centroids from the CURRENT contents of the
+    store (base + every appended batch) and atomically replace the
+    index — the explicit, schedulable rebuild the append path defers.
+    ``nlist`` defaults to the existing centroid count; a different seed
+    than build's keeps the rebuild's sample independent of the original.
+
+    Atomic: the new index is written beside the old one and swapped in
+    with two renames, so a concurrent reader sees the old or the new
+    index, never a half-written one."""
+    import shutil
+
+    current = spark.read.parquet(os.path.join(root, _ASSIGNED)).select(id_col, vec_col)
+    if nlist is None:
+        nlist = spark.read.parquet(os.path.join(root, _CENTROIDS)).count()
+    staging = root + ".rebuild"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    build_ivf_store(
+        current, staging, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    old = root + ".old"
+    os.rename(root, old)
+    os.rename(staging, root)
+    shutil.rmtree(old)

@@ -85,3 +85,23 @@ def test_build_empty_corpus_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty corpus"):
         build_ivf_store(empty, str(tmp_path / "x"))
+
+
+def test_rebuild_preserves_contents_and_exactness(spark, store):
+    from python_openetl_spark.operators.ivf_store import rebuild_ivf_store
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    rebuild_ivf_store(spark, store)
+    stored = spark.read.parquet(store + "/assigned")
+    assert stored.count() == n and stored.select("vec_id").distinct().count() == n
+    qpdf = _queries(spark)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.cosine_topk(emb, spark.createDataFrame(qpdf), k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_store_topk(spark, store, qpdf, k=5, nprobe=16).collect()
+    }
+    assert full == exact

@@ -581,3 +581,34 @@ def test_global_ntile_matches_window_on_arbitrary_input(spark, rows, desc, k):
         for r in df.withColumn("b", F.ntile(k).over(Window.orderBy(*order))).collect()
     }
     assert got == want
+
+
+# -------------------------------------------------------------- hierarchy --
+
+_edges = st.dictionaries(
+    keys=st.integers(min_value=1, max_value=40),
+    values=st.integers(min_value=0, max_value=39),
+    max_size=14,
+)
+
+
+@given(edges=_edges)
+@_settings
+def test_tree_depths_matches_reference_on_arbitrary_forests(spark, edges):
+    """operators/hierarchy.py: pointer doubling equals the sequential
+    parent-chase on arbitrary acyclic forests (parent < node makes any
+    generated relation a DAG pointing downward)."""
+    from python_openetl_spark.operators.hierarchy import tree_depths
+
+    edges = {n: p for n, p in edges.items() if p < n}  # acyclic by construction
+    if not edges:
+        return
+    df = spark.createDataFrame(list(edges.items()), "node long, parent long")
+    got = {r["node"]: (r["root"], r["depth"]) for r in tree_depths(df).collect()}
+    want = {}
+    for n in edges:
+        d, a = 0, n
+        while a in edges:
+            a, d = edges[a], d + 1
+        want[n] = (a, d)
+    assert got == want
