@@ -120,13 +120,13 @@ _MODULES = (
 # had a driver row at least once, and nothing predates r3 except rows
 # already re-proven in r4/r5.
 #
-# _WINDOW_R7 should lead with the 17 round-6 post-window additions
-# that have never had a driver row — q69-q73, d51, x14-x16, e06, m19,
+# _WINDOW_R7 should lead with the 18 round-6 post-window additions
+# that have never had a driver row — q69-q73, d51, x14-x16, e06, e07, m19,
 # s09, k09-k12, u07 (all locally oracle-gated incl. the hostile/empty
-# suites and the sf0.1 soak) — then fill the remaining 33 slots with
-# 33 of the 35 remaining r3-checked rows (m01-m12, q02, q12, q24,
+# suites and the sf0.1 soak) — then fill the remaining 32 slots with
+# 32 of the 35 remaining r3-checked rows (m01-m12, q02, q12, q24,
 # q27/q28, q37, q47, q50-q53, s01-s06, d25-d29, x08 — see COVERAGE.md's
-# ledger); the 2 left over lead _WINDOW_R8 alongside any round-7
+# ledger); the 3 left over lead _WINDOW_R8 alongside any round-7
 # post-window additions.
 _WINDOW_R6 = (
     # never driver-checked (round-5 post-window additions)

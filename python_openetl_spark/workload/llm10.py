@@ -178,15 +178,111 @@ def x16_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def e07_corpus_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff card: commit the documents table as v1 and a
+    mutated copy as v2 (deletes: doc_id %11; text updates: %7 get a
+    ' drift' suffix; inserts: %13 echoed at doc_id + 1_000_000), then
+    report in ONE row what changed between versions — the I/U/D counts
+    from the version store's CDC feed (plans/versioned.py changes) and
+    the unigram-distribution drift both directions
+    (operators/textops.py token_kl_divergence). This is the
+    "should we retrain / re-weight on the new snapshot" report: row
+    churn AND distribution shift, from two immutable snapshots."""
+    import tempfile
+
+    from python_openetl_spark.operators.textops import token_kl_divergence
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    v1 = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    v2 = (
+        v1.filter(F.col("doc_id") % 11 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" drift"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            v1.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+            )
+        )
+    )
+    vt = VersionedTable(tempfile.mkdtemp(prefix="poe_e07_") + "/corpus")
+    vt.commit(v1)
+    vt.commit(v2)
+    chg = vt.changes(spark, "doc_id", 1)
+    counts = chg.agg(
+        F.count_if(F.col("change_type") == "I").alias("n_inserted"),
+        F.count_if(F.col("change_type") == "U").alias("n_updated"),
+        F.count_if(F.col("change_type") == "D").alias("n_deleted"),
+    )
+    kl = token_kl_divergence(vt.read(spark, version=1), vt.read(spark, version=2))
+    return counts.join(F.broadcast(kl))
+
+
+
 QUERIES = {
     "d51_lexical_richness": d51_lexical_richness,
     "x14_filtered_topk": x14_filtered_topk,
     "e06_token_budget_selection": e06_token_budget_selection,
     "x15_incremental_ivf_topk": x15_incremental_ivf_topk,
     "x16_knn_join": x16_knn_join,
+    "e07_corpus_version_drift": e07_corpus_version_drift,
 }
 
 ORACLE = {
+    "e07_corpus_version_drift": f"""
+        WITH v1 AS (SELECT doc_id, text, source FROM documents),
+        v2 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' drift' ELSE text END AS text,
+                 source
+          FROM v1 WHERE doc_id % 11 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text, source FROM v1 WHERE doc_id % 13 = 0
+        ),
+        chg AS (
+          SELECT CASE WHEN o.doc_id IS NULL THEN 'I'
+                      WHEN n.doc_id IS NULL THEN 'D'
+                      WHEN n.text IS DISTINCT FROM o.text
+                        OR n.source IS DISTINCT FROM o.source THEN 'U'
+                 END AS change_type
+          FROM v2 n FULL OUTER JOIN v1 o ON n.doc_id = o.doc_id
+        ),
+        cnt AS (
+          SELECT COUNT(*) FILTER (WHERE change_type = 'I') AS n_inserted,
+                 COUNT(*) FILTER (WHERE change_type = 'U') AS n_updated,
+                 COUNT(*) FILTER (WHERE change_type = 'D') AS n_deleted
+          FROM chg
+        ),
+        ta AS (SELECT unnest({_TOKS_SQL}) AS token FROM v1),
+        tb AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token FROM v2),
+        ca AS (SELECT token, COUNT(*) AS ca FROM ta GROUP BY token),
+        cb AS (SELECT token, COUNT(*) AS cb FROM tb GROUP BY token),
+        joint AS (
+          SELECT COALESCE(ca.token, cb.token) AS token,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+        ),
+        tot AS (SELECT COUNT(*) AS v, SUM(ca) AS na, SUM(cb) AS nb FROM joint),
+        x AS (
+          SELECT ca, cb, v, na, nb,
+                 (CAST(ca AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)) AS p,
+                 (CAST(cb AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)) AS q
+          FROM joint CROSS JOIN tot
+        ),
+        l AS (SELECT p, q, v, na, nb, round(ln(p / q), 9) AS lpq FROM x),
+        kl AS (
+          SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
+                 CAST(MAX(na) AS BIGINT) AS n_tokens_a,
+                 CAST(MAX(nb) AS BIGINT) AS n_tokens_b,
+                 CAST(SUM(CAST(round(p * lpq, 12) AS DECIMAL(28,12))) AS DOUBLE) AS kl_a_b,
+                 CAST(SUM(CAST(round(q * (-lpq), 12) AS DECIMAL(28,12))) AS DOUBLE) AS kl_b_a
+          FROM l
+        )
+        SELECT * FROM cnt CROSS JOIN kl
+    """,
     "x16_knn_join": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id % 50 = 0),
