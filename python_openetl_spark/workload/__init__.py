@@ -120,14 +120,48 @@ _MODULES = (
 # had a driver row at least once, and nothing predates r3 except rows
 # already re-proven in r4/r5.
 #
-# _WINDOW_R7 should lead with the 18 round-6 post-window additions
-# that have never had a driver row — q69-q73, d51, x14-x16, e06, e07, m19,
-# s09, k09-k12, u07 (all locally oracle-gated incl. the hostile/empty
-# suites and the sf0.1 soak) — then fill the remaining 32 slots with
-# 32 of the 35 remaining r3-checked rows (m01-m12, q02, q12, q24,
-# q27/q28, q37, q47, q50-q53, s01-s06, d25-d29, x08 — see COVERAGE.md's
-# ledger); the 3 left over lead _WINDOW_R8 alongside any round-7
-# post-window additions.
+# Round 7's window (_WINDOW_R7), per the r6 verdict's plan item 1:
+#   1. the 18 round-6 post-window additions that have never had a
+#      driver row — q69-q73, d51, x14-x16, e06, e07, m19, s09,
+#      k09-k12, u07 (all green in the judge's independently-run sf0.1
+#      soak);
+#   2. 32 of the 35 remaining r3-checked rows (m01-m12, q02, q12, q24,
+#      q27/q28, q37, q47, q50-q53, s01-s06, d25/d26, x08 — see
+#      COVERAGE.md's ledger).
+# That is exactly 50; the 3 left over (d27-d29) lead _WINDOW_R8
+# alongside any round-7 post-window additions.
+_WINDOW_R7 = (
+    # never driver-checked (round-6 post-window additions)
+    "q69_hierarchy_depths", "q70_bag_set_ops", "q71_rank_functions",
+    "q72_windowed_distinct", "q73_try_arithmetic",
+    "d51_lexical_richness",
+    "x14_filtered_topk", "x15_incremental_ivf_topk", "x16_knn_join",
+    "e06_token_budget_selection", "e07_corpus_version_drift",
+    "m19_version_changes",
+    "s09_chained_window_stats",
+    "k09_dynamic_partition_pruned_join", "k10_tarball_ingest",
+    "k11_remote_csv_seed", "k12_registry_dispatch",
+    "u07_apply_in_arrow_range",
+    # oldest r3-checked rows, rotated back through (32 of 35;
+    # d27-d29 lead _WINDOW_R8)
+    "m01_merge_upsert", "m02_delta_dedup_latest",
+    "m03_propagate_deletes", "m04_safe_append_conflicts",
+    "m05_temporal_delta", "m06_scd2_merge", "m07_incremental_rollup",
+    "m08_snapshot_diff", "m09_seed_roundtrip",
+    "m10_upsert_sync_roundtrip", "m11_normalize_timestamps",
+    "m12_apply_cdc",
+    "q02_delta_scan", "q12_daily_rollup", "q24_asof_join",
+    "q27_date_functions", "q28_approx_aggs", "q37_sessionize",
+    "q47_window_frames", "q50_time_range_frame",
+    "q51_asof_forward_tolerance", "q52_salted_skew_join",
+    "q53_salted_distinct_users",
+    "s01_tumbling_window", "s02_sliding_window", "s03_session_window",
+    "s04_first_arrival_dedup", "s05_stream_static_enrichment",
+    "s06_interval_join",
+    "d25_kmeans_assign", "d26_semantic_dedup",
+    "x08_pq_topk",
+)
+
 _WINDOW_R6 = (
     # never driver-checked (round-5 post-window additions)
     "q60_data_quality_report", "q61_conversion_funnel",
@@ -248,9 +282,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R6 if n not in out]
+    missing = [n for n in _WINDOW_R7 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R6}
+    ordered = {n: out[n] for n in _WINDOW_R7}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
