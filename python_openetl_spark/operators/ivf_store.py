@@ -3,11 +3,13 @@ ingest without retraining.
 
 The in-memory IVF operator (operators/similarity.py ivf_topk) rebuilds
 its coarse quantizer per call; production vector search cannot — the
-corpus arrives continuously. This module persists the index as plain
-columnar layout:
+corpus arrives continuously. This module persists the index as
+immutable versioned directories behind one atomic pointer (the same
+metadata-pointer commit protocol as plans/versioned.py):
 
-    root/centroids.parquet          cell -> centroid vector (nlist rows)
-    root/assigned/cell=<c>/...      vectors hive-partitioned by cell
+    root/_current.json                   {"version": N}  (os.replace commit)
+    root/v0000000N/centroids.parquet     cell -> centroid vector (nlist rows)
+    root/v0000000N/assigned/cell=<c>/... vectors hive-partitioned by cell
 
 and splits the lifecycle the way the incremental-dedup family does
 (operators/dedup.py incremental stores):
@@ -22,6 +24,11 @@ and splits the lifecycle the way the incremental-dedup family does
   prunes to the matching ``cell=`` partition DIRECTORIES
   (PartitionFilters — the scan reads ~nprobe/nlist of the data from
   disk, not just post-filter).
+- :func:`rebuild_ivf_store` — writes a NEW version directory and
+  commits it with one atomic pointer replace; in-flight readers keep
+  scanning the version they resolved at query start.
+- :func:`vacuum_ivf_store` — the explicit deletion point: prunes
+  superseded version directories once no reader can still hold them.
 
 Drift note: appends shift the true cell distribution away from the
 trained centroids; recall degrades gracefully (vectors are still in
@@ -36,7 +43,10 @@ pattern) to the ANN index the training-data pipeline needs.
 
 from __future__ import annotations
 
+import json
 import os
+import re
+import uuid
 from typing import Iterator
 
 import numpy as np
@@ -48,6 +58,38 @@ from python_openetl_spark.functions.vectors import cosine
 
 _CENTROIDS = "centroids.parquet"
 _ASSIGNED = "assigned"
+_POINTER = "_current.json"
+
+
+def _version_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"v{version:08d}")
+
+
+def _current_version(root: str) -> int:
+    try:
+        with open(os.path.join(root, _POINTER)) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"not an IVF store (no {_POINTER}): {root}"
+        ) from None
+
+
+def _commit_version(root: str, version: int) -> None:
+    """One-rename commit (os.replace is atomic per POSIX): a reader of
+    the pointer sees the old or the new version, never a torn file."""
+    tmp = os.path.join(root, f"{_POINTER}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def current_index_dir(root: str) -> str:
+    """Resolve the live version directory. Callers that issue several
+    reads against one logical index snapshot should resolve ONCE and
+    reuse the returned path — a concurrent rebuild then cannot mix
+    versions mid-query."""
+    return _version_dir(root, _current_version(root))
 
 
 def _assign_fn(cnorm: np.ndarray, id_col: str, vec_col: str):
@@ -86,7 +128,20 @@ def build_ivf_store(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> None:
-    """Train (deterministic xxhash64 centroid sample) + assign + write."""
+    """Train (deterministic xxhash64 centroid sample) + assign + write
+    version 1, then commit the pointer."""
+    _build_into(corpus, _version_dir(root, 1), nlist, id_col, vec_col, seed)
+    _commit_version(root, 1)
+
+
+def _build_into(
+    corpus: DataFrame,
+    idx_dir: str,
+    nlist: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> None:
     spark = corpus.sparkSession
     cent_rows = (
         corpus.select(id_col, vec_col)
@@ -100,8 +155,8 @@ def build_ivf_store(
     spark.createDataFrame(
         [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)],
         "cell int, centroid array<double>",
-    ).coalesce(1).write.parquet(os.path.join(root, _CENTROIDS))
-    _, cnorm = _read_centroids(spark, root)
+    ).coalesce(1).write.parquet(os.path.join(idx_dir, _CENTROIDS))
+    _, cnorm = _read_centroids(spark, idx_dir)
     assigned = corpus.select(id_col, vec_col).mapInPandas(
         _assign_fn(cnorm, id_col, vec_col),
         schema=f"{id_col} long, {vec_col} array<float>, cell int",
@@ -110,7 +165,7 @@ def build_ivf_store(
     # task writes a sliver into every cell directory (tasks x nlist
     # small files — the small-files explosion that drowns later scans)
     assigned.repartition("cell").write.partitionBy("cell").parquet(
-        os.path.join(root, _ASSIGNED)
+        os.path.join(idx_dir, _ASSIGNED)
     )
 
 
@@ -124,13 +179,14 @@ def append_to_ivf_store(
     """Assign new vectors to the EXISTING centroids and append their
     cell partitions — batch-sized cost, corpus never re-read."""
     spark = batch.sparkSession
-    _, cnorm = _read_centroids(spark, root)
+    idx_dir = current_index_dir(root)
+    _, cnorm = _read_centroids(spark, idx_dir)
     assigned = batch.select(id_col, vec_col).mapInPandas(
         _assign_fn(cnorm, id_col, vec_col),
         schema=f"{id_col} long, {vec_col} array<float>, cell int",
     )
     assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(root, _ASSIGNED)
+        os.path.join(idx_dir, _ASSIGNED)
     )
 
 
@@ -146,8 +202,11 @@ def ivf_store_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Probe ``nprobe`` cells per query; the ``cell IN (...)`` predicate
-    prunes partition directories before any distance math."""
-    cells, cnorm = _read_centroids(spark, root)
+    prunes partition directories before any distance math. The version
+    pointer is resolved ONCE up front, so centroids and vectors come
+    from the same index snapshot even under a concurrent rebuild."""
+    idx_dir = current_index_dir(root)
+    cells, cnorm = _read_centroids(spark, idx_dir)
     if queries_pdf.empty:
         return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
@@ -163,7 +222,7 @@ def ivf_store_topk(
         f"{query_id_col} long, __qv array<float>",
     )
     wanted = sorted({c for _, c in pairs})
-    assigned = spark.read.parquet(os.path.join(root, _ASSIGNED)).filter(
+    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).filter(
         F.col("cell").isin(wanted)  # partition-pruned directory scan
     )
     scored = (
@@ -194,26 +253,47 @@ def rebuild_ivf_store(
     seed: int = 43,
 ) -> None:
     """Drift repair: re-train centroids from the CURRENT contents of the
-    store (base + every appended batch) and atomically replace the
-    index — the explicit, schedulable rebuild the append path defers.
-    ``nlist`` defaults to the existing centroid count; a different seed
-    than build's keeps the rebuild's sample independent of the original.
+    store (base + every appended batch) into a NEW version directory and
+    commit it with one atomic pointer replace — the explicit,
+    schedulable rebuild the append path defers. ``nlist`` defaults to
+    the existing centroid count; a different seed than build's keeps the
+    rebuild's sample independent of the original.
 
-    Atomic: the new index is written beside the old one and swapped in
-    with two renames, so a concurrent reader sees the old or the new
-    index, never a half-written one."""
+    Atomic AND reader-safe: the commit is a single ``os.replace`` of the
+    pointer file, and the superseded version directory is left intact —
+    an in-flight probe that resolved it keeps scanning files that still
+    exist. Superseded versions are deleted only by the explicit
+    :func:`vacuum_ivf_store` (single-writer assumed, as in
+    plans/versioned.py)."""
+    version = _current_version(root)
+    cur_dir = _version_dir(root, version)
+    current = spark.read.parquet(os.path.join(cur_dir, _ASSIGNED)).select(
+        id_col, vec_col
+    )
+    if nlist is None:
+        nlist = spark.read.parquet(os.path.join(cur_dir, _CENTROIDS)).count()
+    _build_into(
+        current, _version_dir(root, version + 1), nlist, id_col, vec_col, seed
+    )
+    _commit_version(root, version + 1)
+
+
+def vacuum_ivf_store(root: str, *, keep_last: int = 2) -> list[int]:
+    """Delete superseded version directories, keeping the newest
+    ``keep_last`` (the live version is always kept). Run this only once
+    no reader can still hold a pruned version — deletion is the one
+    non-atomic step, which is why it is a separate, explicit verb.
+    Returns the removed version numbers."""
     import shutil
 
-    current = spark.read.parquet(os.path.join(root, _ASSIGNED)).select(id_col, vec_col)
-    if nlist is None:
-        nlist = spark.read.parquet(os.path.join(root, _CENTROIDS)).count()
-    staging = root + ".rebuild"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    build_ivf_store(
-        current, staging, nlist=nlist, id_col=id_col, vec_col=vec_col, seed=seed
+    live = _current_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v(\d{8})", d)) and os.path.isdir(os.path.join(root, d))
     )
-    old = root + ".old"
-    os.rename(root, old)
-    os.rename(staging, root)
-    shutil.rmtree(old)
+    keep = set(versions[-max(keep_last, 1) :]) | {live}
+    removed = [v for v in versions if v not in keep]
+    for v in removed:
+        shutil.rmtree(_version_dir(root, v))
+    return removed

@@ -13,12 +13,19 @@
   (``operators/prep.py token_budget_selection``).
 - x15: persisted incrementally-maintained IVF index
   (``operators/ivf_store.py`` — build / append-without-retrain /
-  partition-pruned probe).
-- x16: batched kNN join (every 50th vector as query through the
-  Arrow GEMM kernel).
+  partition-pruned probe), with an anchor query planted IN the
+  appended batch so the driver row binds on the append path.
+- x15p: the x04p/d14p-style production twin — same store, probed at
+  the production ``nlist/8`` budget, anchor-membership contract.
+- x16: distributed exact kNN join (every 50th vector as query;
+  ``operators/knn_join.py cosine_knn_join`` — block nested-loop
+  GEMM, both sides stay DataFrames, nothing collected).
+- x17: the approximate 100 TB twin of x16 — IVF-cell co-partitioned
+  kNN join (``operators/knn_join.py ivf_knn_join``) at production
+  probe budget, planted-anchor contract.
 
-Registered after ``relational6`` in ``_MODULES``; locally
-oracle-gated now, rotates into ``_WINDOW_R7``.
+Registered after ``relational6`` in ``_MODULES``; the round-6 rows
+rotate into ``_WINDOW_R7``; x15p/x17 are round-7 post-window.
 """
 
 from __future__ import annotations
@@ -52,10 +59,13 @@ def d51_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
             "distinct_tokens",
             "hapax_tokens",
-            F.round(F.col("distinct_tokens") / F.col("total_tokens"), 6).alias("ttr"),
-            F.round(F.col("hapax_tokens") / F.col("distinct_tokens"), 6).alias(
-                "hapax_ratio"
-            ),
+            # floor-scale, not ROUND: Spark rounds the shortest decimal
+            # repr half-up, DuckDB rounds the binary value — they diverge
+            # on decimal ties of these exact k/n rationals (q71/s09 idiom)
+            (F.floor(F.col("distinct_tokens") / F.col("total_tokens") * 1e6) / 1e6)
+            .alias("ttr"),
+            (F.floor(F.col("hapax_tokens") / F.col("distinct_tokens") * 1e6) / 1e6)
+            .alias("hapax_ratio"),
         )
     )
 
@@ -89,58 +99,86 @@ def e06_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: x15 anchor: a query equal to appended vector #7 under a synthetic id.
+#: Its exact top-1 IS vector 7 (cosine 1.0) and vector 7 lives in the
+#: APPENDED batch, so a broken append path (vector missing from the
+#: store) deterministically flips the anchor row.
+_X15_ANCHOR_SRC = 7
+_X15_ANCHOR_QID = 1_000_007
+
+
+def _x15_store(spark: SparkSession, sf_dir: str, nlist: int) -> str:
+    """Build+append the x15 store ONCE per (session, fixture): an ANN
+    index is amortized infrastructure, not per-query cost, so bench
+    repeats measure the probe path (the cold build cost is the first
+    repeat of a fresh session). Keyed by sf_dir so different fixture
+    scales never share an index."""
+    import tempfile
+
+    from python_openetl_spark.operators.ivf_store import (
+        append_to_ivf_store,
+        build_ivf_store,
+    )
+
+    root = _X15_STORES.get(sf_dir)
+    if root is None:
+        emb = t(spark, sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="poe_x15_") + "/ivf"
+        build_ivf_store(emb.filter(F.col("vec_id") % 10 != 7), root, nlist=nlist)
+        append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
+        _X15_STORES[sf_dir] = root
+    return root
+
+
+def _x15_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).unionByName(
+        emb.filter(F.col("vec_id") == _X15_ANCHOR_SRC).select(
+            F.lit(_X15_ANCHOR_QID).cast("long").alias("query_id"), "embedding"
+        )
+    )
+
+
 def x15_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained persisted IVF index
     (operators/ivf_store.py): build the index from 90% of the corpus,
     APPEND the remaining 10% at batch-sized cost (assign to existing
     centroids, no retrain), then answer top-k by probing cell
     partitions — the streaming-vector-ingest lifecycle. Driver
-    contract is the x05 pattern: exact anchors + an in-plan
-    recall-floor boolean over the FULL (built + appended) corpus, so
-    a broken append path (missing vectors -> recall collapse) or a
-    broken probe path hash-mismatches."""
-    import tempfile
+    contract is the x05 pattern hardened per the r6 verdict: recall
+    floor 0.8 per query (measured 5/5 at every fixture scale at the
+    oracle probe budget nprobe = ceil(0.85*nlist), so one legitimate
+    ANN miss still passes while a broken probe path fails), PLUS an
+    anchor query equal to APPENDED vector 7 whose top-1 must be found
+    — a deterministic bind on the append path (identical vector ->
+    same cell -> first-probed cell; cosine 1.0 -> rank 1)."""
+    import math
 
     from python_openetl_spark.operators import similarity
-    from python_openetl_spark.operators.ivf_store import (
-        append_to_ivf_store,
-        build_ivf_store,
-        ivf_store_topk,
-    )
+    from python_openetl_spark.operators.ivf_store import ivf_store_topk
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") % 10 != 7)
-    batch = emb.filter(F.col("vec_id") % 10 == 7)
-    if not base.take(1):  # degenerate corpus: nothing to index
-        return spark.createDataFrame(
-            [], "query_id long, k int, recall_ok boolean"
-        )
+    if not emb.take(1):  # degenerate corpus: nothing to index
+        return spark.createDataFrame([], "query_id long, k int, recall_ok boolean")
     p = ivf_params(emb.count())
-    # The store is built+appended ONCE per (session, fixture): an ANN
-    # index is amortized infrastructure, not per-query cost, so bench
-    # repeats measure the probe path (the cold build cost is the first
-    # repeat of a fresh session). Keyed by sf_dir so different fixture
-    # scales never share an index.
-    root = _X15_STORES.get(sf_dir)
-    if root is None:
-        root = tempfile.mkdtemp(prefix="poe_x15_") + "/ivf"
-        build_ivf_store(base, root, nlist=p["nlist"])
-        append_to_ivf_store(batch, root)
-        _X15_STORES[sf_dir] = root
-
-    queries = emb.filter(F.col("vec_id").isin(1, 5, 9)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    root = _x15_store(spark, sf_dir, p["nlist"])
+    queries = _x15_queries(spark, sf_dir)
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     approx = ivf_store_topk(
-        spark, root, queries.toPandas(), k=5, nprobe=p["nprobe"]
+        spark, root, queries.toPandas(), k=5,
+        nprobe=math.ceil(0.85 * p["nlist"]),
     )
     hits = (
         approx.select("query_id", "vec_id")
         .join(exact, ["query_id", "vec_id"])
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max(F.col("vec_id") == _X15_ANCHOR_SRC).alias("anchor_hit"),
+        )
     )
     return (
         exact.groupBy("query_id")
@@ -149,32 +187,134 @@ def x15_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("k").cast("int").alias("k"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k") >= 0.2).alias(
-                "recall_ok"
-            ),
+            (
+                (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k") >= 0.8)
+                & (
+                    (F.col("query_id") != _X15_ANCHOR_QID)
+                    | F.coalesce(F.col("anchor_hit"), F.lit(False))
+                )
+            ).alias("recall_ok"),
         )
     )
 
 
-
-def x16_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched kNN JOIN: every 50th vector is a query (a query SET two
-    orders of magnitude larger than the x01/x03 anchor probes), each
-    finding its 3 nearest neighbors through the Arrow matmul kernel
-    (operators/similarity.py cosine_topk_arrow — one batch x Q^T GEMM
-    per Arrow batch, queries shipped once per executor). This is the
-    shape of dataset-vs-dataset linkage (dedup across snapshots,
-    nearest-example attribution), where per-query probing would launch
-    thousands of jobs."""
-    from python_openetl_spark.operators.similarity import cosine_topk_arrow
+def x15p_ivf_store_production_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-probe twin of x15 (the x04p/d14p pattern): the SAME
+    persisted store probed at the budget a user would run —
+    nprobe = max(1, nlist // 8), ~1/8 of the cells touched instead of
+    the oracle row's 85% — so the bench tracks production probe
+    latency. Recall at this budget is the designed approximation trade
+    (measured 0.2-0.4 on the structure-free random fixtures), so the
+    driver contract is the deterministic planted-anchor membership
+    invariant: for each query equal to a stored vector, that vector
+    sits in the query's nearest cell (identical vector -> argmax cell
+    identical -> always probed, any nprobe >= 1) at cosine 1.0, so it
+    must appear in the top-5. Anchors cover BOTH lifecycle paths:
+    sources 1/5/9 are in the built base, 7/17 in the appended batch."""
+    from python_openetl_spark.operators.ivf_store import ivf_store_topk
+    from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    qpdf = (
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("query_id"), "embedding")
-        .toPandas()
+    if not emb.take(1):
+        return spark.createDataFrame([], "query_id long, anchor_found boolean")
+    p = ivf_params(emb.count())
+    root = _x15_store(spark, sf_dir, p["nlist"])
+    anchors = emb.filter(F.col("vec_id").isin(1, 5, 9, 7, 17)).select(
+        (F.col("vec_id") + 1_000_000).cast("long").alias("query_id"), "embedding"
     )
-    return cosine_topk_arrow(emb, qpdf, k=3)
+    approx = ivf_store_topk(
+        spark, root, anchors.toPandas(), k=5, nprobe=max(1, p["nlist"] // 8)
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(
+            F.max(F.col("vec_id") == F.col("query_id") - 1_000_000).alias(
+                "anchor_found"
+            )
+        )
+        .select("query_id", "anchor_found")
+    )
+
+
+
+def _x16_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def x16_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT kNN JOIN: every 50th vector is a query (a
+    corpus-proportional query SET — dataset-vs-dataset linkage: dedup
+    across snapshots, nearest-example attribution), each finding its 3
+    nearest neighbors via operators/knn_join.py cosine_knn_join: both
+    sides stay DataFrames, hash-split into blocks that meet in
+    bounded-memory cogrouped-Arrow GEMM tasks, local top-k, global
+    window re-rank. Restructured per the r6 verdict: the previous form
+    collected the n/50 query matrix to the driver and closed the GEMM
+    over it — a driver-memory scale-killer; now 10x more queries means
+    10x more query blocks, never a bigger driver. Block sizes are set
+    small enough that the multi-block path (the 100 TB shape) is what
+    the driver and bench actually execute. Results are bit-identical
+    to the exact SQL oracle (same float64 math and (cos desc, id)
+    tie-break as cosine_topk). The sublinear approximate twin is x17."""
+    from python_openetl_spark.operators.knn_join import cosine_knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_knn_join(
+        emb,
+        _x16_queries(spark, sf_dir),
+        k=3,
+        corpus_block_rows=1024,
+        query_block_rows=16,
+    )
+
+
+def x17_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF-cell co-partitioned kNN join at PRODUCTION probe
+    budget (operators/knn_join.py ivf_knn_join): corpus vectors live in
+    their nearest cell, each query fans out to its nprobe nearest
+    cells, the equi-join on cell meets in bounded cogrouped-Arrow GEMM
+    tasks — FLOPs ~ nprobe/nlist of the exact x16 join, the sublinear
+    100 TB shape. Recall at nprobe = nlist/8 is the designed trade on
+    the structure-free random fixtures, so the driver contract is the
+    deterministic planted-anchor invariant (the x15p pattern): queries
+    equal to stored vectors 3/23/43 under synthetic ids must find
+    their sources (identical vector -> same cell -> always probed,
+    cosine 1.0 -> in top-3). The full every-50th query set still flows
+    through the join (the anchors ride along with it), and recall
+    floors vs exact are asserted in tests/test_knn_join.py."""
+    from python_openetl_spark.operators.knn_join import ivf_knn_join
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame([], "query_id long, anchor_found boolean")
+    anchors = emb.filter(F.col("vec_id").isin(3, 23, 43)).select(
+        (F.col("vec_id") + 2_000_000).cast("long").alias("query_id"), "embedding"
+    )
+    queries = _x16_queries(spark, sf_dir).unionByName(anchors)
+    p = ivf_params(emb.count())
+    res = ivf_knn_join(
+        emb,
+        queries,
+        k=3,
+        nlist=p["nlist"],
+        nprobe=max(1, p["nlist"] // 8),
+        query_block_rows=16,
+    )
+    return (
+        res.filter(F.col("query_id") >= 2_000_000)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.col("vec_id") == F.col("query_id") - 2_000_000).alias(
+                "anchor_found"
+            )
+        )
+        .select("query_id", "anchor_found")
+    )
 
 
 
@@ -229,6 +369,9 @@ QUERIES = {
     "x15_incremental_ivf_topk": x15_incremental_ivf_topk,
     "x16_knn_join": x16_knn_join,
     "e07_corpus_version_drift": e07_corpus_version_drift,
+    # round-7 post-window additions (rotate into _WINDOW_R8)
+    "x15p_ivf_store_production_probe": x15p_ivf_store_production_probe,
+    "x17_cell_knn_join": x17_cell_knn_join,
 }
 
 ORACLE = {
@@ -301,8 +444,13 @@ ORACLE = {
         ) WHERE rank <= 3
     """,
     "x15_incremental_ivf_topk": f"""
-        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                   FROM embeddings WHERE vec_id IN (1, 5, 9)),
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN (1, 5, 9)
+          UNION ALL
+          SELECT {_X15_ANCHOR_QID}, embedding::DOUBLE[]
+          FROM embeddings WHERE vec_id = {_X15_ANCHOR_SRC}
+        ),
         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         scored AS (
           SELECT q.query_id, c.vec_id FROM c, q WHERE c.vec_id <> q.query_id
@@ -313,6 +461,14 @@ ORACLE = {
         )
         SELECT query_id, COUNT(*)::INT AS k, TRUE AS recall_ok
         FROM scored GROUP BY query_id
+    """,
+    "x15p_ivf_store_production_probe": """
+        SELECT vec_id + 1000000 AS query_id, TRUE AS anchor_found
+        FROM embeddings WHERE vec_id IN (1, 5, 9, 7, 17)
+    """,
+    "x17_cell_knn_join": """
+        SELECT vec_id + 2000000 AS query_id, TRUE AS anchor_found
+        FROM embeddings WHERE vec_id IN (3, 23, 43)
     """,
     "e06_token_budget_selection": f"""
         WITH sized AS (
@@ -339,8 +495,8 @@ ORACLE = {
                SUM(n)::BIGINT AS total_tokens,
                COUNT(*) AS distinct_tokens,
                COUNT(*) FILTER (WHERE n = 1) AS hapax_tokens,
-               ROUND(COUNT(*)::DOUBLE / SUM(n), 6) AS ttr,
-               ROUND((COUNT(*) FILTER (WHERE n = 1))::DOUBLE / COUNT(*), 6) AS hapax_ratio
+               FLOOR(COUNT(*)::DOUBLE / SUM(n) * 1e6) / 1e6 AS ttr,
+               FLOOR((COUNT(*) FILTER (WHERE n = 1))::DOUBLE / COUNT(*) * 1e6) / 1e6 AS hapax_ratio
         FROM per_type GROUP BY lang
     """,
     "x14_filtered_topk": f"""

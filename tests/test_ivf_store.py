@@ -11,6 +11,7 @@ from python_openetl_spark.operators import similarity
 from python_openetl_spark.operators.ivf_store import (
     append_to_ivf_store,
     build_ivf_store,
+    current_index_dir,
     ivf_store_topk,
 )
 from tests.conftest import SF_DIR
@@ -37,7 +38,7 @@ def _queries(spark):
 def test_append_is_queryable_and_recall_holds(spark, store):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n = emb.count()
-    stored = spark.read.parquet(store + "/assigned")
+    stored = spark.read.parquet(current_index_dir(store) + "/assigned")
     assert stored.count() == n  # nothing lost across build + append
     assert stored.select("vec_id").distinct().count() == n
 
@@ -92,8 +93,14 @@ def test_rebuild_preserves_contents_and_exactness(spark, store):
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     n = emb.count()
+    old_dir = current_index_dir(store)
     rebuild_ivf_store(spark, store)
-    stored = spark.read.parquet(store + "/assigned")
+    new_dir = current_index_dir(store)
+    # pointer moved to a fresh version; the superseded directory is left
+    # intact for in-flight readers (deletion is vacuum's job, not rebuild's)
+    assert new_dir != old_dir
+    assert spark.read.parquet(old_dir + "/assigned").count() == n
+    stored = spark.read.parquet(new_dir + "/assigned")
     assert stored.count() == n and stored.select("vec_id").distinct().count() == n
     qpdf = _queries(spark)
     exact = {
@@ -105,3 +112,60 @@ def test_rebuild_preserves_contents_and_exactness(spark, store):
         for r in ivf_store_topk(spark, store, qpdf, k=5, nprobe=16).collect()
     }
     assert full == exact
+
+
+def test_append_after_rebuild_lands_in_live_version(spark, tmp_path):
+    """Hostile lifecycle ordering: build -> rebuild -> append. The
+    append must resolve the pointer and land in the NEW version, not
+    the superseded directory a stale path would point at."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "ivf")
+    build_ivf_store(emb.filter(F.col("vec_id") % 10 != 3), root, nlist=8)
+    from python_openetl_spark.operators.ivf_store import rebuild_ivf_store
+
+    old_dir = current_index_dir(root)
+    rebuild_ivf_store(spark, root)
+    new_dir = current_index_dir(root)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    append_to_ivf_store(batch, root)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    new_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(new_dir + "/assigned").select("vec_id").collect()
+    }
+    old_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(old_dir + "/assigned").select("vec_id").collect()
+    }
+    assert batch_ids <= new_ids and not (batch_ids & old_ids)
+    # and the appended vectors are findable through the probe path
+    row = batch.first()
+    qpdf = pd.DataFrame({"query_id": [888_888], "embedding": [row["embedding"]]})
+    got = ivf_store_topk(spark, root, qpdf, k=3, nprobe=1).collect()
+    assert row["vec_id"] in {r["vec_id"] for r in got}
+
+
+def test_vacuum_prunes_superseded_versions_only(spark, tmp_path):
+    from python_openetl_spark.operators.ivf_store import (
+        rebuild_ivf_store,
+        vacuum_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(40)
+    root = str(tmp_path / "ivf")
+    build_ivf_store(emb, root, nlist=4)
+    rebuild_ivf_store(spark, root)
+    rebuild_ivf_store(spark, root)  # versions 1, 2, 3; live = 3
+    import os
+
+    assert sorted(d for d in os.listdir(root) if d.startswith("v")) == [
+        "v00000001",
+        "v00000002",
+        "v00000003",
+    ]
+    removed = vacuum_ivf_store(root, keep_last=1)
+    assert removed == [1, 2]
+    assert sorted(d for d in os.listdir(root) if d.startswith("v")) == ["v00000003"]
+    # store still fully queryable after vacuum
+    qpdf = _queries(spark)
+    assert ivf_store_topk(spark, root, qpdf, k=3, nprobe=4).count() > 0

@@ -1,0 +1,108 @@
+"""operators/knn_join.py — distributed kNN join (exact block GEMM +
+approximate IVF-cell co-partitioned), and the r6-verdict scale
+contract for x16: no corpus-proportional driver collect."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_openetl_spark.operators.knn_join import cosine_knn_join, ivf_knn_join
+from python_openetl_spark.operators.similarity import cosine_topk
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb, mod):
+    return emb.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["vec_id"], round(r["cos_sim"], 12), r["rank"])
+        for r in df.collect()
+    }
+
+
+def test_block_join_is_exact_multiblock(spark, emb):
+    """Tiny blocks force the multi-block path (block-local truncation +
+    global re-rank) — results must still be bit-identical to the
+    broadcast-exact cosine_topk, ties included."""
+    q = _queries(emb, 50)
+    exact = _rows(cosine_topk(emb, q, k=3))
+    got = _rows(cosine_knn_join(emb, q, k=3, corpus_block_rows=37, query_block_rows=3))
+    assert got == exact and len(exact) > 0
+
+
+def test_block_join_10x_query_set_stays_exact_and_blocked(spark, emb):
+    """The r6-verdict perturbation contract: 10x the query set (every
+    5th vector instead of every 50th) must mean MORE QUERY BLOCKS, not
+    a bigger per-task matrix — same tiny block caps, still exact."""
+    q = _queries(emb, 5)
+    assert q.count() >= 10 * _queries(emb, 50).count()
+    exact = _rows(cosine_topk(emb, q, k=3))
+    got = _rows(cosine_knn_join(emb, q, k=3, corpus_block_rows=64, query_block_rows=8))
+    assert got == exact
+
+
+def test_x16_never_collects_the_query_side(spark, monkeypatch):
+    """x16's plan must be constructible with DataFrame.toPandas
+    disabled entirely — the driver-collect the r6 verdict flagged is
+    structurally impossible, not just currently absent."""
+    from python_openetl_spark.workload.llm10 import x16_knn_join
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side collect in x16 plan construction")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    df = x16_knn_join(spark, SF_DIR)  # builds the full plan, no action
+    monkeypatch.undo()
+    assert df.count() > 0
+
+
+def test_ivf_join_full_probe_equals_exact(spark, emb):
+    q = _queries(emb, 50)
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn_join(
+            emb, q, k=3, nlist=8, nprobe=8, query_block_rows=4
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_join_narrow_probe_recall_floor_and_anchors(spark, emb):
+    """Production-probe recall floor on the random fixture, plus the
+    deterministic planted-anchor guarantee: a query equal to a stored
+    vector always finds it (same cell -> always probed, cos 1.0)."""
+    q = _queries(emb, 50)
+    anchors = emb.filter(F.col("vec_id").isin(3, 23, 43)).select(
+        (F.col("vec_id") + 2_000_000).alias("query_id"), "embedding"
+    )
+    res = ivf_knn_join(emb, q.unionByName(anchors), k=3, nlist=8, nprobe=2)
+    got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=3).collect()}
+    hits = len({p for p in got if p[0] < 2_000_000} & exact)
+    assert hits / len(exact) >= 0.2  # broad floor: a broken join is ~0
+    for src in (3, 23, 43):
+        assert (src + 2_000_000, src) in got
+
+
+def test_empty_sides_degrade_to_empty(spark, emb):
+    none = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert cosine_knn_join(emb, none, k=3).count() == 0
+    assert cosine_knn_join(
+        emb.filter(F.lit(False)), _queries(emb, 50), k=3
+    ).count() == 0
+    assert ivf_knn_join(emb.filter(F.lit(False)), _queries(emb, 50), k=3).count() == 0
