@@ -36,11 +36,20 @@ def _has_module(mod: str) -> bool:
 
 
 def _has_jvm_class(spark: SparkSession | None, cls: str) -> bool | None:
-    """None = undetermined (no live session to ask)."""
+    """None = undetermined (no live session to ask).
+
+    Probes through Spark's own ``Utils.classForName`` (context/Spark
+    classloader), NOT ``java.lang.Class.forName`` via py4j: the latter
+    resolves against py4j's classloader and cannot see jars added with
+    ``spark.jars.packages``/``--jars`` (MutableURLClassLoader) — it
+    would report connectors unavailable in exactly the environments
+    where they work."""
     if spark is None:
         return None
     try:
-        spark.sparkContext._jvm.java.lang.Class.forName(cls)
+        spark.sparkContext._jvm.org.apache.spark.util.Utils.classForName(
+            cls, False, False
+        )
         return True
     except Exception:
         return False

@@ -81,11 +81,17 @@ def global_row_number(
         bands = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bands = max(2, int(bands))
     # The scheme needs three passes over ``df`` (quantile splits, band
-    # counts, final rank). Cache it — the ranked relation is typically a
-    # rollup orders of magnitude smaller than the facts, and Spark
-    # dedupes cache entries by logical plan so repeated calls reuse one
-    # slot. Callers owning a larger frame can pre-persist/unpersist.
-    df = df.persist()
+    # counts, final rank). Cache it for the two eagerly-collected passes
+    # below, then RELEASE it before returning: splits and offsets are
+    # embedded as literals by then, so the returned plan is correct
+    # without the cache (the final pass re-scans the source once), and a
+    # long-lived session doesn't accumulate storage-memory entries per
+    # distinct input plan (r6 advice). Callers who also want the final
+    # pass cached can pre-persist — an already-cached input is left
+    # exactly as found.
+    we_persisted = not df.is_cached
+    if we_persisted:
+        df = df.persist()
 
     vdbl = F.col(value_col).cast("double")
     qs = [i / bands for i in range(1, bands)]
@@ -120,6 +126,8 @@ def global_row_number(
     ranked = local.withColumn(
         out_col, (F.element_at(off_map, F.col(_BAND)) + F.col(_LOCAL)).cast("long")
     ).drop(_BAND, _LOCAL)
+    if we_persisted:
+        df.unpersist()
     return ranked, total
 
 

@@ -110,7 +110,12 @@ def read_query(spark: SparkSession, source: JdbcSource, query: str, **kw) -> Dat
 
 
 def derive_partition_bounds(
-    spark: SparkSession, source: JdbcSource, table: str, partition_column: str
+    spark: SparkSession,
+    source: JdbcSource,
+    table: str,
+    partition_column: str,
+    *,
+    quote_identifiers: bool | None = None,
 ) -> tuple[int, int]:
     """Probe ``SELECT min(col), max(col)`` in the database and return
     ``(lower_bound, upper_bound)`` for :func:`configure_table_scan`.
@@ -120,21 +125,42 @@ def derive_partition_bounds(
     ValueError when the table is empty or the column is all-NULL, since
     JDBC range partitioning is meaningless there — scan without a
     partition_column instead.
+
+    Identifier quoting — NOTE the case-sensitivity consequence: Spark's
+    JDBC writer creates identifiers QUOTED (exact case), while tables
+    created unquoted by other tools live case-FOLDED in the catalog
+    (uppercase Derby, lowercase Postgres), and a quoted probe will miss
+    them when the caller's case differs. ``quote_identifiers=True``
+    forces quoted (Spark-written tables), ``False`` forces unquoted
+    (case-folded pre-existing tables), and the default ``None`` tries
+    quoted first and falls back to unquoted if the quoted probe errors.
     """
-    # Quote the (charset-checked) identifiers: Spark's JDBC writer
-    # creates columns QUOTED, so an unquoted probe would be case-folded
-    # by the database (uppercase on Derby, lowercase on Postgres) and
-    # miss them. Quoting matches Spark-written tables on both.
-    col = f'"{_checked_identifier(partition_column, "partition_column")}"'
-    tbl = ".".join(f'"{_checked_identifier(p, "table")}"' for p in table.split("."))
-    row = read_query(
-        spark, source, f'SELECT min({col}) AS "lo", max({col}) AS "hi" FROM {tbl}'
-    ).collect()[0]
-    if row["lo"] is None or row["hi"] is None:
-        raise ValueError(
-            f"cannot derive bounds: {table}.{partition_column} has no non-NULL values"
-        )
-    return int(row["lo"]), int(row["hi"])
+    col_name = _checked_identifier(partition_column, "partition_column")
+    tbl_parts = [_checked_identifier(p, "table") for p in table.split(".")]
+
+    def probe(quoted: bool) -> tuple[int, int]:
+        col = f'"{col_name}"' if quoted else col_name
+        tbl = ".".join(f'"{p}"' if quoted else p for p in tbl_parts)
+        lo = '"lo"' if quoted else "lo"
+        hi = '"hi"' if quoted else "hi"
+        row = read_query(
+            spark, source, f"SELECT min({col}) AS {lo}, max({col}) AS {hi} FROM {tbl}"
+        ).collect()[0]
+        if row[0] is None or row[1] is None:
+            raise ValueError(
+                f"cannot derive bounds: {table}.{partition_column} "
+                "has no non-NULL values"
+            )
+        return int(row[0]), int(row[1])
+
+    if quote_identifiers is not None:
+        return probe(quote_identifiers)
+    try:
+        return probe(True)
+    except ValueError:
+        raise  # empty/all-NULL is a real answer, not a quoting miss
+    except Exception:
+        return probe(False)
 
 
 # --- catalog scans (S5/S6) ----------------------------------------------------

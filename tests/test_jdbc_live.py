@@ -106,3 +106,33 @@ def test_filter_pushed_to_jdbc_source(spark, derby):
     assert "PushedFilters" in plan and "GreaterThan(o_totalprice" in plan, plan
     n_pruned = df.count()
     assert 0 < n_pruned < read_table(spark, derby, "ORDERS_RT").count()
+
+
+def test_bounds_fall_back_to_unquoted_for_case_folded_tables(spark, derby):
+    """A table created UNQUOTED by a non-Spark tool lives case-folded in
+    the catalog (uppercase on Derby); callers addressing it in lowercase
+    must still derive bounds — the quoted probe misses, the default
+    fallback retries unquoted (r6 advice: quoting-only was a silent
+    regression for pre-existing tables)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(derby.url)
+    try:
+        st = conn.createStatement()
+        try:
+            st.execute("DROP TABLE bounds_cf")
+        except Exception:
+            pass
+        st.execute("CREATE TABLE bounds_cf (pk INT PRIMARY KEY)")
+        st.execute("INSERT INTO bounds_cf VALUES (3), (11), (42)")
+        st.close()
+    finally:
+        conn.close()
+    # default: quoted-then-unquoted fallback finds the folded table
+    assert derive_partition_bounds(spark, derby, "bounds_cf", "pk") == (3, 42)
+    # explicit modes: unquoted hits, quoted (exact-case) misses
+    assert derive_partition_bounds(
+        spark, derby, "bounds_cf", "pk", quote_identifiers=False
+    ) == (3, 42)
+    with pytest.raises(Exception):
+        derive_partition_bounds(
+            spark, derby, "bounds_cf", "pk", quote_identifiers=True
+        )
