@@ -203,7 +203,12 @@ def u07_apply_in_arrow_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = table.column("value")
         return pa.table(
             {
-                "event_type": [table.column("event_type")[0].as_py()],
+                # explicit string type: a NULL-event_type group would
+                # otherwise infer pa.null() and trip Spark's
+                # RESULT_COLUMN_TYPES_MISMATCH (hostile-fixture find)
+                "event_type": pa.array(
+                    [table.column("event_type")[0].as_py()], pa.string()
+                ),
                 "n_events": pa.array([table.num_rows], pa.int64()),
                 "value_range": pa.array(
                     [pc.max(v).as_py() - pc.min(v).as_py()], pa.float64()

@@ -69,6 +69,15 @@ def _hostile_documents() -> pa.Table:
         (13, "123 456 789 0 numbers only 42 42 42", "en", "src7"),
         (14, "!!! ??? ... ,,, ;;; ::: ---", "en", "src8"),  # punctuation-only
         (15, "ALLCAPS TEXT SHOUTING LOUDLY HERE", "en", "src8"),
+        # r6-verdict hostile shapes for the hierarchy family (q69): id
+        # gaps AND deliberately-broken chains at fixture scale — the
+        # parent function (doc_id DIV 3) of these gapped ids points at
+        # absent docs (9001->3000, 81015->27005), so they must become
+        # structural roots; 27004/81013 chain THROUGH the gap ids.
+        (9001, "orphan chain head beyond the id gap", "en", "src1"),
+        (27004, "child whose parent is the orphan head", "en", "src2"),
+        (81013, "grandchild across the gap", "de", "src3"),
+        (81015, "second broken-chain head", "en", "src4"),
     ]
     # normal filler so clustering/sampling/vocab ops have real mass
     rng = np.random.default_rng(7)

@@ -120,6 +120,13 @@ def _star_tables() -> dict[str, pa.Table]:
         (20, 2, "O", 11.0, "2000-06-15", "1-URGENT"),    # dup-pk delta v1
         (20, 3, "F", 22.0, "2000-06-15", "2-HIGH"),      # dup-pk delta v2
         (21, 777, "O", 33.0, "2000-07-01", "3-MEDIUM"),  # orphan o_custkey
+        # r6-verdict q73 shape: an all-NULL divisor group — every one
+        # of these keys is divisible by 3, so try_divide's divisor is
+        # 0.0 for the whole group and the NULL must propagate (not
+        # error under ANSI mode) on both engines; "1" additionally
+        # gives try_cast(o_orderstatus) its only non-NULL row
+        (30, 4, "1", 12.0, "2000-08-01", "4-NOT SPECIFIED"),
+        (33, 5, "F", 0.0, "2000-08-02", "5-LOW"),
     ]
     orders = {
         "o_orderkey": [r[0] for r in o_rows],
@@ -185,6 +192,13 @@ def _star_tables() -> dict[str, pa.Table]:
         # nondeterministic on either engine otherwise
         (12, mins(2000), 5, "tick", 2.0, '{}'),
         (12, mins(2000), 5, "tick", 3.0, '{}'),
+        # r6-verdict q72 shape: NULL event_type inside a window frame —
+        # Spark's collect_list and DuckDB's windowed DISTINCT aggregate
+        # must both ignore the NULL, and a user whose frame is ONLY
+        # NULLs must report 0 distinct types, not 1
+        (13, mins(3000), 6, None, 1.0, '{}'),
+        (14, mins(3001), 6, "click", 2.0, '{"page": "y"}'),
+        (15, mins(3100), 7, None, 0.5, '{}'),            # all-NULL user
     ]
     events = {
         "event_id": [r[0] for r in e_rows],
