@@ -443,6 +443,24 @@ def k08_permissive_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k13_doctor_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Environment-capability report as a driver query (r6 verdict #8):
+    ``doctor()``'s rows — capability name + available flag — surface in
+    the correctness file, so a sandbox change (a BigQuery jar
+    appearing, a codec library landing) is visible round-over-round in
+    driver evidence rather than only in local tests. Rows-only by
+    nature (the available flags ARE environment state — an oracle
+    would have to hardcode the sandbox); gate consistency with the
+    operators' own skip/raise behavior is pinned by
+    tests/test_doctor.py."""
+    from python_openetl_spark.doctor import doctor
+
+    return spark.createDataFrame(
+        [(c.name, c.available) for c in doctor(spark)],
+        "capability string, available boolean",
+    ).orderBy("capability")
+
+
 QUERIES = {
     "k01_csv_roundtrip": k01_csv_roundtrip,
     "k02_json_roundtrip": k02_json_roundtrip,
@@ -456,6 +474,8 @@ QUERIES = {
     "k11_remote_csv_seed": k11_remote_csv_seed,
     "k12_registry_dispatch": k12_registry_dispatch,
     "k08_permissive_csv_ingest": k08_permissive_csv_ingest,
+    # round-7 post-window addition (rows-only by design; see docstring)
+    "k13_doctor_report": k13_doctor_report,
 }
 
 ORACLE = {
