@@ -318,6 +318,90 @@ def x17_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: x18 store memo: sf_dir -> built store root (same amortization rule
+#: as _X15_STORES: an index is infrastructure, not per-query cost)
+_X18_STORES: dict = {}
+
+
+def x18_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted incrementally-maintained IVFPQ index
+    (operators/ivfpq_store.py — the compressed twin of x15's raw-vector
+    store): build coarse cells + PQ codebooks from 90% of the corpus,
+    APPEND the remaining 10% encoded against the EXISTING quantizers
+    (no retrain), then answer top-k by probing cell partition
+    directories and ADC-scoring ~16-byte codes, exact re-rank of the
+    shortlist. Driver contract is the x09 pattern (recall floor 0.2
+    per query, parameters derived from corpus count) PLUS the x15
+    anchor device: a query equal to APPENDED vector 7 must find it —
+    identical vector -> same cell -> probed; ADC score ~max ->
+    comfortably inside the rerank_factor*k shortlist; exact re-rank
+    -> rank 1 — so a broken append or codebook path flips the row."""
+    import tempfile
+
+    from python_openetl_spark.operators import similarity
+    from python_openetl_spark.operators.ivfpq_store import (
+        append_to_ivfpq_store,
+        build_ivfpq_store,
+        ivfpq_store_topk,
+    )
+    from python_openetl_spark.operators.tuning import ivf_params, pq_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame([], "query_id long, k int, recall_ok boolean")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    ip, pp = ivf_params(n), pq_params(n, dim)
+    root = _X18_STORES.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="poe_x18_") + "/ivfpq"
+        build_ivfpq_store(
+            emb.filter(F.col("vec_id") % 10 != 7),
+            root,
+            nlist=ip["nlist"],
+            m=pp["m"],
+            ksub=pp["ksub"],
+        )
+        append_to_ivfpq_store(emb.filter(F.col("vec_id") % 10 == 7), root)
+        _X18_STORES[sf_dir] = root
+    queries = _x15_queries(spark, sf_dir)  # 1/5/9 + the appended anchor
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = ivfpq_store_topk(
+        spark,
+        root,
+        queries.toPandas(),
+        emb,
+        k=5,
+        nprobe=ip["nprobe"],
+        rerank_factor=pp["rerank_factor"],
+    )
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max(F.col("vec_id") == _X15_ANCHOR_SRC).alias("anchor_hit"),
+        )
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("int").alias("k"),
+            (
+                (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k") >= 0.2)
+                & (
+                    (F.col("query_id") != _X15_ANCHOR_QID)
+                    | F.coalesce(F.col("anchor_hit"), F.lit(False))
+                )
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def e07_corpus_version_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-version diff card: commit the documents table as v1 and a
     mutated copy as v2 (deletes: doc_id %11; text updates: %7 get a
@@ -372,6 +456,7 @@ QUERIES = {
     # round-7 post-window additions (rotate into _WINDOW_R8)
     "x15p_ivf_store_production_probe": x15p_ivf_store_production_probe,
     "x17_cell_knn_join": x17_cell_knn_join,
+    "x18_ivfpq_store_topk": x18_ivfpq_store_topk,
 }
 
 ORACLE = {
@@ -469,6 +554,25 @@ ORACLE = {
     "x17_cell_knn_join": """
         SELECT vec_id + 2000000 AS query_id, TRUE AS anchor_found
         FROM embeddings WHERE vec_id IN (3, 23, 43)
+    """,
+    "x18_ivfpq_store_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id IN (1, 5, 9)
+          UNION ALL
+          SELECT {_X15_ANCHOR_QID}, embedding::DOUBLE[]
+          FROM embeddings WHERE vec_id = {_X15_ANCHOR_SRC}
+        ),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.vec_id FROM c, q WHERE c.vec_id <> q.query_id
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+            list_dot_product(c.v, q.qv)
+              / (sqrt(list_dot_product(c.v, c.v))
+                 * sqrt(list_dot_product(q.qv, q.qv))) DESC, c.vec_id) <= 5
+        )
+        SELECT query_id, COUNT(*)::INT AS k, TRUE AS recall_ok
+        FROM scored GROUP BY query_id
     """,
     "e06_token_budget_selection": f"""
         WITH sized AS (
