@@ -71,3 +71,98 @@ def tree_depths(
         f"tree_depths did not converge in {max_rounds} doubling rounds "
         f"(path length > 2^{max_rounds}); the parent relation likely has a cycle"
     )
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    *,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Full (node, ancestor, dist) transitive closure of a
+    parent-pointer forest by repeated squaring: after round r the
+    closure holds every ancestor within 2^r steps, so a depth-d
+    hierarchy closes in ``ceil(log2 d)`` self-joins instead of d
+    (each an ordinary equi-shuffle). In a forest the node→ancestor
+    path is unique, so a pair generated through different split
+    points always carries the same dist — ``dropDuplicates`` is
+    exact dedup, not an arbitrary choice. Output volume is
+    Σ depth(node) rows — inherent to any closure, which is why the
+    rollup below aggregates it immediately rather than materializing
+    it for storage. Cycles exhaust ``max_rounds`` and raise."""
+    cur = edges.select(
+        F.col(node_col).alias("node"),
+        F.col(parent_col).alias("anc"),
+        F.lit(1).cast("long").alias("dist"),
+    ).persist()
+    prev_n = cur.count()
+    for _ in range(max_rounds):
+        up = cur.select(
+            F.col("node").alias("__m"),
+            F.col("anc").alias("__a"),
+            F.col("dist").alias("__d"),
+        )
+        grown = (
+            cur.unionByName(
+                cur.join(up, cur.anc == F.col("__m"))
+                .select("node", F.col("__a").alias("anc"), (F.col("dist") + F.col("__d")).alias("dist"))
+            )
+            .dropDuplicates(["node", "anc"])
+            .persist()
+        )
+        n = grown.count()
+        cur.unpersist()
+        cur = grown
+        if n == prev_n:
+            # a cycle CONVERGES here too (reachability is finite once
+            # pairs dedup), but it is detectable exactly: some node
+            # becomes its own ancestor — corrupt parent-pointer input
+            if cur.filter(F.col("node") == F.col("anc")).take(1):
+                cur.unpersist()
+                raise ValueError(
+                    "ancestor_closure: node reachable from itself — "
+                    "the parent relation has a cycle"
+                )
+            return cur
+        prev_n = n
+    cur.unpersist()
+    raise ValueError(
+        f"ancestor_closure did not converge in {max_rounds} squaring rounds "
+        f"(path length > 2^{max_rounds})"
+    )
+
+
+def subtree_rollup(
+    edges: DataFrame,
+    values: DataFrame,
+    agg_exprs: list,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    id_col: str = "node",
+    *,
+    out_col: str | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Aggregate ``values`` over every node's full subtree (self +
+    all descendants) — the BOM-explosion / org-rollup shape SQL states
+    with a recursive CTE feeding a GROUP BY. Dataflow: ancestor
+    closure (log-rounds), union the self-pairs (dist 0), join values
+    on the DESCENDANT side, group by the ancestor. ``node_col`` /
+    ``parent_col`` name the EDGE columns; ``id_col`` keys ``values``;
+    ``out_col`` names the output grouping column (defaults to
+    ``id_col``). ``agg_exprs`` are ordinary Column aggregates over the
+    joined value columns. Every node present in ``values`` gets a row
+    (leaves aggregate just themselves)."""
+    closure = ancestor_closure(
+        edges, node_col, parent_col, max_rounds=max_rounds
+    ).select(F.col("node").alias("__desc"), F.col("anc").alias("__node"))
+    self_pairs = values.select(
+        F.col(id_col).alias("__desc"), F.col(id_col).alias("__node")
+    )
+    pairs = closure.unionByName(self_pairs)
+    return (
+        pairs.join(values, pairs.__desc == values[id_col])
+        .groupBy(F.col("__node").alias(out_col or id_col))
+        .agg(*agg_exprs)
+    )

@@ -66,9 +66,26 @@ class VersionedTable:
     def versions(self) -> list[int]:
         return sorted(int(v) for v in self._state()["versions"])
 
-    def commit(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Write ``df`` as the next version; returns its number."""
+    def commit(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        *,
+        txn: str | None = None,
+    ) -> int:
+        """Write ``df`` as the next version; returns its number.
+
+        ``txn`` is an optional idempotence token recorded IN the same
+        atomic pointer commit (the Delta ``txnAppId/txnVersion``
+        pattern): a re-run that offers an already-committed token is a
+        no-op returning the existing version — this is what lets a
+        replayed streaming micro-batch (foreachBatch at-least-once)
+        commit exactly once (streaming/sinks.py VersionedCdcSink)."""
         state = self._state()
+        if txn is not None:
+            for v, meta in state["versions"].items():
+                if meta.get("txn") == txn:
+                    return int(v)
         n = (state["current"] or 0) + 1 if state["current"] is not None else 1
         while str(n) in state["versions"]:
             n += 1
@@ -77,10 +94,19 @@ class VersionedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(vdir)
-        state["versions"][str(n)] = {"dir": f"v{n}"}
+        meta: dict = {"dir": f"v{n}"}
+        if txn is not None:
+            meta["txn"] = txn
+        state["versions"][str(n)] = meta
         state["current"] = n
         self._commit_state(state)
         return n
+
+    def has_txn(self, txn: str) -> bool:
+        """True if a committed version carries this idempotence token."""
+        return any(
+            meta.get("txn") == txn for meta in self._state()["versions"].values()
+        )
 
     def rollback(self, version: int) -> int:
         """Make ``version`` current again (zero-copy: versions are

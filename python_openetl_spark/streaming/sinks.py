@@ -367,3 +367,48 @@ class ChunkIngestSink:
         firsts.select(F.col("chunk_fp").alias("fp")).write.mode("overwrite").parquet(
             f"{self.store_root}/batch_id={batch_id}"
         )
+
+
+class VersionedCdcSink:
+    """``writeStream.foreachBatch(VersionedCdcSink(path, pk, order_col))``
+    — streaming upsert into a :class:`plans.versioned.VersionedTable`:
+    every micro-batch MERGEs into the current snapshot and commits the
+    result as a NEW immutable version, so downstream consumers get both
+    the live table AND the per-batch CDC feed (``changes(spark, pk,
+    v-1, v)``) and time travel for free.
+
+    Exactly-once without a side channel: the idempotence token
+    ``cdc-{batch_id}`` rides in the SAME atomic pointer commit
+    (VersionedTable.commit(txn=...), the Delta txnAppId/txnVersion
+    pattern), so a replayed micro-batch — foreachBatch is
+    at-least-once — finds its token already committed and no-ops.
+    Unlike _BatchMarker's separate marker file, there is no crash
+    window between data write and marker write: the pointer IS both."""
+
+    def __init__(self, path: str, pk: str, order_col: str | None = None):
+        self.path = path
+        self.pk = pk
+        self.order_col = order_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from python_openetl_spark.plans.versioned import VersionedTable
+
+        table = VersionedTable(self.path)
+        txn = f"cdc-{batch_id}"
+        if table.has_txn(txn):
+            return  # replayed micro-batch: token already committed
+        spark = batch_df.sparkSession
+        if table.current_version() is not None:
+            merged = merge_upsert(
+                table.read(spark), batch_df, self.pk, order_col=self.order_col
+            )
+        elif self.order_col is not None:
+            from python_openetl_spark.operators.merge import dedupe_latest
+
+            merged = dedupe_latest(batch_df, self.pk, self.order_col)
+        else:
+            merged = batch_df
+        # no staging dance needed: the merge READS the old version dir
+        # and the commit WRITES a brand-new one — immutable versions
+        # make the upsert conflict-free by construction
+        table.commit(merged, txn=txn)

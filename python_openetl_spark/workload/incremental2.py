@@ -377,3 +377,54 @@ ORACLE["m19_version_changes"] = """
                  OR n.c_acctbal IS DISTINCT FROM o.c_acctbal THEN 'U'
           END IS NOT NULL
 """
+
+
+def m20_version_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention lifecycle for the versioned store (plans/versioned.py
+    vacuum): commit three customer snapshots (v2 deletes every 5th key,
+    v3 inserts every 9th surviving key echoed at +2M), vacuum to the
+    newest two, and report each SURVIVING version's row count by
+    actually scanning it — proving vacuum removed exactly the old
+    version's files while the kept versions stay readable. The pointer
+    commit protocol makes retention an explicit, schedulable verb (the
+    same contract as the IVF store's vacuum)."""
+    import tempfile
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    v2 = c.filter(F.col("c_custkey") % 5 != 0)
+    v3 = v2.unionByName(
+        v2.filter(F.col("c_custkey") % 9 == 0).select(
+            (F.col("c_custkey") + 2_000_000).alias("c_custkey")
+        )
+    )
+    vt = VersionedTable(tempfile.mkdtemp(prefix="poe_m20_") + "/t")
+    vt.commit(c)
+    vt.commit(v2)
+    vt.commit(v3)
+    removed = vt.vacuum(keep_last=2)
+    assert removed == [1], removed
+    out = None
+    for v in vt.versions():
+        row = vt.read(spark, version=v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        ).select(F.lit(v).cast("int").alias("version"), "n_rows")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["m20_version_retention"] = m20_version_retention
+
+ORACLE["m20_version_retention"] = """
+    WITH c AS (SELECT c_custkey FROM customer),
+    v2 AS (SELECT * FROM c WHERE c_custkey % 5 <> 0),
+    v3 AS (
+      SELECT * FROM v2
+      UNION ALL
+      SELECT c_custkey + 2000000 FROM v2 WHERE c_custkey % 9 = 0
+    )
+    SELECT 2 AS version, (SELECT COUNT(*) FROM v2)::BIGINT AS n_rows
+    UNION ALL
+    SELECT 3, (SELECT COUNT(*) FROM v3)::BIGINT
+"""

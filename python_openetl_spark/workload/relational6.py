@@ -140,15 +140,72 @@ def q73_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q74_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree aggregation over the q69 parent-pointer forest — the
+    BOM-explosion / org-chart rollup SQL states as WITH RECURSIVE
+    feeding a GROUP BY. operators/hierarchy.py subtree_rollup builds
+    the ancestor closure in log2(depth) repeated-squaring self-joins
+    (5 shuffles for a 30-deep hierarchy over 10^9 rows, vs 30 for
+    per-level recursion), unions the self-pairs, and aggregates on the
+    ancestor side — every doc reports its subtree size and an exact
+    id checksum (bigint sums, engine-exact). Same structural-roots /
+    id-gap semantics as q69; negative ids excluded for the DIV/floor
+    divergence (see q69)."""
+    from python_openetl_spark.operators.hierarchy import subtree_rollup
+
+    docs = t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") >= 0)
+    cand = docs.filter(F.col("doc_id") > 0).select(
+        F.col("doc_id").alias("node"),
+        F.expr("doc_id DIV 3").alias("parent"),
+    )
+    parents = docs.select(F.col("doc_id").alias("parent"))
+    edges = cand.join(parents, "parent", "left_semi")
+    return subtree_rollup(
+        edges,
+        docs,
+        [
+            F.count(F.lit(1)).alias("n_subtree"),
+            F.sum("doc_id").alias("id_checksum"),
+        ],
+        id_col="doc_id",
+    )
+
+
 QUERIES = {
     "q69_hierarchy_depths": q69_hierarchy_depths,
     "q70_bag_set_ops": q70_bag_set_ops,
     "q71_rank_functions": q71_rank_functions,
     "q72_windowed_distinct": q72_windowed_distinct,
     "q73_try_arithmetic": q73_try_arithmetic,
+    # round-7 post-window addition (rotates into _WINDOW_R8)
+    "q74_subtree_rollup": q74_subtree_rollup,
 }
 
 ORACLE = {
+    "q74_subtree_rollup": """
+        WITH RECURSIVE ids AS (
+          SELECT doc_id FROM documents WHERE doc_id >= 0
+        ),
+        edges AS (
+          SELECT c.doc_id AS node, c.doc_id // 3 AS parent
+          FROM ids c
+          WHERE c.doc_id > 0
+            AND EXISTS (SELECT 1 FROM ids p WHERE p.doc_id = c.doc_id // 3)
+        ),
+        anc AS (
+          SELECT node, parent AS anc FROM edges
+          UNION
+          SELECT a.node, e.parent FROM anc a JOIN edges e ON a.anc = e.node
+        ),
+        pairs AS (
+          SELECT node AS descd, anc AS node FROM anc
+          UNION ALL
+          SELECT doc_id, doc_id FROM ids
+        )
+        SELECT node AS doc_id, COUNT(*)::BIGINT AS n_subtree,
+               SUM(descd)::BIGINT AS id_checksum
+        FROM pairs GROUP BY node
+    """,
     "q73_try_arithmetic": """
         SELECT o_orderkey,
                o_totalprice / NULLIF((o_orderkey % 3)::DOUBLE, 0.0) AS price_per_bucket,

@@ -233,3 +233,69 @@ ORACLE = {
         ) WHERE rn = 1
     """,
 }
+
+
+def s10_stream_versioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert into the versioned store — the batch twin
+    of streaming/sinks.py VersionedCdcSink (the real replayed-stream
+    run is tests/test_streaming.py): three micro-batches (base /
+    updates on every 3rd key / inserts echoing every 5th key at +1M)
+    merge-commit one immutable version each, then batch 1 REPLAYS —
+    foreachBatch is at-least-once — and must no-op because its
+    idempotence token rides in the same atomic pointer commit (the
+    Delta txnAppId pattern). The report proves exactly-once end to
+    end: version count unmoved by the replay, final row count and an
+    exact decimal value checksum over the live table."""
+    import tempfile
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+    from python_openetl_spark.streaming.sinks import VersionedCdcSink
+
+    b0 = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_id").alias("id"))
+        .agg(
+            F.max("ts").alias("ts"),
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("v"),
+        )
+    )
+    b1 = b0.filter(F.col("id") % 3 == 0).select(
+        "id",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+        (F.col("v") + F.lit(1000.0)).alias("v"),
+    )
+    b2 = b0.filter(F.col("id") % 5 == 0).select(
+        (F.col("id") + 1_000_000).alias("id"), "ts", "v"
+    )
+    path = tempfile.mkdtemp(prefix="poe_s10_") + "/vcdc"
+    sink = VersionedCdcSink(path, pk="id", order_col="ts")
+    sink(b0, batch_id=0)
+    sink(b1, batch_id=1)
+    sink(b2, batch_id=2)
+    sink(b1, batch_id=1)  # at-least-once replay: must not commit v4
+    vt = VersionedTable(path)
+    n_versions = len(vt.versions())
+    return vt.read(spark).agg(
+        F.lit(n_versions).cast("int").alias("n_versions"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(24,6)")).cast("double").alias("value_checksum"),
+    )
+
+
+QUERIES["s10_stream_versioned_cdc"] = s10_stream_versioned_cdc
+
+ORACLE["s10_stream_versioned_cdc"] = """
+    WITH b0 AS (
+      SELECT event_id AS id,
+             CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_id
+    ),
+    fin AS (
+      SELECT id, CASE WHEN id % 3 = 0 THEN v + 1000.0 ELSE v END AS v FROM b0
+      UNION ALL
+      SELECT id + 1000000, v FROM b0 WHERE id % 5 = 0
+    )
+    SELECT 3 AS n_versions, COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS value_checksum
+    FROM fin
+"""

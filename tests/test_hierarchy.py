@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from python_openetl_spark.operators.hierarchy import tree_depths
 
@@ -37,3 +38,45 @@ def test_cycle_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "node long, parent long")
     with pytest.raises(ValueError, match="cycle"):
         tree_depths(df, max_rounds=6)
+
+
+def test_ancestor_closure_exact_pairs(spark):
+    # chain 1->0, 2->1, 3->2 plus a second root 10 with child 11
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (11, 10)], "node long, parent long"
+    )
+    from python_openetl_spark.operators.hierarchy import ancestor_closure
+
+    got = {(r["node"], r["anc"], r["dist"]) for r in ancestor_closure(edges).collect()}
+    assert got == {
+        (1, 0, 1), (2, 1, 1), (2, 0, 2), (3, 2, 1), (3, 1, 2), (3, 0, 3),
+        (11, 10, 1),
+    }
+
+
+def test_ancestor_closure_cycle_raises(spark):
+    from python_openetl_spark.operators.hierarchy import ancestor_closure
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "node long, parent long")
+    with pytest.raises(ValueError, match="cycle"):
+        ancestor_closure(cyc, max_rounds=5).collect()
+
+
+def test_subtree_rollup_counts_self_and_descendants(spark):
+    from python_openetl_spark.operators.hierarchy import subtree_rollup
+
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "node long, parent long"
+    )
+    values = spark.createDataFrame([(0,), (1,), (2,), (3,), (9,)], "id long")
+    out = {
+        (r["id"], r["n"], r["s"])
+        for r in subtree_rollup(
+            edges,
+            values,
+            [F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")],
+            id_col="id",
+        ).collect()
+    }
+    # 0's subtree = {0,1,2,3}; 1's = {1,3}; leaves and the isolated 9 = self
+    assert out == {(0, 4, 6), (1, 2, 4), (2, 1, 2), (3, 1, 3), (9, 1, 9)}

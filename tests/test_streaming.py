@@ -682,3 +682,48 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM sess").collect()))
     want = sorted(map(tuple, session_window_agg(ev).collect()))
     assert got == want
+
+
+def test_versioned_cdc_sink_commits_once_per_batch(spark, tmp_path):
+    from python_openetl_spark.plans.versioned import VersionedTable
+    from python_openetl_spark.streaming.sinks import VersionedCdcSink
+
+    path = str(tmp_path / "vcdc")
+    sink = VersionedCdcSink(path, pk="id", order_col="ts")
+    b0 = spark.createDataFrame([(1, 10, 1.0), (2, 10, 2.0)], "id long, ts long, v double")
+    b1 = spark.createDataFrame([(2, 20, 22.0), (3, 20, 3.0)], "id long, ts long, v double")
+    sink(b0, batch_id=0)
+    sink(b1, batch_id=1)
+    sink(b1, batch_id=1)  # replayed micro-batch: must NOT create v3
+    table = VersionedTable(path)
+    assert table.versions() == [1, 2] and table.current_version() == 2
+    rows = {(r["id"], r["v"]) for r in table.read(spark).collect()}
+    assert rows == {(1, 1.0), (2, 22.0), (3, 3.0)}
+    # the CDC feed between the two commits is the applied delta
+    chg = {(r["id"], r["change_type"]) for r in table.changes(spark, "id", 1, 2).collect()}
+    assert chg == {(2, "U"), (3, "I")}
+
+
+def test_versioned_cdc_sink_from_real_stream(spark, tmp_path):
+    from python_openetl_spark.plans.versioned import VersionedTable
+    from python_openetl_spark.streaming.sinks import VersionedCdcSink
+
+    ev = _events(spark).select(
+        (F.col("event_id") % 40).alias("id"), "ts", "value"
+    ).limit(200)
+    path = stage_replay_dir(ev, str(tmp_path / "replay_vcdc"), chunks=3, order_col="id")
+    stream = read_file_stream(spark, path, ev.schema)
+    vpath = str(tmp_path / "vcdc_stream")
+    q = (
+        stream.writeStream.foreachBatch(VersionedCdcSink(vpath, pk="id", order_col="ts"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_vcdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    table = VersionedTable(vpath)
+    # one committed version per micro-batch, pk-unique live table
+    assert len(table.versions()) >= 1
+    live = table.read(spark)
+    assert live.count() == live.select("id").distinct().count()
+    assert live.count() == ev.select((F.col("id"))).distinct().count()
