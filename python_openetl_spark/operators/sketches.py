@@ -125,3 +125,65 @@ def cms_heavy_hitters(
         "cms_est",
         (F.col("cms_est") >= F.col("true_count")).alias("overestimates"),
     )
+
+
+def feature_psi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Population Stability Index between two snapshots of an
+    integer-bucketed feature — the standard "has this distribution
+    shifted enough to re-weight/retrain" monitor (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted), the numeric-feature sibling of
+    textops.token_kl_divergence's vocabulary drift.
+
+    ``PSI = Σ_b (p_b - q_b) · ln(p_b / q_b)`` over the JOINT bucket
+    set with add-one smoothing (both distributions strictly positive,
+    finite on buckets unique to one side). Determinism contract (the
+    token_kl_divergence convention): exact integer counts, one IEEE
+    division per probability, ``ln`` rounded to 9 decimals, each
+    contribution to 12, summed as DECIMAL(28,12) — order-independent
+    and bit-matchable by a SQL oracle.
+
+    Scale shape: one hash-agg per side (shuffle carries (bucket,
+    count) rows — bounded by the bucket range, never the data), a
+    bucket-sized full outer join, scalar totals broadcast via
+    crossJoin. Output is ONE row:
+    ``(n_buckets, n_a, n_b, psi)``."""
+    ca = df_a.groupBy(F.col(bucket_col).alias("b")).agg(F.count(F.lit(1)).alias("ca"))
+    cb = df_b.groupBy(F.col(bucket_col).alias("b")).agg(F.count(F.lit(1)).alias("cb"))
+    joint = ca.join(cb, "b", "full_outer").select(
+        "b",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    totals = joint.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+    )
+    x = joint.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "na",
+        "nb",
+        ((F.col("ca") + F.lit(1.0)) / (F.col("na") + F.col("v"))).alias("p"),
+        ((F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("v"))).alias("q"),
+    )
+    contrib = x.select(
+        "v",
+        "na",
+        "nb",
+        F.round(
+            (F.col("p") - F.col("q")) * F.round(F.log(F.col("p") / F.col("q")), 9),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("c"),
+    )
+    return contrib.agg(
+        F.max("v").cast("bigint").alias("n_buckets"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.sum("c").cast("double").alias("psi"),
+    )

@@ -462,3 +462,53 @@ def ingest_tarball(
                 )
                 out[tname] = seed(df, os.path.join(dest_dir, tname), normalize=normalize)
     return out
+
+
+def compact_table(
+    spark: SparkSession, path: str, *, target_rows_per_file: int = 1_000_000
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files via the same atomic
+    staging swap as :meth:`ParquetTable.overwrite` — readers see the
+    fragmented or the compacted table, never a mix.
+
+    The small-files problem is the classic long-running-ingest failure
+    at scale (every streaming micro-batch / append lands a sliver; a
+    year later the scan spends more time opening files than reading
+    bytes); compaction is the explicit, schedulable repair, the same
+    lifecycle role as versioned/IVF vacuum. At 100 TB you'd set
+    ``target_rows_per_file`` from the row width to land near the
+    128 MB-1 GB sweet spot and run per partition.
+
+    Returns ``{"n_rows", "files_before", "files_after"}``."""
+    import math
+
+    def _count_files(p: str) -> int:
+        return sum(
+            1
+            for _dir, _sub, files in os.walk(p)
+            for name in files
+            if name.endswith(".parquet")
+        )
+
+    table = ParquetTable(path)
+    before = _count_files(path)
+    df = table.read(spark)
+    n = df.count()
+    n_files = max(1, math.ceil(n / max(1, target_rows_per_file)))
+    if before > 0 and n_files >= before:
+        # already at or below the target file count: compaction only
+        # ever MERGES — rewriting here would split files, so no-op
+        return {
+            "n_rows": n,
+            "files_before": before,
+            "files_after": before,
+            "rewritten": False,
+        }
+    table.overwrite(df.repartition(n_files))
+    return {
+        "n_rows": n,
+        "files_before": before,
+        "files_after": _count_files(path),
+        "rewritten": True,
+    }

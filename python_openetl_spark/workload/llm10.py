@@ -623,3 +623,70 @@ ORACLE = {
         ) WHERE rank <= 5
     """,
 }
+
+
+def d52_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift report (operators/sketches.py feature_psi):
+    Population Stability Index between the corpus and a mutated
+    snapshot (every 9th vector deleted, every 4th's first component
+    scaled 1.5x) over an integer-bucketed feature — the numeric
+    complement of e07's token-distribution drift, answering "did the
+    embedding distribution move enough to re-cluster / re-index".
+    The feature is the first embedding component bucketed at 0.5-width
+    bins clamped to [-4, 3] (floor and clamp are engine-exact on
+    doubles; float32 -> double casts are exact), so both engines build
+    identical histograms and the smoothed PSI decimal-sums to the same
+    bits."""
+    from python_openetl_spark.operators.sketches import feature_psi
+
+    emb = t(spark, sf_dir, "embeddings")
+    v0 = F.element_at(F.col("embedding"), 1).cast("double")
+
+    def bucketed(df, feat):
+        return df.select(
+            F.greatest(F.lit(-4), F.least(F.lit(3), F.floor(feat * 2.0))).alias(
+                "bucket"
+            )
+        )
+
+    a = bucketed(emb, v0)
+    b = bucketed(
+        emb.filter(F.col("vec_id") % 9 != 0),
+        F.when(F.col("vec_id") % 4 == 0, v0 * 1.5).otherwise(v0),
+    )
+    return feature_psi(a, b)
+
+
+QUERIES["d52_embedding_drift_psi"] = d52_embedding_drift_psi
+
+ORACLE["d52_embedding_drift_psi"] = """
+    WITH a AS (
+      SELECT GREATEST(-4, LEAST(3, FLOOR(CAST(embedding[1] AS DOUBLE) * 2.0)))::BIGINT AS b
+      FROM embeddings
+    ),
+    bb AS (
+      SELECT GREATEST(-4, LEAST(3, FLOOR(
+               CASE WHEN vec_id % 4 = 0 THEN CAST(embedding[1] AS DOUBLE) * 1.5
+                    ELSE CAST(embedding[1] AS DOUBLE) END * 2.0)))::BIGINT AS b
+      FROM embeddings WHERE vec_id % 9 <> 0
+    ),
+    ca AS (SELECT b, COUNT(*) AS ca FROM a GROUP BY b),
+    cb AS (SELECT b, COUNT(*) AS cb FROM bb GROUP BY b),
+    joint AS (
+      SELECT COALESCE(ca.b, cb.b) AS b,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.b = cb.b
+    ),
+    tot AS (SELECT COUNT(*) AS v, SUM(ca) AS na, SUM(cb) AS nb FROM joint),
+    x AS (
+      SELECT v, na, nb,
+             (ca + 1.0) / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)) AS p,
+             (cb + 1.0) / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)) AS q
+      FROM joint CROSS JOIN tot
+    )
+    SELECT CAST(MAX(v) AS BIGINT) AS n_buckets,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(round((p - q) * round(ln(p / q), 9), 12) AS DECIMAL(28,12))) AS DOUBLE) AS psi
+    FROM x
+"""

@@ -571,3 +571,51 @@ ORACLE = {
         FROM s
     """,
 }
+
+
+def k14_compaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction verb (plans/pipelines.py compact_table):
+    fragment the orders projection into 32 sliver files (the shape a
+    year of streaming micro-batch appends leaves behind), compact to
+    ~500-row files through the atomic staging swap, and report the
+    invariants as booleans — Spark's committer occasionally emits one
+    extra (empty) file, so EXACT file counts are writer behavior, not
+    contract: the contract is "fragmented wrote >= one file per
+    non-empty partition" and "compaction reached ~ceil(n/500) files
+    without losing a row"."""
+    import math
+    import tempfile
+
+    from python_openetl_spark.plans.pipelines import compact_table
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n = o.count()
+    if n == 0:  # nothing to fragment; report the no-op
+        return spark.createDataFrame(
+            [(0, True, True)],
+            "n_rows long, fragmented boolean, compacted_ok boolean",
+        )
+    path = tempfile.mkdtemp(prefix="poe_k14_") + "/orders"
+    o.repartition(32).write.parquet(path)
+    stats = compact_table(spark, path, target_rows_per_file=500)
+    expected = max(1, math.ceil(n / 500))
+    ok = (
+        stats["n_rows"] == n
+        and spark.read.parquet(path).count() == n
+        and stats["files_after"] <= expected + 1
+        and stats["files_after"] <= stats["files_before"]
+    )
+    return spark.createDataFrame(
+        [(n, stats["files_before"] >= min(32, n), ok)],
+        "n_rows long, fragmented boolean, compacted_ok boolean",
+    )
+
+
+QUERIES["k14_compaction_report"] = k14_compaction_report
+
+ORACLE["k14_compaction_report"] = """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           TRUE AS fragmented,
+           TRUE AS compacted_ok
+    FROM orders
+"""

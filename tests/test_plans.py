@@ -367,3 +367,19 @@ def test_update_manifest_append_and_compact_cycle(spark, tmp_path):
         (F.col("o_orderdate") >= "1996-04-01") & (F.col("o_orderdate") <= "1996-07-01")
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_compact_table_merges_and_noops(spark, tmp_path):
+    from python_openetl_spark.plans.pipelines import compact_table
+
+    path = str(tmp_path / "frag")
+    df = spark.range(2000).selectExpr("id", "id * 2 AS v")
+    df.repartition(16).write.parquet(path)
+    stats = compact_table(spark, path, target_rows_per_file=1000)
+    assert stats["rewritten"] and stats["n_rows"] == 2000
+    assert stats["files_after"] <= 3 < stats["files_before"]
+    assert spark.read.parquet(path).count() == 2000
+    # second run: already compact -> no-op, never splits
+    again = compact_table(spark, path, target_rows_per_file=1000)
+    assert not again["rewritten"]
+    assert again["files_after"] == again["files_before"] == stats["files_after"]
