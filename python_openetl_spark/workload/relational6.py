@@ -171,6 +171,63 @@ def q74_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4's native path for JSON
+    columns, replacing per-access string re-parsing): ``props`` parses
+    ONCE into a VariantType value (binary-encoded, predicate-friendly)
+    and typed fields shred out with ``try_variant_get`` — malformed
+    documents, empty strings, JSON nulls, and type-mismatched fields
+    all become NULL instead of errors. The oracle states identical
+    semantics with DuckDB's JSON functions (NULLIF + TRY_CAST);
+    alignment on all the hostile props shapes is pinned by the
+    hostile-star suite. At scale the shred is a pure scan projection
+    (no shuffle until the rollup), and parse-once matters: the q13
+    string path re-parses per extraction."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", F.try_parse_json(F.col("props")).alias("v")
+    ).select(
+        "user_id",
+        F.try_variant_get(F.col("v"), "$.page", "string").alias("page"),
+        F.try_variant_get(F.col("v"), "$.ms", "int").alias("ms"),
+    )
+    return v.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("ms").alias("n_with_ms"),
+        F.sum("ms").cast("bigint").alias("ms_total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q76_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward gap repair — the IGNORE NULLS
+    window surface (q63 generates missing rows; this fills missing
+    VALUES): every 7th reading is nulled out, then
+    ``last(value, ignorenulls=True)`` over the per-user running frame
+    carries the previous real observation forward (a user whose first
+    readings are NULL stays NULL — nothing to carry). Pure copy
+    semantics, no float arithmetic, so values hash exactly; DuckDB
+    states it with ``LAST_VALUE(v IGNORE NULLS)``. Partitioned by
+    user_id — never a global window."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("v").alias("observed"),
+        F.last("v", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 QUERIES = {
     "q69_hierarchy_depths": q69_hierarchy_depths,
     "q70_bag_set_ops": q70_bag_set_ops,
@@ -179,9 +236,36 @@ QUERIES = {
     "q73_try_arithmetic": q73_try_arithmetic,
     # round-7 post-window addition (rotates into _WINDOW_R8)
     "q74_subtree_rollup": q74_subtree_rollup,
+    "q75_variant_shred": q75_variant_shred,
+    "q76_locf_forward_fill": q76_locf_forward_fill,
 }
 
 ORACLE = {
+    "q76_locf_forward_fill": """
+        WITH src AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+          FROM events
+        )
+        SELECT event_id, user_id, v AS observed,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM src
+    """,
+    "q75_variant_shred": """
+        WITH shred AS (
+          SELECT user_id,
+                 json_extract_string(NULLIF(props, ''), '$.page') AS page,
+                 TRY_CAST(json_extract_string(NULLIF(props, ''), '$.ms') AS INT) AS ms
+          FROM events
+        )
+        SELECT page, COUNT(*) AS n_events,
+               COUNT(ms) AS n_with_ms,
+               SUM(ms)::BIGINT AS ms_total,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM shred GROUP BY page
+    """,
     "q74_subtree_rollup": """
         WITH RECURSIVE ids AS (
           SELECT doc_id FROM documents WHERE doc_id >= 0
