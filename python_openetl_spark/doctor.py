@@ -98,8 +98,10 @@ def doctor(spark: SparkSession | None = None) -> list[Capability]:
     jvm_row(
         "avro_format",
         "org.apache.spark.sql.avro.AvroFileFormat",
-        "Avro reads/writes; activate with spark.jars.packages="
-        "org.apache.spark:spark-avro_2.13:<spark version>",
+        "Avro reads/writes (k15 roundtrip). This distribution bundles "
+        "the classes without registering the 'avro' short name, so use "
+        "format('org.apache.spark.sql.avro.AvroFileFormat'); elsewhere "
+        "activate with spark.jars.packages=org.apache.spark:spark-avro",
     )
     rows.append(
         Capability(

@@ -619,3 +619,56 @@ ORACLE["k14_compaction_report"] = """
            TRUE AS compacted_ok
     FROM orders
 """
+
+
+def k15_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro write -> read-back roundtrip (the row-oriented interchange
+    format of Kafka/schema-registry pipelines — the K-family's
+    complement to columnar ORC/parquet). This Spark distribution
+    bundles the spark-avro classes but does NOT register the "avro"
+    short name (no DataSourceRegister entry), so the fully-qualified
+    format class is used — the r6-advice classloader-aware doctor()
+    probe is what surfaced that the capability actually exists here.
+    Nested struct + array columns prove Avro's typed nesting (record /
+    array schemas) survives the hop; read back with explicit schema
+    (no inference nondeterminism), flattened for the driver hash (the
+    canonicalizer cannot sort struct cells — k02 convention)."""
+    fq = "org.apache.spark.sql.avro.AvroFileFormat"
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.array(
+            F.col("o_custkey"), (F.col("o_orderkey") % 7)
+        ).alias("keys"),
+        F.col("o_totalprice").cast("double").alias("o_price"),
+    )
+    path = _tmp("avro")
+    src.write.format(fq).save(path)
+    back = spark.read.format(fq).schema(
+        "o_orderkey long, meta struct<status:string,priority:string>,"
+        " keys array<bigint>, o_price double"
+    ).load(path)
+    return back.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.priority").alias("priority"),
+        F.col("keys").getItem(0).alias("custkey"),
+        F.col("keys").getItem(1).alias("key_mod7"),
+        "o_price",
+    )
+
+
+QUERIES["k15_avro_roundtrip"] = k15_avro_roundtrip
+
+ORACLE["k15_avro_roundtrip"] = """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           o_custkey AS custkey,
+           o_orderkey % 7 AS key_mod7,
+           o_totalprice::DOUBLE AS o_price
+    FROM orders
+"""
