@@ -612,3 +612,48 @@ def test_tree_depths_matches_reference_on_arbitrary_forests(spark, edges):
             a, d = edges[a], d + 1
         want[n] = (a, d)
     assert got == want
+
+
+# --- distributed kNN join exactness (round 7) -------------------------------
+
+_vec = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+)
+_corpus = st.lists(_vec, min_size=2, max_size=24)
+
+
+@given(vecs=_corpus, dup_of=st.integers(min_value=0, max_value=100))
+@_settings
+def test_block_knn_join_matches_bruteforce_with_ties(spark, vecs, dup_of):
+    """cosine_knn_join must equal cosine_topk on arbitrary corpora —
+    including planted EXACT-duplicate vectors, which force cos_sim
+    ties that only the shared (cos desc, id asc) tie-break resolves;
+    tiny blocks force block-local truncation + global re-rank."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.knn_join import cosine_knn_join
+    from python_openetl_spark.operators.similarity import cosine_topk
+
+    # avoid zero-norm vectors (normalization would NaN — the operator
+    # contract matches cosine_topk's: vectors must have nonzero norm)
+    vecs = [v if any(abs(x) > 1e-3 for x in v) else [1.0, 0, 0, 0] for v in vecs]
+    vecs.append(list(vecs[dup_of % len(vecs)]))  # planted exact duplicate
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.filter((F.col("vec_id") % 3) == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"], r["vec_id"])
+        for r in cosine_knn_join(
+            corpus, queries, k=3, corpus_block_rows=5, query_block_rows=2
+        ).collect()
+    }
+    assert got == exact
