@@ -299,3 +299,66 @@ ORACLE["s10_stream_versioned_cdc"] = """
            CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS value_checksum
     FROM fin
 """
+
+
+def s11_stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (streaming/stateful.py
+    running_user_totals, applyInPandasWithState) executed as a REAL
+    replayed stream inside the driver row: events re-arrive as three
+    out-of-order micro-batches through a file-source stream, the
+    per-user state machine accumulates across batches in the state
+    store, and the row reports each user's FINAL state. Only the
+    order-insensitive state fields are compared (event count,
+    last-event timestamp — exact integers on both engines); the float
+    running total is asserted with tolerance in
+    tests/test_streaming.py, because a cross-batch float accumulation
+    order is kernel-defined, not SQL-defined."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from python_openetl_spark.streaming.sources import (
+        read_file_stream,
+        stage_replay_dir,
+    )
+    from python_openetl_spark.streaming.stateful import running_user_totals
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    if not ev.take(1):
+        return spark.createDataFrame(
+            [], "user_id long, n_events long, last_ts_us long"
+        )
+    tmp = tempfile.mkdtemp(prefix="poe_s11_")
+    path = stage_replay_dir(ev, tmp + "/replay", chunks=3)
+    stream = read_file_stream(spark, path, ev.schema)
+    name = "poe_s11_state"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("last_ts").alias("last_ts_us"),
+        )
+    )
+
+
+QUERIES["s11_stateful_running_state"] = s11_stateful_running_state
+
+ORACLE["s11_stateful_running_state"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+"""
