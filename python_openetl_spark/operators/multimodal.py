@@ -212,3 +212,102 @@ def dispatch_modalities(
         kernel,
         schema=f"{id_col} long, {modality_col} string, feat_a long, feat_b long",
     )
+
+
+def perceptual_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    decoder=None,
+) -> DataFrame:
+    """Per-payload 64-bit perceptual hash via the decode seam: the
+    Arrow kernel decodes each blob (injectable ``decoder``; the
+    deterministic fake by default — a real deployment passes a
+    pillow/DCT pHash) and emits ``(id, phash long)``. NULL payloads
+    (missing/corrupt blobs) yield no hash row — they cannot be
+    near-anything. The payload bytes never shuffle: the 8-byte hash is
+    all that leaves the scan."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                if decoder is not None:
+                    digest = decoder(bytes(b))
+                else:
+                    # fake decoder: hash stands in for DCT-of-thumbnail
+                    digest = hashlib.sha256(bytes(b)).digest()[:8]
+                ids.append(i)
+                hashes.append(int.from_bytes(digest[:8], "big", signed=True))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=f"{id_col} long, phash long"
+    )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+    decoder=None,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs with hamming(phash) <= max_hamming —
+    the image-dedup shape (re-encoded/resized copies land within a few
+    bits of each other under a real pHash; exact byte-duplicates are
+    hamming 0 under any decoder). Same pigeonhole banding as
+    operators/dedup.py simhash_candidates: 64 bits in ``num_bands``
+    bands — any pair within ``max_hamming < num_bands`` bits must
+    agree exactly on >= 1 band, so the per-band equi-join finds ALL of
+    them (no recall loss) without an all-pairs join; JVM
+    ``bit_count(xor)`` verifies. Shuffle carries (id, 8-byte hash)
+    rows only."""
+    band_bits = 64 // num_bands
+    ph = perceptual_hashes(df, payload_col, id_col, decoder=decoder)
+    banded = ph.select(
+        F.col(id_col).alias("doc"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("phash"), i * band_bits)
+                        .bitwiseAND(F.lit(2**band_bits - 1))
+                        .alias("key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "phash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

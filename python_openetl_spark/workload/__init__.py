@@ -121,10 +121,10 @@ _MODULES = (
 # already re-proven in r4/r5.
 #
 # _WINDOW_R8 should lead with the rows that have never had a driver
-# row after R7 — the 3 r3-checked leftovers (d27-d29) plus the 13
+# row after R7 — the 3 r3-checked leftovers (d27-d29) plus the 14
 # round-7 post-window additions (x15p, x17, x18, k13, k14, k15, q74,
-# q75, q76, m20, s10, s11, d52; k13 is rows-only by design) — then
-# fill the remaining 34
+# q75, q76, m20, s10, s11, d52, mm05; k13 is rows-only by design) —
+# then fill the remaining 33
 # slots with the oldest r4-checked rows per COVERAGE.md's ledger
 # (q01, q03, q04, q30, q31, q39-q44, m03, m04, m13, q05-q11, q13-q23,
 # q25, q26, ... in ledger order).

@@ -551,6 +551,10 @@ _PICK_SQL = " ".join(
 )
 
 ORACLE = {
+    "mm05_phash_near_dup": """
+        SELECT doc_id AS doc_a, doc_id + 5000000 AS doc_b, 0 AS hamming
+        FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    """,
     "d01_exact_dedup": f"""
         WITH docs AS ({_TWINS_SQL})
         SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
@@ -804,3 +808,35 @@ ORACLE = {
         )
     """,
 }
+
+
+def mm05_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup through the decode seam
+    (operators/multimodal.py phash_near_dup_pairs): every 10th
+    document's payload is re-ingested under a synthetic id — the
+    re-uploaded-image shape — and the banded Hamming join must find
+    every planted pair at distance 0 (identical bytes -> identical
+    pHash under ANY decoder, fake or real). The driver row returns
+    exactly the planted pairs (filtered by the synthetic-id offset),
+    so a broken kernel, banding, or verify path empties it; organic
+    byte-duplicate pairs (dup texts exist in the fixtures) are
+    asserted in the hostile suite instead, where their count is
+    fixture-defined."""
+    from python_openetl_spark.operators.multimodal import phash_near_dup_pairs
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "payload"
+    )
+    pairs = phash_near_dup_pairs(d.unionByName(planted), "payload", "doc_id")
+    return pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 5_000_000)
+        & (F.col("doc_a") % 10 == 0)
+    ).select("doc_a", "doc_b", "hamming")
+
+
+QUERIES["mm05_phash_near_dup"] = mm05_phash_near_dup

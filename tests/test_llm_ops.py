@@ -438,3 +438,33 @@ def test_balanced_shards_rejects_bad_n(spark):
 
     with pytest.raises(ValueError):
         balanced_shards(spark.range(1), 0, "id")
+
+
+def test_phash_near_dup_finds_duplicates_and_respects_decoder(spark):
+    """Byte-identical payloads pair at hamming 0 under the default
+    fake decoder AND under an injected custom decoder (the seam a real
+    pillow/DCT pHash plugs into); distinct payloads with distant
+    hashes do not pair; NULL payloads are skipped."""
+    rows = [
+        (1, b"same-bytes"), (2, b"same-bytes"),           # organic dup
+        (3, b"other-content"), (4, None),                  # distinct + NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.phash_near_dup_pairs(df).collect()
+    }
+    assert pairs == {(1, 2, 0)}
+
+    # injected decoder: constant digest -> EVERY non-null pair collides
+    def const_decoder(b: bytes) -> bytes:
+        return b"\x00" * 8
+
+    allpairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal.phash_near_dup_pairs(df, decoder=const_decoder).collect()
+    }
+    assert allpairs == {(1, 2), (1, 3), (2, 3)}
+
+    hashes = multimodal.perceptual_hashes(df).collect()
+    assert {r["doc_id"] for r in hashes} == {1, 2, 3}  # NULL skipped
