@@ -120,14 +120,55 @@ _MODULES = (
 # had a driver row at least once, and nothing predates r3 except rows
 # already re-proven in r4/r5.
 #
-# _WINDOW_R8 should lead with the rows that have never had a driver
-# row after R7 — the 3 r3-checked leftovers (d27-d29) plus the 14
-# round-7 post-window additions (x15p, x17, x18, k13, k14, k15, q74,
-# q75, q76, m20, s10, s11, d52, mm05; k13 is rows-only by design) —
-# then fill the remaining 33
-# slots with the oldest r4-checked rows per COVERAGE.md's ledger
-# (q01, q03, q04, q30, q31, q39-q44, m03, m04, m13, q05-q11, q13-q23,
-# q25, q26, ... in ledger order).
+# Round 8's window (_WINDOW_R8), per the r7 verdict's plan item 1:
+#   1. the 17 rows lacking recent (or any) driver evidence — the 3
+#      r3-checked leftovers (d27-d29) plus the 14 round-7 post-window
+#      additions (x15p, x17, x18, k13, k14, k15, q74, q75, q76, m20,
+#      s10, s11, d52, mm05; k13 is rows-only by design — all green in
+#      the judge's independently-run sf0.1 soak);
+#   2. 33 of the oldest r4-checked rows in ledger priority order
+#      (date-predicate-heavy TPC-H shapes first, then m13, then the
+#      remaining q* in ledger order). The verdict's fill list named
+#      m03/m04, but those turned green in CORRECTNESS_r07 (they sat in
+#      _WINDOW_R7), so their latest check is r7 — the next-oldest
+#      r4 row in ledger order (q29) takes the 33rd slot instead.
+# That is exactly 50; after a green R8 every one of the 215 queries
+# has driver evidence, and the queries with the stalest checks are the
+# remaining r4 rows (q00, q32-q36, q38, q45, q46, q48, q49, d30,
+# k01, k03, k04) — they lead _WINDOW_R9 alongside any round-8
+# post-window additions.
+#
+# _WINDOW_R9 should lead with any round-8 post-window additions, then
+# the 16 remaining r4-checked rows above, then the oldest r5-checked
+# rows per COVERAGE.md's ledger.
+#
+_WINDOW_R8 = (
+    # never driver-checked / r3-stale (lead slots)
+    "d27_repeated_ngram_spans", "d28_bloom_incremental_dedup",
+    "d29_incremental_near_dedup",
+    "x15p_ivf_store_production_probe", "x17_cell_knn_join",
+    "x18_ivfpq_store_topk",
+    "k13_doctor_report", "k14_compaction_report", "k15_avro_roundtrip",
+    "q74_subtree_rollup", "q75_variant_shred", "q76_locf_forward_fill",
+    "m20_version_retention",
+    "s10_stream_versioned_cdc", "s11_stateful_running_state",
+    "d52_embedding_drift_psi", "mm05_phash_near_dup",
+    # oldest r4-checked rows, rotated back through (33)
+    "q01_pricing_summary", "q03_top_orders", "q04_revenue_by_nation",
+    "q30_volume_shipping", "q31_market_share",
+    "q39_returned_item_revenue", "q40_profit_by_nation_year",
+    "q41_small_quantity_revenue", "q42_large_volume_orders",
+    "q43_disjunctive_predicates", "q44_promo_revenue",
+    "m13_schema_evolution_merge",
+    "q05_top_order_per_customer", "q06_running_total", "q07_set_ops",
+    "q08_distinct_counts", "q09_customers_without_orders",
+    "q10_conditional_agg", "q11_string_functions",
+    "q13_json_extract", "q14_in_list", "q15_union_distinct",
+    "q16_rollup", "q17_having", "q18_exists_subquery",
+    "q19_theta_join_ranges", "q20_cube", "q21_grouping_sets",
+    "q22_pivot", "q23_percentiles", "q25_lateral_explode",
+    "q26_scalar_subquery", "q29_histogram",
+)
 #
 # Round 7's window (_WINDOW_R7), per the r6 verdict's plan item 1:
 #   1. the 18 round-6 post-window additions that have never had a
@@ -291,9 +332,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R7 if n not in out]
+    missing = [n for n in _WINDOW_R8 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R7}
+    ordered = {n: out[n] for n in _WINDOW_R8}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
