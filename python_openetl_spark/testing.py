@@ -12,6 +12,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal
 import math
+from pathlib import Path
 from typing import Any
 
 import numpy as np
@@ -97,3 +98,34 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             raise AssertionError(
                 f"{name}: first differing row #{i} (cols {scols}):\n  spark : {sr}\n  oracle: {orow}"
             )
+
+
+def latest_green_rounds(repo_root: str | Path | None = None) -> dict[str, int]:
+    """Per-query latest driver-green round, computed from the driver's own
+    ``CORRECTNESS_r*.json`` artifacts (r7 verdict #4: COVERAGE.md's evidence
+    ledger must be generated from these files so it can never drift).
+
+    Green = the driver recorded the row with no error, matching row counts,
+    and — when the query has a SQL oracle — a matching value hash. Rounds
+    1-2 predate the current fixture generation but still count as evidence;
+    staleness policy (what counts as *too old*) lives in COVERAGE.md.
+    """
+    import json
+    import re
+
+    root = Path(repo_root) if repo_root else Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r0*(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, row in json.loads(path.read_text()).items():
+            green = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest

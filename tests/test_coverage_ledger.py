@@ -34,3 +34,32 @@ def test_query_index_header_count_matches():
     text = COVERAGE.read_text()
     m = re.search(r"## Appendix: query index \((\d+) queries", text)
     assert m and int(m.group(1)) == len(all_queries())
+
+
+def _ledger_rows() -> dict[str, str]:
+    text = COVERAGE.read_text()
+    start = text.index("| query | last driver-green | scheduled |")
+    end = text.index("Totals:", start)
+    return dict(
+        re.findall(r"^\| `([a-z0-9_]+)` \| ([^|]+?) \|", text[start:end], re.M)
+    )
+
+
+def test_evidence_column_matches_correctness_artifacts():
+    """r7 verdict #4: the 'last driver-green' column is generated from the
+    CORRECTNESS_r*.json artifacts and must equal that computation for every
+    query — the ledger can never drift from the driver's own records."""
+    from python_openetl_spark.testing import latest_green_rounds
+
+    computed = latest_green_rounds()
+    ledger = _ledger_rows()
+    assert sorted(ledger) == sorted(all_queries())
+    for name, cell in ledger.items():
+        if name in computed:
+            assert cell == f"r{computed[name]}", (
+                f"{name}: ledger says {cell!r}, artifacts say r{computed[name]}"
+            )
+        else:
+            assert cell.startswith("never"), (
+                f"{name}: ledger says {cell!r}, but no green driver row exists"
+            )
