@@ -14,8 +14,10 @@ metadata-pointer commit protocol as plans/versioned.py):
 and splits the lifecycle the way the incremental-dedup family does
 (operators/dedup.py incremental stores):
 
-- :func:`build_ivf_store` — one corpus scan: deterministic centroid
-  sample, Arrow-batched nearest-centroid assignment, partitioned write.
+- :func:`build_ivf_store` — train a k-means coarse quantizer
+  (operators/kmeans.py — FAISS trains rather than samples so cells
+  stay even; ``train_iters`` corpus scans), then one assignment scan:
+  Arrow-batched nearest-centroid assignment, partitioned write.
 - :func:`append_to_ivf_store` — BATCH-sized cost: new vectors are
   assigned to the EXISTING centroids (no retrain, the FAISS
   ``add``-after-``train`` contract) and appended to their cell
@@ -127,10 +129,11 @@ def build_ivf_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_iters: int = 2,
 ) -> None:
-    """Train (deterministic xxhash64 centroid sample) + assign + write
-    version 1, then commit the pointer."""
-    _build_into(corpus, _version_dir(root, 1), nlist, id_col, vec_col, seed)
+    """Train (distributed spherical k-means, r7 verdict #2) + assign +
+    write version 1, then commit the pointer."""
+    _build_into(corpus, _version_dir(root, 1), nlist, id_col, vec_col, seed, train_iters)
     _commit_version(root, 1)
 
 
@@ -141,19 +144,27 @@ def _build_into(
     id_col: str,
     vec_col: str,
     seed: int,
+    train_iters: int = 2,
 ) -> None:
+    # k-means-trained coarse quantizer (FAISS trains for the same
+    # reason: sampled centroids give uneven cells — hot probe tasks,
+    # weaker recall per nprobe). Training is build-time-only cost:
+    # train_iters corpus scans, nlist x dim scalars on the driver.
+    from python_openetl_spark.operators.kmeans import train_coarse_centroids
+
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h")
-        .limit(nlist)
-        .collect()
+    cents = train_coarse_centroids(
+        corpus,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        iters=train_iters,
     )
-    if not cent_rows:
+    if cents.shape[0] == 0:
         raise ValueError("build_ivf_store: empty corpus — nothing to train on")
     spark.createDataFrame(
-        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.parquet(os.path.join(idx_dir, _CENTROIDS))
     _, cnorm = _read_centroids(spark, idx_dir)
@@ -251,6 +262,7 @@ def rebuild_ivf_store(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 43,
+    train_iters: int = 2,
 ) -> None:
     """Drift repair: re-train centroids from the CURRENT contents of the
     store (base + every appended batch) into a NEW version directory and
@@ -273,7 +285,8 @@ def rebuild_ivf_store(
     if nlist is None:
         nlist = spark.read.parquet(os.path.join(cur_dir, _CENTROIDS)).count()
     _build_into(
-        current, _version_dir(root, version + 1), nlist, id_col, vec_col, seed
+        current, _version_dir(root, version + 1), nlist, id_col, vec_col, seed,
+        train_iters,
     )
     _commit_version(root, version + 1)
 

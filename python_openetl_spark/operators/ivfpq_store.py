@@ -123,21 +123,31 @@ def build_ivfpq_store(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> None:
-    """Train coarse + PQ quantizers, encode, write version 1, commit."""
+    """Train coarse + PQ quantizers, encode, write version 1, commit.
+
+    The coarse quantizer is k-means-trained (operators/kmeans.py, r7
+    verdict #2) with the same ``iters`` as the PQ codebooks — sampled
+    coarse centroids give uneven cells, which at 100 TB means hot probe
+    tasks and weaker recall per nprobe."""
+    from python_openetl_spark.operators.kmeans import train_coarse_centroids
+
     spark = corpus.sparkSession
     idx_dir = _version_dir(root, 1)
     books = pq_fit(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed + 1)))
-        .orderBy("__h")
-        .limit(nlist)
-        .collect()
+    cents = train_coarse_centroids(
+        corpus,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed + 1,
+        iters=iters,
     )
+    if cents.shape[0] == 0:
+        raise ValueError("build_ivfpq_store: empty corpus — nothing to train on")
     spark.createDataFrame(
-        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)],
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.parquet(os.path.join(idx_dir, _CENTROIDS))
     _write_codebooks(spark, idx_dir, books)

@@ -158,6 +158,36 @@ def spherical_kmeans(
     return cents, assignments
 
 
+def train_coarse_centroids(
+    df: DataFrame,
+    *,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 2,
+) -> np.ndarray:
+    """Train an IVF coarse quantizer with Lloyd sweeps and return the
+    ``(nlist, dim)`` unit-norm float64 centroid matrix.
+
+    FAISS trains its coarse quantizer with k-means rather than sampling
+    because sampled centroids track the corpus density unevenly: dense
+    regions get many near-duplicate centroids (tiny cells) while sparse
+    regions get none (one hot cell absorbs them), so probe tasks skew
+    and recall-per-nprobe drops (r7 verdict #2). This is the
+    :func:`spherical_kmeans` trainer — per-iteration cost is ONE corpus
+    scan with a (nlist x partitions)-row shuffle, and only nlist x dim
+    scalars ever reach the driver — with the assignment output unused
+    (it is a lazy plan; skipping it costs nothing). Deterministic for a
+    fixed (seed, iters) up to float-sum ordering, which store contracts
+    absorb by stating recall floors, never centroid values.
+    """
+    cents, _ = spherical_kmeans(
+        df, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    return cents
+
+
 def semantic_dedup(
     df: DataFrame,
     *,

@@ -45,13 +45,30 @@ from pyspark.sql.window import Window
 _OUT_SCHEMA = "{qid} long, {cid} long, cos_sim double"
 
 
-def _gemm_topk_kernel(id_col: str, query_id_col: str, vec_col: str, k: int):
+def _unit(mat: np.ndarray) -> np.ndarray:
+    # 1e-300 clamp (same as ivf_store._assign_fn): a zero-norm vector
+    # must score cos 0.0, not NaN — Spark orders NaN as the LARGEST
+    # double, so an unclamped zero corpus vector would rank first for
+    # every query in the global window.
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+
+def _gemm_topk_kernel(
+    id_col: str, query_id_col: str, vec_col: str, k: int, exclude_self: bool = True
+):
     """Cogrouped-Arrow kernel: one bounded GEMM per (corpus-block,
     query-block) co-partition, emitting each query's block-local top-k
     under the global (cos desc, id asc) total order — the same float64
     math and lexsort tie-break as similarity.cosine_topk_arrow, so
     block truncation composes with the final window into the exact
-    global answer."""
+    global answer.
+
+    ``exclude_self`` masks corpus rows whose id equals the query id —
+    right for self-query shapes (dedup: queries drawn from the corpus),
+    WRONG for cross-dataset linkage where the two id spaces may collide
+    numerically (an unrelated corpus row would be silently dropped) —
+    callers joining distinct datasets pass ``exclude_self=False``
+    (r7 verdict #3)."""
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -64,24 +81,26 @@ def _gemm_topk_kernel(id_col: str, query_id_col: str, vec_col: str, k: int):
         if left.empty or right.empty:
             return empty
         ids = left[id_col].to_numpy(dtype=np.int64)
-        mat = np.stack(left[vec_col].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = _unit(np.stack(left[vec_col].to_numpy()).astype(np.float64))
         qids = right[query_id_col].to_numpy(dtype=np.int64)
-        qmat = np.stack(right["__qv"].to_numpy()).astype(np.float64)
-        qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        qnorm = _unit(np.stack(right["__qv"].to_numpy()).astype(np.float64))
         sims = mat @ qnorm.T  # (corpus_block, query_block)
         frames = []
         for qi, qid in enumerate(qids):
             col = sims[:, qi]
-            mask = ids != qid
-            cand_idx = np.lexsort((ids[mask], -col[mask]))[:k]
-            sel = ids[mask][cand_idx]
+            if exclude_self:
+                mask = ids != qid
+                cand_ids, cand_col = ids[mask], col[mask]
+            else:
+                cand_ids, cand_col = ids, col
+            cand_idx = np.lexsort((cand_ids, -cand_col))[:k]
+            sel = cand_ids[cand_idx]
             frames.append(
                 pd.DataFrame(
                     {
                         query_id_col: np.full(len(sel), qid, dtype=np.int64),
                         id_col: sel,
-                        "cos_sim": col[mask][cand_idx],
+                        "cos_sim": cand_col[cand_idx],
                     }
                 )
             )
@@ -111,6 +130,7 @@ def cosine_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact distributed kNN join (block nested-loop GEMM).
 
@@ -118,7 +138,11 @@ def cosine_knn_join(
     actions — metadata-scale), so per-task memory is capped no matter
     how the query set grows: 10× more queries means 10× more query
     blocks, not a 10× larger driver matrix. Neither side is ever
-    collected."""
+    collected.
+
+    ``exclude_self=True`` (the default, the x16 dedup shape) drops
+    corpus rows whose id equals the query id; pass ``False`` for true
+    cross-dataset linkage where the id spaces may collide."""
     spark = corpus.sparkSession
     n_c, n_q = corpus.count(), queries.count()
     if n_c == 0 or n_q == 0:
@@ -141,7 +165,7 @@ def cosine_knn_join(
         c.groupBy("__cb", "__qb")
         .cogroup(q.groupBy("__cb", "__qb"))
         .applyInPandas(
-            _gemm_topk_kernel(id_col, query_id_col, vec_col, k),
+            _gemm_topk_kernel(id_col, query_id_col, vec_col, k, exclude_self),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )
@@ -160,6 +184,8 @@ def ivf_knn_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    train_iters: int = 2,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate distributed kNN join, co-partitioned by IVF cell.
 
@@ -169,31 +195,37 @@ def ivf_knn_join(
     axis caps hot cells (a cell probed by many queries splits into
     bounded co-partitions instead of one giant task). FLOPs are
     ~``nprobe/nlist`` of the exact join; recall is tunable, so callers
-    must state floors, not equality."""
+    must state floors, not equality.
+
+    The coarse quantizer is k-means-trained (operators/kmeans.py —
+    ``train_iters`` Lloyd sweeps, one corpus scan each, only nlist x
+    dim scalars on the driver; r7 verdict #2): sampled centroids track
+    corpus density unevenly, giving hot cells (skewed probe tasks) and
+    weaker recall per nprobe at scale."""
+    from python_openetl_spark.operators.kmeans import train_coarse_centroids
+
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h")
-        .limit(nlist)
-        .collect()
+    cnorm = train_coarse_centroids(
+        corpus,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        iters=train_iters,
     )
     n_q = queries.count()
-    if not cent_rows or n_q == 0:
+    if cnorm.shape[0] == 0 or n_q == 0:
         return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
         )
-    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-    nprobe = min(nprobe, len(cent_rows))
+    nprobe = min(nprobe, cnorm.shape[0])
     qb = max(1, math.ceil(n_q / query_block_rows))
 
     def assign_corpus(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = _unit(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -209,8 +241,7 @@ def ivf_knn_join(
         for pdf in batches:
             if pdf.empty:
                 continue
-            qmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            qn = _unit(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             probe = np.argsort(-(qn @ cnorm.T), axis=1)[:, :nprobe]
             idx = np.repeat(np.arange(len(pdf)), nprobe)
             yield pd.DataFrame(
@@ -234,7 +265,7 @@ def ivf_knn_join(
         c.groupBy("__cell", "__qb")
         .cogroup(q.groupBy("__cell", "__qb"))
         .applyInPandas(
-            _gemm_topk_kernel(id_col, query_id_col, vec_col, k),
+            _gemm_topk_kernel(id_col, query_id_col, vec_col, k, exclude_self),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )

@@ -204,7 +204,12 @@ def x15p_ivf_store_production_probe(spark: SparkSession, sf_dir: str) -> DataFra
     nprobe = max(1, nlist // 8), ~1/8 of the cells touched instead of
     the oracle row's 85% — so the bench tracks production probe
     latency. Recall at this budget is the designed approximation trade
-    (measured 0.2-0.4 on the structure-free random fixtures), so the
+    (measured 0.1-0.3 on the structure-free random fixtures, whose
+    uniform geometry spreads true neighbors across cells no quantizer
+    can fix; the r8 k-means-trained coarse quantizer instead buys even
+    cell SIZES — max/mean ~1.3 vs ~1.6 sampled — and full recall
+    margin at the oracle budget, measured 1.00 at sf0.01 and sf0.1),
+    so the
     driver contract is the deterministic planted-anchor membership
     invariant: for each query equal to a stored vector, that vector
     sits in the query's nearest cell (identical vector -> argmax cell

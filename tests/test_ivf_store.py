@@ -169,3 +169,27 @@ def test_vacuum_prunes_superseded_versions_only(spark, tmp_path):
     # store still fully queryable after vacuum
     qpdf = _queries(spark)
     assert ivf_store_topk(spark, root, qpdf, k=3, nprobe=4).count() > 0
+
+
+def test_trained_centroids_bound_cell_skew(spark, tmp_path):
+    """r7 verdict #2: the coarse quantizer is k-means-TRAINED, not
+    hash-sampled, so cell sizes stay even — hot cells are what skew
+    probe tasks and sink recall-per-nprobe at 100x. Bound asserted on
+    the built store's own partition sizes: max cell <= 2x the mean
+    (trained measures ~1.3x on this fixture; the sampled quantizer
+    measured ~1.6x and trends worse with corpus density skew)."""
+    from tests.conftest import SF_DIR_MED
+
+    emb = spark.read.parquet(f"{SF_DIR_MED}/embeddings.parquet")
+    root = str(tmp_path / "skew_store")
+    nlist = 16
+    build_ivf_store(emb, root, nlist=nlist)
+    sizes = (
+        spark.read.parquet(f"{current_index_dir(root)}/assigned")
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    counts = {r["cell"]: r["count"] for r in sizes}
+    mean = emb.count() / nlist  # mean over ALL nlist cells, empty included
+    assert max(counts.values()) <= 2.0 * mean, counts

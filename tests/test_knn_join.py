@@ -106,3 +106,50 @@ def test_empty_sides_degrade_to_empty(spark, emb):
         emb.filter(F.lit(False)), _queries(emb, 50), k=3
     ).count() == 0
     assert ivf_knn_join(emb.filter(F.lit(False)), _queries(emb, 50), k=3).count() == 0
+
+
+def test_exclude_self_controls_id_collision_semantics(spark, emb):
+    """r7 verdict #3: a query whose id numerically equals an UNRELATED
+    corpus row's id must still see that row under exclude_self=False
+    (cross-dataset linkage), while exclude_self=True (the dedup
+    default) masks it. Planted collision: the query VECTOR is corpus
+    row 7's embedding, the query ID is also 7 — so corpus row 7 is the
+    cos-1.0 nearest neighbor iff it is not self-masked."""
+    target = emb.filter(F.col("vec_id") == 7)
+    q = target.select(F.col("vec_id").alias("query_id"), "embedding")
+    for join in (
+        lambda **kw: cosine_knn_join(emb, q, k=3, corpus_block_rows=64, **kw),
+        lambda **kw: ivf_knn_join(emb, q, k=3, nlist=4, nprobe=4, **kw),
+    ):
+        kept = {(r["query_id"], r["vec_id"], r["rank"]) for r in join(exclude_self=False).collect()}
+        masked = {(r["query_id"], r["vec_id"]) for r in join(exclude_self=True).collect()}
+        assert (7, 7, 1) in kept  # the colliding row is the top hit
+        assert (7, 7) not in masked  # default self-masking unchanged
+
+
+def test_zero_norm_vectors_score_zero_not_nan(spark):
+    """ADVICE r7: an unclamped zero-norm vector yields NaN cosine, and
+    Spark sorts NaN as the LARGEST double — a zero corpus vector would
+    rank FIRST for every query. With the 1e-300 clamp it scores 0.0 and
+    ranks behind any genuinely similar row."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0]),  # zero-norm row
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 0.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    for res in (
+        cosine_knn_join(corpus, queries, k=3, exclude_self=False),
+        ivf_knn_join(corpus, queries, k=3, nlist=2, nprobe=2, exclude_self=False),
+    ):
+        rows = res.collect()
+        assert all(r["cos_sim"] == r["cos_sim"] for r in rows)  # no NaN
+        by_q = {(r["query_id"], r["rank"]): r["vec_id"] for r in rows}
+        assert by_q[(10, 1)] == 1 and by_q[(10, 3)] == 3  # zero row ranks last
+        assert all(r["cos_sim"] == 0.0 for r in rows if r["query_id"] == 11)
