@@ -75,7 +75,18 @@ def global_row_number(
     total_row_count)``; the rank column is 1-based and dense-free
     (exactly ``1..n``). ``value_col`` must be numeric and non-null;
     ``tiebreakers`` must make the ordering total (same contract as the
-    deterministic ORDER BY it replaces)."""
+    deterministic ORDER BY it replaces).
+
+    ``df`` must be DETERMINISTIC across re-evaluation (r7 advice): the
+    quantile splits and band offsets are collected from a cached
+    snapshot that is released before the returned plan materializes,
+    so the final ranked pass re-scans the source. A source that yields
+    different rows per scan (rand()-derived, non-seeded sampling, a
+    table mutating underneath) can produce duplicate or gapped ranks —
+    the same contract as Spark's own exchange-reuse. Callers with a
+    nondeterministic input must pre-persist or checkpoint it first (a
+    pre-cached input is left untouched, and all three passes then bind
+    to that one snapshot)."""
     spark = df.sparkSession
     if bands is None:
         bands = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

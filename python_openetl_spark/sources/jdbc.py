@@ -159,8 +159,18 @@ def derive_partition_bounds(
         return probe(True)
     except ValueError:
         raise  # empty/all-NULL is a real answer, not a quoting miss
-    except Exception:
-        return probe(False)
+    except Exception as quoted_err:
+        # The fallback exists for exactly one failure shape: the quoted
+        # identifier missed a case-folded catalog entry. Auth and
+        # connectivity errors will fail the unquoted probe identically —
+        # chain the quoted probe's error so the ROOT cause stays visible
+        # instead of being masked by the retry's (r7 advice).
+        try:
+            return probe(False)
+        except ValueError:
+            raise
+        except Exception as unquoted_err:
+            raise unquoted_err from quoted_err
 
 
 # --- catalog scans (S5/S6) ----------------------------------------------------

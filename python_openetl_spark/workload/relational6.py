@@ -255,9 +255,16 @@ ORACLE = {
     """,
     "q75_variant_shred": """
         WITH shred AS (
+          -- json_valid guard (the q13 idiom, r7 advice): DuckDB's
+          -- json_extract_string ERRORS on malformed JSON where Spark's
+          -- try_parse_json degrades to NULL — a fixture regen planting
+          -- bad props must degrade identically on both engines
           SELECT user_id,
-                 json_extract_string(NULLIF(props, ''), '$.page') AS page,
-                 TRY_CAST(json_extract_string(NULLIF(props, ''), '$.ms') AS INT) AS ms
+                 CASE WHEN json_valid(props)
+                      THEN json_extract_string(props, '$.page') END AS page,
+                 TRY_CAST(CASE WHEN json_valid(props)
+                               THEN json_extract_string(props, '$.ms') END
+                          AS INT) AS ms
           FROM events
         )
         SELECT page, COUNT(*) AS n_events,

@@ -199,6 +199,11 @@ def _star_tables() -> dict[str, pa.Table]:
         (13, mins(3000), 6, None, 1.0, '{}'),
         (14, mins(3001), 6, "click", 2.0, '{"page": "y"}'),
         (15, mins(3100), 7, None, 0.5, '{}'),            # all-NULL user
+        # r7-advice q75 shape: MALFORMED JSON props — Spark's
+        # try_parse_json / get_json_object degrade to NULL; the DuckDB
+        # oracles must degrade identically via their json_valid guards
+        # (q13/q75) instead of erroring
+        (16, mins(3200), 8, "click", 1.0, '{bad json'),
     ]
     events = {
         "event_id": [r[0] for r in e_rows],
