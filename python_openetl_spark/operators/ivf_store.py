@@ -56,7 +56,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_openetl_spark.functions.vectors import cosine
+from python_openetl_spark.functions.vectors import cosine, dot, norm
+
+
+def _cosine_clamped(a, b):
+    """JVM cosine with the 1e-300 denominator clamp: a zero-norm vector
+    scores 0.0 instead of NaN — Spark orders NaN as the LARGEST double,
+    so an unclamped zero vector in the store would rank FIRST for every
+    query (the knn_join/_unit rule, applied at the probe boundary).
+    Identical to :func:`functions.vectors.cosine` for any nonzero pair,
+    so exact-recall oracles are unaffected."""
+    return dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-300))
 
 _CENTROIDS = "centroids.parquet"
 _ASSIGNED = "assigned"
@@ -100,7 +110,12 @@ def _assign_fn(cnorm: np.ndarray, id_col: str, vec_col: str):
             if pdf.empty:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            # 1e-300 clamp: a zero-norm vector must land in a real cell
+            # (cos 0.0 against every centroid -> argmax 0), not produce
+            # a NaN row whose argmax is undefined
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -243,7 +258,7 @@ def ivf_store_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+            _cosine_clamped(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))

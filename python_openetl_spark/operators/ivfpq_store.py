@@ -23,10 +23,12 @@ FAISS add-after-train contract) and appends cell partitions;
 :func:`ivfpq_store_topk` probes ``nprobe`` cell directories
 (PartitionFilters), ADC-scores their codes, and exact-re-ranks the
 ``rerank_factor·k`` shortlist against the caller's raw corpus.
-Rebuild/vacuum reuse ivf_store's machinery shape (a drifted store is
-rebuilt by re-running build on current contents' ids joined back to
-the raw corpus — codes alone cannot re-train codebooks, which is why
-this module exposes no blind rebuild).
+:func:`rebuild_ivfpq_store` re-trains both quantizers from the RAW
+corpus rows whose ids the store holds (codes alone cannot re-train
+codebooks — quantization is lossy — which is why rebuild takes the
+corpus as an argument instead of reading only the store) into a new
+version behind the same atomic pointer; vacuum is shared with
+ivf_store (identical layout).
 
 Reference parity: the reference has no vector surface; this extends
 its incremental-sync architecture (operations.py:515-609 delta
@@ -44,11 +46,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_openetl_spark.functions.vectors import cosine
+from python_openetl_spark.functions.vectors import cosine  # noqa: F401 (re-export parity)
+from python_openetl_spark.operators.ivf_store import _cosine_clamped
 from python_openetl_spark.operators.ivf_store import (
     _ASSIGNED,
     _CENTROIDS,
     _commit_version,
+    _current_version,
     _read_centroids,
     _version_dir,
     current_index_dir,
@@ -129,10 +133,26 @@ def build_ivfpq_store(
     verdict #2) with the same ``iters`` as the PQ codebooks — sampled
     coarse centroids give uneven cells, which at 100 TB means hot probe
     tasks and weaker recall per nprobe."""
+    _build_pq_into(
+        corpus, _version_dir(root, 1), nlist, m, ksub, iters, id_col, vec_col, seed
+    )
+    _commit_version(root, 1)
+
+
+def _build_pq_into(
+    corpus: DataFrame,
+    idx_dir: str,
+    nlist: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+) -> None:
     from python_openetl_spark.operators.kmeans import train_coarse_centroids
 
     spark = corpus.sparkSession
-    idx_dir = _version_dir(root, 1)
     books = pq_fit(
         corpus, m=m, ksub=ksub, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
     )
@@ -161,7 +181,46 @@ def build_ivfpq_store(
     encoded.repartition("cell").write.partitionBy("cell").parquet(
         os.path.join(idx_dir, _ASSIGNED)
     )
-    _commit_version(root, 1)
+
+
+def rebuild_ivfpq_store(
+    spark: SparkSession,
+    root: str,
+    corpus: DataFrame,
+    *,
+    nlist: int | None = None,
+    m: int | None = None,
+    ksub: int | None = None,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 43,
+) -> None:
+    """Drift repair for the compressed store: PQ CODES cannot re-train
+    codebooks (quantization is lossy), so a rebuild re-trains from the
+    RAW ``corpus`` rows whose ids the store currently holds — the
+    caller supplies the same raw table the probe path re-ranks against.
+    Writes a NEW version directory and commits it with one atomic
+    pointer replace; in-flight probes keep the version they resolved.
+    ``nlist``/``m``/``ksub`` default to the live store's geometry.
+    Superseded versions are pruned only by the explicit
+    :func:`operators.ivf_store.vacuum_ivf_store` (the layout is
+    shared)."""
+    version = _current_version(root)
+    cur_dir = _version_dir(root, version)
+    if nlist is None:
+        nlist = spark.read.parquet(os.path.join(cur_dir, _CENTROIDS)).count()
+    if m is None or ksub is None:
+        books = _read_codebooks(spark, cur_dir)
+        m = m if m is not None else books.shape[0]
+        ksub = ksub if ksub is not None else books.shape[1]
+    held_ids = spark.read.parquet(os.path.join(cur_dir, _ASSIGNED)).select(id_col)
+    current = corpus.select(id_col, vec_col).join(held_ids, id_col, "left_semi")
+    _build_pq_into(
+        current, _version_dir(root, version + 1), nlist, m, ksub, iters,
+        id_col, vec_col, seed,
+    )
+    _commit_version(root, version + 1)
 
 
 def append_to_ivfpq_store(
@@ -238,7 +297,15 @@ def ivfpq_store_topk(
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64) & 0xFF
             qidx = pdf[query_id_col].map(qpos).to_numpy()
             dots = lut[qidx[:, None], sub_idx[None, :], codes].sum(axis=1)
-            score = dots / np.maximum(pdf["vnorm"].to_numpy() * qnorms[qidx], 1e-300)
+            vn = pdf["vnorm"].to_numpy()
+            # zero-norm guard: vnorm 0 would divide by the 1e-300 clamp
+            # and inflate the ADC score to ~1e300, hijacking the
+            # shortlist; a zero vector scores 0 everywhere instead
+            score = np.where(
+                vn * qnorms[qidx] == 0.0,
+                0.0,
+                dots / np.maximum(vn * qnorms[qidx], 1e-300),
+            )
             yield pd.DataFrame(
                 {
                     query_id_col: pdf[query_id_col],
@@ -273,7 +340,10 @@ def ivfpq_store_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+            # clamped: a zero-norm shortlist row must score 0.0, not a
+            # NaN that Spark ranks FIRST (identical to cosine() for any
+            # nonzero pair, so full-recall oracle configs are unaffected)
+            _cosine_clamped(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -194,7 +194,7 @@ def pq_topk(
     the shortlist captures the true top-k (fixture settings do — pinned
     in tests), the full result hash-matches the brute-force oracle.
     """
-    from python_openetl_spark.functions.vectors import cosine
+    from python_openetl_spark.operators.ivf_store import _cosine_clamped
 
     spark = corpus.sparkSession
     if queries_pdf.empty:
@@ -223,7 +223,13 @@ def pq_topk(
             out_q, out_id, out_s = [], [], []
             for qi in range(len(qids)):
                 dots = lut[qi][sub_idx, codes].sum(axis=1)
-                score = dots / np.maximum(vnorm * qnorm[qi], 1e-300)
+                # zero-norm guard: vnorm 0 / the 1e-300 clamp would
+                # inflate the score to ~1e300 and hijack the shortlist
+                score = np.where(
+                    vnorm * qnorm[qi] == 0.0,
+                    0.0,
+                    dots / np.maximum(vnorm * qnorm[qi], 1e-300),
+                )
                 mask = ids != qids[qi]
                 cand_ids, cand_sc = ids[mask], score[mask]
                 top = np.argsort(-cand_sc, kind="stable")[:shortlist]
@@ -259,7 +265,9 @@ def pq_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+            # clamped: a zero-norm shortlist row scores 0.0, not a NaN
+            # Spark ranks first; identical for any nonzero pair
+            _cosine_clamped(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -300,7 +308,7 @@ def ivf_pq_topk(
     tunable with (nlist, nprobe, m, ksub, rerank_factor) — pinned
     settings and bounds live in tests/test_pq.py.
     """
-    from python_openetl_spark.functions.vectors import cosine
+    from python_openetl_spark.operators.ivf_store import _cosine_clamped
 
     spark = corpus.sparkSession
     # empty-query guard (same convention as cosine_topk_arrow/ivf_topk):
@@ -371,7 +379,12 @@ def ivf_pq_topk(
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64) & 0xFF
             qidx = pdf[query_id_col].map(qpos).to_numpy()
             dots = lut[qidx[:, None], sub_idx[None, :], codes].sum(axis=1)
-            score = dots / np.maximum(pdf["vnorm"].to_numpy() * qnorms[qidx], 1e-300)
+            vn = pdf["vnorm"].to_numpy()
+            score = np.where(  # zero-norm guard (see adc above)
+                vn * qnorms[qidx] == 0.0,
+                0.0,
+                dots / np.maximum(vn * qnorms[qidx], 1e-300),
+            )
             yield pd.DataFrame(
                 {
                     query_id_col: pdf[query_id_col],
@@ -406,7 +419,9 @@ def ivf_pq_topk(
         .select(
             query_id_col,
             id_col,
-            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+            # clamped: a zero-norm shortlist row scores 0.0, not a NaN
+            # Spark ranks first; identical for any nonzero pair
+            _cosine_clamped(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

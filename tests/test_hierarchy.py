@@ -80,3 +80,40 @@ def test_subtree_rollup_counts_self_and_descendants(spark):
     }
     # 0's subtree = {0,1,2,3}; 1's = {1,3}; leaves and the isolated 9 = self
     assert out == {(0, 4, 6), (1, 2, 4), (2, 1, 2), (3, 1, 3), (9, 1, 9)}
+
+
+def test_orphan_parent_id_is_a_root_not_an_error(spark):
+    """r7 verdict #5 q74 hostile shape: an edge whose parent id exists
+    NOWHERE as a node (an orphan pointer — a deleted ancestor after a
+    partial reload). The operators must treat it as a forest rim, not
+    loop or error: depths terminate at the orphan id, the closure lists
+    it as a legitimate ancestor, and a rollup keyed to values simply
+    has no value row for it."""
+    from python_openetl_spark.operators.hierarchy import (
+        ancestor_closure,
+        subtree_rollup,
+    )
+
+    # 3 -> 1 -> 0 plus 7 -> 999 where 999 is not a node and has no value
+    edges = spark.createDataFrame(
+        [(1, 0), (3, 1), (7, 999)], "node long, parent long"
+    )
+    got = {r["node"]: (r["root"], r["depth"]) for r in tree_depths(edges).collect()}
+    assert got == {1: (0, 1), 3: (0, 2), 7: (999, 1)}
+
+    closure = {
+        (r["node"], r["anc"], r["dist"]) for r in ancestor_closure(edges).collect()
+    }
+    assert closure == {(1, 0, 1), (3, 1, 1), (3, 0, 2), (7, 999, 1)}
+
+    values = spark.createDataFrame([(0,), (1,), (3,), (7,)], "id long")
+    out = {
+        (r["id"], r["n"])
+        for r in subtree_rollup(
+            edges, values, [F.count(F.lit(1)).alias("n")], id_col="id"
+        ).collect()
+    }
+    # 999 aggregates its descendant 7 (it IS an ancestor in the edge
+    # relation) even though it has no value row of its own; everything
+    # else rolls up exactly as in the orphan-free forest
+    assert out == {(0, 3), (1, 2), (3, 1), (7, 1), (999, 1)}

@@ -99,3 +99,85 @@ def test_empty_queries_degrade(spark, store):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     empty = pd.DataFrame({"query_id": [], "embedding": []})
     assert ivfpq_store_topk(spark, store, empty, emb, k=3).count() == 0
+
+
+def test_hostile_lifecycle_rebuild_append_vacuum_under_reader(spark, tmp_path):
+    """r7 verdict #5 hostile lifecycle: duplicate / near-zero / huge /
+    exact-zero vectors flow through build -> append -> probe ->
+    rebuild -> append-after-rebuild -> vacuum, and a reader that pinned
+    the pre-rebuild version keeps working for exactly as long as the
+    vacuum policy retains it."""
+    import os
+
+    import numpy as np
+
+    from python_openetl_spark.operators.ivf_store import (
+        current_index_dir as _cur,
+        vacuum_ivf_store,
+    )
+    from python_openetl_spark.operators.ivfpq_store import rebuild_ivfpq_store
+
+    rng = np.random.default_rng(8)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    rows += [
+        (100, [float(x) for x in base[3]]),          # exact duplicate of id 3
+        (101, [float(x) for x in base[5] * 1e10]),   # huge magnitude
+        (102, [float(x) for x in base[7] * 1e-20]),  # near-zero magnitude
+        (103, [0.0] * dim),                          # exact zero-norm
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = str(tmp_path / "pq_hostile")
+    build_ivfpq_store(corpus.filter("vec_id < 100"), root, nlist=4, m=4, ksub=8)
+    append_to_ivfpq_store(corpus.filter("vec_id >= 100"), root)  # hostile batch
+
+    qpdf = (
+        corpus.filter(F.col("vec_id").isin(3, 101, 102))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+
+    def probe():
+        return ivfpq_store_topk(
+            spark, root, qpdf, corpus, k=3, nprobe=4, rerank_factor=8
+        ).collect()
+
+    def check(res):
+        assert res and all(r["cos_sim"] == r["cos_sim"] for r in res)  # no NaN
+        top = {(r["query_id"], r["rank"]): (r["vec_id"], r["cos_sim"]) for r in res}
+        # query 3's exact duplicate (id 100, appended) is rank 1 at cos ~1
+        assert top[(3, 1)][0] == 100 and top[(3, 1)][1] == pytest.approx(1.0)
+        # magnitude is irrelevant to cosine: huge/near-zero queries rank
+        # their direction-mates (ids 5 / 7) first, zero row never leads
+        assert top[(101, 1)][0] == 5 and top[(102, 1)][0] == 7
+        assert all(v[0] != 103 for v in top.values())
+
+    check(probe())
+
+    pinned = _cur(root)  # reader pins v1 before the rebuild
+    rebuild_ivfpq_store(spark, root, corpus)  # retrains from raw rows
+    assert _cur(root) != pinned
+    # append-after-rebuild must land in the LIVE version, not the pinned one
+    extra = spark.createDataFrame(
+        [(200, [float(x) for x in base[11]])], "vec_id long, embedding array<float>"
+    )
+    append_to_ivfpq_store(extra, root)
+    live_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(_cur(root), "assigned")).collect()
+    }
+    assert 200 in live_ids and 103 in live_ids
+    pinned_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(os.path.join(pinned, "assigned")).collect()
+    }
+    assert 200 not in pinned_ids  # immutable superseded version
+    # vacuum keep_last=2 retains the pinned version: the reader's scan
+    # still resolves; keep_last=1 is the explicit end of that window
+    assert vacuum_ivf_store(root, keep_last=2) == []
+    assert spark.read.parquet(os.path.join(pinned, "assigned")).count() > 0
+    check(probe())  # post-rebuild probes stay NaN-free and correct
+    removed = vacuum_ivf_store(root, keep_last=1)
+    assert removed == [1] and not os.path.exists(pinned)
+    check(probe())

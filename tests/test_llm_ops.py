@@ -468,3 +468,28 @@ def test_phash_near_dup_finds_duplicates_and_respects_decoder(spark):
 
     hashes = multimodal.perceptual_hashes(df).collect()
     assert {r["doc_id"] for r in hashes} == {1, 2, 3}  # NULL skipped
+
+
+def test_phash_null_and_zero_byte_payloads(spark):
+    """r7 verdict #5 mm05 hostile shapes: NULL payloads (missing /
+    corrupt blobs — routine at 100 TB) emit no hash row and therefore
+    never pair; ZERO-BYTE payloads are real bytes — two empty blobs are
+    byte-identical, so they must pair at hamming 0 like any other exact
+    duplicate."""
+    rows = [
+        (1, b"same-bytes"),
+        (2, b"same-bytes"),   # exact dup of 1
+        (3, None),            # NULL payload
+        (4, None),            # NULL payload — must not pair with 3
+        (5, b""),             # zero-byte payload
+        (6, b""),             # zero-byte dup of 5
+        (7, b"other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = multimodal.perceptual_hashes(df)
+    assert {r["doc_id"] for r in hashes.collect()} == {1, 2, 5, 6, 7}
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal.phash_near_dup_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2), (5, 6)}
