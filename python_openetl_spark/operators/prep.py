@@ -356,6 +356,64 @@ def mixture_resample(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    target_fraction: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted mixture resample: stratum weights are
+    DERIVED from the corpus itself as ``count_s^alpha / Σ count^alpha``
+    (the multilingual-LM "temperature sampling" rule — alpha < 1
+    up-weights small sources, alpha = 1 is proportional, alpha = 0 is
+    uniform), then applied exactly like :func:`mixture_resample`:
+    stratum ``s`` keeps ``min(1, w_s · target_fraction · N / count_s)``
+    of its rows by the deterministic content-hash bucket.
+
+    Cross-engine exactness: for the default ``alpha = 0.5`` the weight
+    uses ``SQRT`` (IEEE-correctly-rounded in every engine, unlike
+    ``POWER`` which may differ by 1 ulp between libm builds), and the
+    per-stratum sqrt is FLOOR-scaled to an exact decimal integer
+    (``FLOOR(sqrt·1e12)`` — never ROUND, whose half-up-vs-binary tie
+    behavior differs across engines) and summed as DECIMAL so the
+    normalizing sum is order-independent; the 1e12 scale cancels in
+    the weight ratio. The accept threshold is then bit-identical no
+    matter how either engine partitions the count aggregate. Plan
+    shape: one tiny count agg broadcasts onto the corpus; the corpus
+    is filtered in the scan, never shuffled."""
+    pw = F.sqrt(F.col("cnt")) if alpha == 0.5 else F.pow(F.col("cnt"), F.lit(alpha))
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = counts.select(
+        strata_col,
+        "cnt",
+        F.floor(pw * F.lit(1e12)).cast("decimal(28,0)").alias("pw"),
+    )
+    norm = weighted.groupBy().agg(
+        F.sum("pw").alias("pw_sum"), F.sum("cnt").alias("total")
+    )
+    acc = weighted.crossJoin(F.broadcast(norm)).select(
+        strata_col,
+        F.floor(
+            F.lit(float(SAMPLE_D))
+            * F.least(
+                F.lit(1.0),
+                (F.col("pw").cast("double") / F.col("pw_sum").cast("double"))
+                * F.lit(float(target_fraction))
+                * F.col("total")
+                / F.col("cnt"),
+            )
+        ).alias("accept_bp"),
+    )
+    return (
+        docs.join(F.broadcast(acc), strata_col)
+        .filter(sample_bucket(F.col(id_col), salt) < F.col("accept_bp"))
+        .drop("accept_bp")
+    )
+
+
 def training_shuffle(
     docs: DataFrame,
     *,

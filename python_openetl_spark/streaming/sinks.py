@@ -412,3 +412,56 @@ class VersionedCdcSink:
         # and the commit WRITES a brand-new one — immutable versions
         # make the upsert conflict-free by construction
         table.commit(merged, txn=txn)
+
+
+class IvfAppendSink:
+    """``writeStream.foreachBatch(IvfAppendSink(root))`` — streaming
+    vector ingest into a persisted IVF store (operators/ivf_store.py):
+    each micro-batch is assigned to the EXISTING coarse centroids and
+    appended to its cell partitions at batch-sized cost — the store's
+    add-after-train contract driven by a stream, which is how a
+    production vector index actually fills (documents arrive
+    continuously; the quantizer retrains on a schedule, not per batch).
+
+    Replay guard: a JSON batch marker (the _BatchMarker device —
+    atomic tmp-write + rename) at the STORE ROOT, not inside a version
+    directory, so replay protection survives a rebuild swapping the
+    live version mid-stream. Spark's normal foreachBatch redelivery
+    (same batch re-offered after a restart) no-ops on the marker. The
+    one remaining window is a crash BETWEEN the append and the marker
+    write: plain cell-partition parquet appends cannot commit data and
+    marker atomically, so that window re-appends the batch (duplicate
+    rows cost shortlist slots, never wrong ranks — probes order by
+    (cos, id)). Exactly-once needs the data write and the token in ONE
+    atomic commit, which is the versioned-pointer design
+    (:class:`VersionedCdcSink`); an IVF store trades that for
+    append-in-place cell files that probes can partition-prune."""
+
+    def __init__(self, root: str, *, id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.root = root
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, "_stream_last_batch.json")
+
+    def _last_batch(self) -> int:
+        try:
+            with open(self._marker_path) as f:
+                return json.load(f)["batch_id"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from python_openetl_spark.operators.ivf_store import append_to_ivf_store
+
+        if batch_id <= self._last_batch():
+            return  # replayed micro-batch
+        append_to_ivf_store(
+            batch_df, self.root, id_col=self.id_col, vec_col=self.vec_col
+        )
+        tmp = self._marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id}, f)
+        os.replace(tmp, self._marker_path)

@@ -32,12 +32,14 @@ from python_openetl_spark.workload import (
     llm7,
     llm8,
     llm9,
+    llm11,
     relational,
     relational2,
     relational3,
     relational4,
     relational5,
     relational6,
+    relational7,
     scale,
     sinks_io,
     streaming2,
@@ -82,6 +84,9 @@ _MODULES = (
     # round-6 post-window additions (rotate into _WINDOW_R7)
     relational6,
     llm10,
+    # round-8 post-window additions (rotate into _WINDOW_R9)
+    llm11,
+    relational7,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

@@ -1,0 +1,133 @@
+"""Round-8 relational additions.
+
+- q77: linear interpolation gap fill — the numeric complement of
+  q76's LOCF: masked readings are reconstructed linearly between the
+  nearest non-null neighbors on each side (by row distance within the
+  user's event sequence), with LOCF/NOCB degradation at sequence
+  edges. The sensor-timeseries repair shape every feature pipeline
+  eventually needs.
+
+Registered after ``llm11`` in ``_MODULES``; round-8 post-window,
+rotates into ``_WINDOW_R9``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+
+def q77_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by linear interpolation: every 5th reading is masked
+    NULL, then reconstructed as ``prev + (next - prev) · steps/gap``
+    between the nearest non-null neighbors (IGNORE NULLS window pair,
+    row-distance weights); a leading gap takes NOCB, a trailing gap
+    LOCF. Two window passes over one shuffle partition set
+    (user_id) — the rn pass and the neighbor pass share the same
+    partitioning, so Catalyst plans ONE exchange. The interpolation
+    arithmetic is the identical IEEE expression tree on both engines
+    (no ROUND anywhere), so values hash-match bit-for-bit.
+
+    Ordering is total: (ts, event_id, v NULLS FIRST) — the v tiebreak
+    pins same-timestamp duplicate event_ids (the hostile m02 shape),
+    and Spark's ASC-NULLS-FIRST default is stated explicitly in the
+    oracle because DuckDB's ASC default is NULLS LAST."""
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w_rn = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.col("v").asc_nulls_first()
+    )
+    r = src.withColumn("rn", F.row_number().over(w_rn))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    x = r.select(
+        "event_id",
+        "user_id",
+        "v",
+        "rn",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_val"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("rn")), ignorenulls=True)
+        .over(w_prev)
+        .alias("prev_rn"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_val"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("rn")), ignorenulls=True)
+        .over(w_next)
+        .alias("next_rn"),
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                (F.col("rn") - F.col("prev_rn")).cast("double")
+                / (F.col("next_rn") - F.col("prev_rn")).cast("double")
+            ),
+        )
+        .when(F.col("prev_val").isNotNull(), F.col("prev_val"))
+        .otherwise(F.col("next_val"))
+    )
+    return x.select(
+        "event_id", "user_id", F.col("v").alias("observed"), filled.alias("filled")
+    )
+
+
+QUERIES = {
+    "q77_linear_interpolation": q77_linear_interpolation,
+}
+
+ORACLE = {
+    "q77_linear_interpolation": """
+        WITH src AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+          FROM events
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id, v NULLS FIRST) AS rn
+          FROM src
+        ),
+        x AS (
+          SELECT event_id, user_id, v, rn,
+                 LAST_VALUE(v IGNORE NULLS) OVER wprev AS prev_val,
+                 LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                   OVER wprev AS prev_rn,
+                 FIRST_VALUE(v IGNORE NULLS) OVER wnext AS next_val,
+                 FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+                   OVER wnext AS next_rn
+          FROM r
+          WINDOW wprev AS (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wnext AS (PARTITION BY user_id ORDER BY rn
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, v AS observed,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL
+                      THEN prev_val + (next_val - prev_val)
+                           * (CAST(rn - prev_rn AS DOUBLE)
+                              / CAST(next_rn - prev_rn AS DOUBLE))
+                    WHEN prev_val IS NOT NULL THEN prev_val
+                    ELSE next_val END AS filled
+        FROM x
+    """,
+}

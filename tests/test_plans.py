@@ -215,11 +215,15 @@ def test_driver_window_is_full_and_oracle_backed(spark):
     q, o = all_queries(), all_oracles()
     w = list(q)[:50]
     assert len(set(w)) == 50
-    assert all(n in o for n in w), [n for n in w if n not in o]
     # every query oracle-backed except the EXPLICIT rows-only surface
     # (k13's capability flags ARE environment state — an oracle would
-    # hardcode the sandbox); no orphan oracles
+    # hardcode the sandbox); no orphan oracles. k13 sits in _WINDOW_R8
+    # by the r7 verdict's prescription — the driver records its weaker
+    # rows-only check — so the window check carves out exactly that set
     rows_only = {"k13_doctor_report"}
+    assert all(n in o for n in w if n not in rows_only), [
+        n for n in w if n not in o and n not in rows_only
+    ]
     assert set(q) - set(o) == rows_only
     assert set(o) <= set(q)
 
