@@ -14,10 +14,11 @@
   token trigrams that appear in NO other document; the
   memorization/duplication complement of d18's within-doc repetition.
 - e08: temperature-weighted mixture resample
-  (``operators/prep.py temperature_mixture``) — source weights derived
-  from the corpus as ``count^alpha / Σ count^alpha`` (the
-  multilingual-LM temperature-sampling rule), applied with the
-  deterministic content-hash device of d22.
+  (``operators/prep.py temperature_mixture``) — per-language weights
+  derived from the corpus as ``count^alpha / Σ count^alpha`` (the
+  multilingual-LM temperature-sampling rule, over the fixture's
+  SKEWED lang stratum), applied with the deterministic content-hash
+  device of d22.
 
 Registered after ``llm10`` in ``_MODULES``; these are round-8
 post-window additions that rotate into ``_WINDOW_R9``.
@@ -186,17 +187,20 @@ def d53_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e08_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-weighted source mixture (operators/prep.py
-    temperature_mixture): per-source weights DERIVED from the corpus as
-    ``sqrt(count_s) / Σ sqrt(count)`` (alpha = 0.5 — the multilingual-LM
-    temperature-sampling rule that up-weights small sources), then the
-    d22 deterministic content-hash keep. SQRT is IEEE-correctly-rounded
-    on both engines (POWER is not) and the normalizing sum is decimal,
-    so the accept thresholds are bit-identical."""
+    """Temperature-weighted language mixture (operators/prep.py
+    temperature_mixture): per-language weights DERIVED from the corpus
+    as ``sqrt(count_l) / Σ sqrt(count)`` (alpha = 0.5 — the
+    multilingual-LM temperature-sampling rule that up-weights small
+    languages; the fixture's lang column is the skewed stratum — en
+    dominates — where the rule actually bites, unlike the uniform
+    source column), then the d22 deterministic content-hash keep. SQRT
+    is IEEE-correctly-rounded on both engines (POWER is not) and the
+    normalizing sum is decimal, so the accept thresholds are
+    bit-identical."""
     from python_openetl_spark.operators.prep import temperature_mixture
 
     out = temperature_mixture(
-        t(spark, sf_dir, "documents"), alpha=0.5, strata_col="source"
+        t(spark, sf_dir, "documents"), alpha=0.5, strata_col="lang"
     )
     return out.select("doc_id", "source", "lang")
 
@@ -250,22 +254,22 @@ ORACLE = {
         FROM tri t JOIN gd USING (tri) GROUP BY t.doc_id
     """,
     "e08_temperature_mixture": """
-        WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
         -- FLOOR-scaled sqrt (never ROUND: engines split decimal ties
         -- differently); the 1e12 scale cancels in the pw/pw_sum ratio
-        w AS (SELECT source, cnt,
+        w AS (SELECT lang, cnt,
                      CAST(FLOOR(SQRT(cnt) * 1e12) AS DECIMAL(28,0)) AS pw
               FROM c),
         n AS (SELECT SUM(pw) AS pw_sum, SUM(cnt) AS total FROM w),
         acc AS (
-          SELECT w.source,
+          SELECT w.lang,
                  CAST(FLOOR(10000.0 * LEAST(1.0,
                       (CAST(pw AS DOUBLE) / CAST(pw_sum AS DOUBLE))
                       * 0.5 * CAST(total AS DOUBLE) / cnt)) AS BIGINT) AS accept_bp
           FROM w, n
         )
         SELECT d.doc_id, d.source, d.lang
-        FROM documents d JOIN acc ON d.source = acc.source
+        FROM documents d JOIN acc ON d.lang = acc.lang
         WHERE ('0x' || substr(md5(':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
               % 10000 < accept_bp
     """,

@@ -193,3 +193,41 @@ def test_vocab_encode_roundtrip_invariants(spark):
         F.size(F.filter("token_ids", lambda x: x == 0)) != F.col("n_oov")
     ).count()
     assert bad == 0
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """alpha=0.5 temperature sampling: keep RATE must be higher for the
+    small source than the large one (sqrt weights flatten the mix),
+    membership is content-hash deterministic, and alpha=1 degrades to
+    proportional sampling (equal keep rates)."""
+    from python_openetl_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # lang is the skewed stratum in the fixtures (en dominates); the
+    # source column is uniform, where temperature has nothing to do
+    counts = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    big = max(counts, key=counts.get)
+    small = min(counts, key=counts.get)
+    assert counts[big] > counts[small]
+
+    out = prep.temperature_mixture(docs, alpha=0.5, strata_col="lang")
+    kept = {r["lang"]: r["cnt"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    rate = {s: kept.get(s, 0) / counts[s] for s in counts}
+    assert rate[small] > rate[big]
+    # deterministic: same inputs, same membership
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            prep.temperature_mixture(docs, alpha=0.5, strata_col="lang")
+            .select("doc_id").collect()}
+    assert ids1 == ids2
+    # alpha=1 (proportional): every stratum keeps ~target_fraction via
+    # the same bucket device -> per-stratum accept thresholds are equal
+    prop = prep.temperature_mixture(docs, alpha=1.0, strata_col="lang")
+    kept_p = {r["lang"]: r["cnt"] for r in
+              prop.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # identical accept_bp across strata: the rate gap must shrink vs alpha=0.5
+    rate_p = {s: kept_p.get(s, 0) / counts[s] for s in counts}
+    assert abs(rate_p[small] - rate_p[big]) <= abs(rate[small] - rate[big])

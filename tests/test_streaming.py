@@ -789,3 +789,48 @@ def test_versioned_cdc_sink_crash_straddling_batch_boundary(spark, tmp_path):
     live = table.read(spark)
     assert live.count() == live.select("id").distinct().count()
     assert live.count() == ev.select("id").distinct().count()
+
+
+def test_ivf_append_sink_replays_noop_and_streams_ingest(spark, tmp_path):
+    """streaming/sinks.py IvfAppendSink (s12): a replayed micro-batch
+    (same batch_id re-offered after restart — foreachBatch is
+    at-least-once) must no-op on the marker instead of double-appending
+    its vectors, and vectors streamed across batches must all be
+    probeable afterwards."""
+    import os
+
+    from python_openetl_spark.operators.ivf_store import (
+        build_ivf_store,
+        current_index_dir,
+        ivf_store_topk,
+    )
+    from python_openetl_spark.streaming.sinks import IvfAppendSink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "ivf_stream")
+    build_ivf_store(emb.filter(F.col("vec_id") % 5 != 0), root, nlist=8)
+    late = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    sink = IvfAppendSink(root)
+    b0 = late.filter(F.col("vec_id") % 10 == 0)
+    b1 = late.filter(F.col("vec_id") % 10 == 5)
+    sink(b0, batch_id=0)
+    sink(b1, batch_id=1)
+    n_after = spark.read.parquet(os.path.join(current_index_dir(root), "assigned")).count()
+    sink(b1, batch_id=1)  # replay: marker says applied -> no-op
+    sink(b0, batch_id=0)  # stale replay after restart -> no-op
+    assert (
+        spark.read.parquet(os.path.join(current_index_dir(root), "assigned")).count()
+        == n_after
+        == emb.count()
+    )
+    # a query equal to a vector from EACH batch finds it at cos 1.0
+    anchors = (
+        emb.filter(F.col("vec_id").isin(10, 25))
+        .select((F.col("vec_id") + 500_000).alias("query_id"), "embedding")
+        .toPandas()
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_store_topk(spark, root, anchors, k=3, nprobe=1).collect()
+    }
+    assert (500_010, 10) in got and (500_025, 25) in got
