@@ -16,6 +16,16 @@ when no row advanced in a round. Cycles would never finish, so rounds
 are capped and the operator raises rather than spinning — a
 parent-pointer relation with a cycle is corrupt input.
 
+Each round ends in ``localCheckpoint`` rather than a bare persist:
+the squaring plan references the previous round's frame TWICE, so an
+uncut lineage grows exponentially with rounds — caching the DATA but
+not truncating the PLAN blew the driver heap during plan
+stringification at a mere 10× fixture scale (round-8 spot-bench).
+The checkpoint materializes each round once (the loop's count()
+already did) and pins the iteration to one snapshot; blocks are freed
+by the ContextCleaner as round frames go out of scope, and the count
+of live rounds is log-bounded by construction.
+
 Reference parity: the reference has no graph/recursive surface at all
 (pandas ETL); this covers the WITH RECURSIVE workloads its warehouse
 users would run downstream, expressed in Spark's iterative-DataFrame
@@ -45,8 +55,7 @@ def tree_depths(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("anc"),
         F.lit(1).cast("long").alias("depth"),
-    ).persist()
-    cur.count()  # materialize round 0
+    ).localCheckpoint()  # eager: materialize round 0, truncate lineage
 
     for _ in range(max_rounds):
         hop = cur.select(
@@ -55,18 +64,18 @@ def tree_depths(
             F.col("depth").alias("__j_depth"),
         )
         joined = cur.join(hop, cur.anc == F.col("__j_node"), "left")
+        # localCheckpoint, not persist: the self-join references cur
+        # twice, so an uncut plan doubles per round (see module note)
         nxt = joined.select(
             "node",
             F.coalesce(F.col("__j_anc"), F.col("anc")).alias("anc"),
             (F.col("depth") + F.coalesce(F.col("__j_depth"), F.lit(0))).alias("depth"),
             F.col("__j_node").isNotNull().alias("__adv"),
-        ).persist()
-        advanced = nxt.filter(F.col("__adv")).count()  # materializes nxt
-        cur.unpersist()
+        ).localCheckpoint()
+        advanced = nxt.filter(F.col("__adv")).count()
         cur = nxt.drop("__adv")
         if advanced == 0:
             return cur.select("node", F.col("anc").alias("root"), "depth")
-    cur.unpersist()
     raise ValueError(
         f"tree_depths did not converge in {max_rounds} doubling rounds "
         f"(path length > 2^{max_rounds}); the parent relation likely has a cycle"
@@ -95,7 +104,7 @@ def ancestor_closure(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("anc"),
         F.lit(1).cast("long").alias("dist"),
-    ).persist()
+    ).localCheckpoint()  # eager: materialize + truncate lineage
     prev_n = cur.count()
     for _ in range(max_rounds):
         up = cur.select(
@@ -103,30 +112,31 @@ def ancestor_closure(
             F.col("anc").alias("__a"),
             F.col("dist").alias("__d"),
         )
+        # localCheckpoint, not persist: this plan references cur THREE
+        # times (union branch + both join sides), so an uncut lineage
+        # triples per round and driver-side plan handling blows up at
+        # ~10 rounds even when the DATA is tiny (see module note)
         grown = (
             cur.unionByName(
                 cur.join(up, cur.anc == F.col("__m"))
                 .select("node", F.col("__a").alias("anc"), (F.col("dist") + F.col("__d")).alias("dist"))
             )
             .dropDuplicates(["node", "anc"])
-            .persist()
+            .localCheckpoint()
         )
         n = grown.count()
-        cur.unpersist()
         cur = grown
         if n == prev_n:
             # a cycle CONVERGES here too (reachability is finite once
             # pairs dedup), but it is detectable exactly: some node
             # becomes its own ancestor — corrupt parent-pointer input
             if cur.filter(F.col("node") == F.col("anc")).take(1):
-                cur.unpersist()
                 raise ValueError(
                     "ancestor_closure: node reachable from itself — "
                     "the parent relation has a cycle"
                 )
             return cur
         prev_n = n
-    cur.unpersist()
     raise ValueError(
         f"ancestor_closure did not converge in {max_rounds} squaring rounds "
         f"(path length > 2^{max_rounds})"
