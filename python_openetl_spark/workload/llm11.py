@@ -20,6 +20,12 @@
   SKEWED lang stratum), applied with the deterministic content-hash
   device of d22.
 
+Reference parity: the reference (tmccall8829/python-openetl) has no
+vector or corpus-prep surface; these extend its batch-linkage and
+sync verbs (pyopenetl/operations.py:515-609) to the
+embedding-similarity and training-mixture operations a training-data
+pipeline needs — the BASELINE.json LLM-data north star.
+
 Registered after ``llm10`` in ``_MODULES``; these are round-8
 post-window additions that rotate into ``_WINDOW_R9``.
 """
