@@ -311,3 +311,115 @@ def phash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def frame_phash_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    frame_bytes: int = VIDEO_FRAME_BYTES,
+    max_frame_hamming: int = 3,
+    num_bands: int = 4,
+    min_matched_frames: int = 1,
+    decoder=None,
+    frame_sampler=None,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs via frame-level perceptual hashes —
+    the video-dedup shape: a re-encoded or TRIMMED copy shares (some
+    of) its frames with the original even when the container bytes
+    differ, so matching happens per frame and rolls up per video pair.
+
+    Dataflow (one scan, hashes-only shuffle): an Arrow kernel samples
+    frames (injectable ``frame_sampler: bytes -> list[bytes]``; the
+    deterministic fake slices every ``frame_bytes`` — a real
+    deployment passes an ffmpeg keyframe extractor) and hashes each
+    frame through the same decode seam as :func:`perceptual_hashes`
+    (``decoder`` or the sha256 fake), emitting ``(id, fhash)`` — frame
+    payloads never leave the scan, only 8-byte hashes. Frame matches
+    use the identical pigeonhole banding as
+    :func:`phash_near_dup_pairs` (``max_frame_hamming < num_bands``
+    bits ⇒ one band agrees exactly ⇒ no recall loss), then pairs roll
+    up as ``n_matched_frames`` = DISTINCT matching frame-hash pairs
+    per (video_a, video_b); ``min_matched_frames`` is the report
+    threshold (1 = any shared frame; raise it for "mostly the same
+    video"). NULL payloads sample no frames; a ZERO-BYTE payload has
+    no frames either (contrast mm05, where the empty byte string
+    still hashes) — both are stated semantics, pinned in tests."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                if frame_sampler is not None:
+                    frames = frame_sampler(raw)
+                else:
+                    frames = [
+                        raw[o : o + frame_bytes]
+                        for o in range(0, len(raw), frame_bytes)
+                    ]
+                for fr in frames:
+                    digest = (
+                        decoder(fr)
+                        if decoder is not None
+                        else hashlib.sha256(fr).digest()[:8]
+                    )
+                    ids.append(i)
+                    hashes.append(int.from_bytes(digest[:8], "big", signed=True))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    fh = (
+        df.select(id_col, payload_col)
+        .mapInPandas(kernel, schema=f"{id_col} long, fhash long")
+        .distinct()  # a frame repeated WITHIN one video counts once
+    )
+    band_bits = 64 // num_bands
+    banded = fh.select(
+        F.col(id_col).alias("vid"),
+        "fhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("fhash"), i * band_bits)
+                        .bitwiseAND(F.lit(2**band_bits - 1))
+                        .alias("key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vid", "fhash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("doc_a"),
+            F.col("b.vid").alias("doc_b"),
+            F.col("a.fhash").alias("fa"),
+            F.col("b.fhash").alias("fb"),
+        )
+        .distinct()  # one logical frame match per band collision set
+        .filter(
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= max_frame_hamming
+        )
+    )
+    return (
+        matched.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= min_matched_frames)
+    )

@@ -280,3 +280,58 @@ ORACLE = {
               % 10000 < accept_bp
     """,
 }
+
+
+def mm06_video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup through frame sampling
+    (operators/multimodal.py frame_phash_near_dup): every 10th+3
+    document's payload is re-ingested whole (the re-uploaded-video
+    shape, id + 6M) and every 10th+7 payload long enough for >= 3
+    frames is re-ingested TRIMMED to its first two frames (the
+    clipped-copy shape, id + 7M). Under ANY frame decoder, identical
+    bytes give identical frame hashes, so the full copy matches on
+    every frame and the trimmed copy on its shared prefix frames —
+    both planted shapes are deterministic, while the frame-level
+    banding, Hamming verify, and per-pair rollup are the machinery
+    under test (a break in any of them drops planted rows and fails
+    the row-count gate). Frame payloads never shuffle; only 8-byte
+    hashes do."""
+    from python_openetl_spark.operators.multimodal import frame_phash_near_dup
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    full_copies = d.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"), "payload"
+    )
+    trimmed = (
+        d.filter((F.col("doc_id") % 10 == 7) & (F.length("payload") >= 192))
+        .select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"),
+            F.substring("payload", 1, 128).alias("payload"),
+        )
+    )
+    pairs = frame_phash_near_dup(
+        d.unionByName(full_copies).unionByName(trimmed), "payload", "doc_id"
+    )
+    return pairs.filter(
+        ((F.col("doc_b") == F.col("doc_a") + 6_000_000) & (F.col("doc_a") % 10 == 3))
+        | ((F.col("doc_b") == F.col("doc_a") + 7_000_000) & (F.col("doc_a") % 10 == 7))
+    ).select(
+        "doc_a", "doc_b", (F.col("n_matched_frames") >= 1).alias("matched")
+    )
+
+
+QUERIES["mm06_video_frame_near_dup"] = mm06_video_frame_near_dup
+
+ORACLE["mm06_video_frame_near_dup"] = """
+    SELECT doc_id AS doc_a, doc_id + 6000000 AS doc_b, TRUE AS matched
+    FROM documents WHERE text IS NOT NULL AND text <> '' AND doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id, doc_id + 7000000, TRUE
+    FROM documents
+    WHERE text IS NOT NULL AND text <> '' AND doc_id % 10 = 7
+      AND octet_length(encode(text)) >= 192
+"""

@@ -493,3 +493,41 @@ def test_phash_null_and_zero_byte_payloads(spark):
         for r in multimodal.phash_near_dup_pairs(df, max_hamming=0).collect()
     }
     assert pairs == {(1, 2), (5, 6)}
+
+
+def test_frame_phash_near_dup_semantics(spark):
+    """mm06 operator semantics: a full copy matches on every frame, a
+    trimmed copy on exactly its shared prefix frames; NULL payloads
+    and ZERO-BYTE videos sample no frames (contrast mm05: an empty
+    byte string still hashes as a whole-payload image); the
+    min_matched_frames threshold gates reporting."""
+    base = bytes(range(256))  # 4 distinct 64-byte frames
+    rows = [
+        (1, base),
+        (2, base),            # full copy: 4 matched frames
+        (3, base[:128]),      # trimmed: shares frames 0,1
+        (4, None),            # NULL payload: no frames
+        (5, b""),             # zero-byte video: no frames
+        (6, bytes(reversed(base))),  # different frames entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_matched_frames"]
+        for r in multimodal.frame_phash_near_dup(df).collect()
+    }
+    assert got == {(1, 2): 4, (1, 3): 2, (2, 3): 2}
+    strict = {
+        (r["doc_a"], r["doc_b"])
+        for r in multimodal.frame_phash_near_dup(df, min_matched_frames=3).collect()
+    }
+    assert strict == {(1, 2)}
+    # repeated frames WITHIN one video count once: two copies of a
+    # payload that repeats one frame 3x match on exactly 1 frame hash
+    rep = spark.createDataFrame(
+        [(10, base[:64] * 3), (11, base[:64] * 3)], "doc_id long, payload binary"
+    )
+    got_rep = {
+        (r["doc_a"], r["doc_b"]): r["n_matched_frames"]
+        for r in multimodal.frame_phash_near_dup(rep).collect()
+    }
+    assert got_rep == {(10, 11): 1}
