@@ -104,7 +104,7 @@ def current_index_dir(root: str) -> str:
     return _version_dir(root, _current_version(root))
 
 
-def _assign_fn(cnorm: np.ndarray, id_col: str, vec_col: str):
+def _assign_fn(cnorm: np.ndarray, id_col: str, vec_col: str, attrs: tuple = ()):
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -116,15 +116,34 @@ def _assign_fn(cnorm: np.ndarray, id_col: str, vec_col: str):
             mat = mat / np.maximum(
                 np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+            }
+            for a in attrs:  # filterable metadata rides with the vector
+                out[a] = pdf[a]
+            out["cell"] = (mat @ cnorm.T).argmax(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
 
     return assign
+
+
+def _attr_schema(df, attrs: tuple) -> str:
+    """DDL fragment for the attribute columns, from the input schema."""
+    return "".join(
+        f", {a} {df.schema[a].dataType.simpleString()}" for a in attrs
+    )
+
+
+def store_attr_cols(
+    spark: SparkSession, root: str, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple:
+    """The attribute columns the live store carries (everything in the
+    assigned schema besides id/vector/cell) — appends conform to this."""
+    cols = spark.read.parquet(
+        os.path.join(current_index_dir(root), _ASSIGNED)
+    ).columns
+    return tuple(c for c in cols if c not in (id_col, vec_col, "cell"))
 
 
 def _read_centroids(spark: SparkSession, root: str) -> tuple[np.ndarray, np.ndarray]:
@@ -145,10 +164,21 @@ def build_ivf_store(
     vec_col: str = "embedding",
     seed: int = 42,
     train_iters: int = 2,
+    attr_cols: tuple = (),
 ) -> None:
     """Train (distributed spherical k-means, r7 verdict #2) + assign +
-    write version 1, then commit the pointer."""
-    _build_into(corpus, _version_dir(root, 1), nlist, id_col, vec_col, seed, train_iters)
+    write version 1, then commit the pointer.
+
+    ``attr_cols`` are filterable metadata columns persisted WITH each
+    vector inside its cell partition (label, source, license, ...) —
+    the pre-filter strategy for filtered ANN at the store level:
+    probes apply the predicate inside the already-partition-pruned
+    scan, so a filtered query reads nprobe/nlist of the data and
+    discards non-matching rows before any distance math."""
+    _build_into(
+        corpus, _version_dir(root, 1), nlist, id_col, vec_col, seed, train_iters,
+        attr_cols=tuple(attr_cols),
+    )
     _commit_version(root, 1)
 
 
@@ -160,6 +190,7 @@ def _build_into(
     vec_col: str,
     seed: int,
     train_iters: int = 2,
+    attr_cols: tuple = (),
 ) -> None:
     # k-means-trained coarse quantizer (FAISS trains for the same
     # reason: sampled centroids give uneven cells — hot probe tasks,
@@ -183,9 +214,12 @@ def _build_into(
         "cell int, centroid array<double>",
     ).coalesce(1).write.parquet(os.path.join(idx_dir, _CENTROIDS))
     _, cnorm = _read_centroids(spark, idx_dir)
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        _assign_fn(cnorm, id_col, vec_col),
-        schema=f"{id_col} long, {vec_col} array<float>, cell int",
+    sel = [id_col, vec_col, *attr_cols]
+    assigned = corpus.select(*sel).mapInPandas(
+        _assign_fn(cnorm, id_col, vec_col, attr_cols),
+        schema=f"{id_col} long, {vec_col} array<float>"
+        + _attr_schema(corpus, attr_cols)
+        + ", cell int",
     )
     # repartition by cell BEFORE the partitioned write: otherwise every
     # task writes a sliver into every cell directory (tasks x nlist
@@ -203,13 +237,23 @@ def append_to_ivf_store(
     vec_col: str = "embedding",
 ) -> None:
     """Assign new vectors to the EXISTING centroids and append their
-    cell partitions — batch-sized cost, corpus never re-read."""
+    cell partitions — batch-sized cost, corpus never re-read. The
+    batch must carry the store's attribute columns (schema is derived
+    from the live version, so appends cannot silently drop metadata)."""
     spark = batch.sparkSession
     idx_dir = current_index_dir(root)
+    attrs = store_attr_cols(spark, root, id_col=id_col, vec_col=vec_col)
+    missing = [a for a in attrs if a not in batch.columns]
+    if missing:
+        raise ValueError(
+            f"append_to_ivf_store: batch lacks store attribute columns {missing}"
+        )
     _, cnorm = _read_centroids(spark, idx_dir)
-    assigned = batch.select(id_col, vec_col).mapInPandas(
-        _assign_fn(cnorm, id_col, vec_col),
-        schema=f"{id_col} long, {vec_col} array<float>, cell int",
+    assigned = batch.select(id_col, vec_col, *attrs).mapInPandas(
+        _assign_fn(cnorm, id_col, vec_col, attrs),
+        schema=f"{id_col} long, {vec_col} array<float>"
+        + _attr_schema(batch, attrs)
+        + ", cell int",
     )
     assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(idx_dir, _ASSIGNED)
@@ -226,11 +270,22 @@ def ivf_store_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    where: str | None = None,
 ) -> DataFrame:
     """Probe ``nprobe`` cells per query; the ``cell IN (...)`` predicate
     prunes partition directories before any distance math. The version
     pointer is resolved ONCE up front, so centroids and vectors come
-    from the same index snapshot even under a concurrent rebuild."""
+    from the same index snapshot even under a concurrent rebuild.
+
+    ``where`` is a SQL predicate over the store's attribute columns
+    (``build_ivf_store(attr_cols=...)``) — PRE-FILTER filtered ANN:
+    the predicate lands on the already-partition-pruned scan, so
+    Catalyst pushes simple comparisons into the parquet reader
+    (PushedFilters) and non-matching rows die before any distance
+    math. Post-filtering top-k results instead would silently return
+    fewer than k; pre-filtering keeps k exact among the matching
+    subset (same strategy as similarity.filtered_cosine_topk, at the
+    persisted-store level)."""
     idx_dir = current_index_dir(root)
     cells, cnorm = _read_centroids(spark, idx_dir)
     if queries_pdf.empty:
@@ -251,6 +306,8 @@ def ivf_store_topk(
     assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).filter(
         F.col("cell").isin(wanted)  # partition-pruned directory scan
     )
+    if where is not None:
+        assigned = assigned.filter(F.expr(where))
     scored = (
         assigned.join(F.broadcast(probe_df), "cell")
         .join(F.broadcast(qdf), query_id_col)
@@ -294,14 +351,16 @@ def rebuild_ivf_store(
     plans/versioned.py)."""
     version = _current_version(root)
     cur_dir = _version_dir(root, version)
-    current = spark.read.parquet(os.path.join(cur_dir, _ASSIGNED)).select(
-        id_col, vec_col
-    )
+    full = spark.read.parquet(os.path.join(cur_dir, _ASSIGNED))
+    # attribute columns survive the rebuild (everything except cell,
+    # which the new quantizer reassigns)
+    attrs = tuple(c for c in full.columns if c not in (id_col, vec_col, "cell"))
+    current = full.select(id_col, vec_col, *attrs)
     if nlist is None:
         nlist = spark.read.parquet(os.path.join(cur_dir, _CENTROIDS)).count()
     _build_into(
         current, _version_dir(root, version + 1), nlist, id_col, vec_col, seed,
-        train_iters,
+        train_iters, attr_cols=attrs,
     )
     _commit_version(root, version + 1)
 

@@ -335,3 +335,80 @@ ORACLE["mm06_video_frame_near_dup"] = """
     WHERE text IS NOT NULL AND text <> '' AND doc_id % 10 = 7
       AND octet_length(encode(text)) >= 192
 """
+
+
+#: x20 store memo: sf_dir -> attribute-carrying store root
+_X20_STORES: dict = {}
+
+
+def x20_filtered_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN on the persisted IVF store: the store is built with
+    ``attr_cols=("label",)`` so filterable metadata rides inside each
+    cell partition (build from 90% + append 10%, binding the
+    attribute-append path too), and the probe passes
+    ``where="label = 1"`` — the PRE-filter strategy at the store
+    level: the predicate lands on the already-partition-pruned scan
+    (Catalyst pushes it into the parquet reader), non-matching rows
+    die before any distance math, and top-k stays exactly k among the
+    matching subset (post-filtering would silently return fewer). The
+    row probes EVERY cell (nprobe = nlist — the x07 device), which
+    makes the filtered result exact and the brute-force filtered SQL a
+    full value-hash oracle for the attribute plumbing, the append
+    conformance, and the filter placement; the production nprobe trade
+    is x15p's, unchanged by filtering."""
+    from python_openetl_spark.operators.ivf_store import (
+        append_to_ivf_store,
+        build_ivf_store,
+        ivf_store_topk,
+    )
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
+    p = ivf_params(emb.count())
+    import tempfile
+
+    root = _X20_STORES.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="poe_x20_") + "/ivf"
+        build_ivf_store(
+            emb.filter(F.col("vec_id") % 10 != 7),
+            root,
+            nlist=p["nlist"],
+            attr_cols=("label",),
+        )
+        append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
+        _X20_STORES[sf_dir] = root
+    queries = (
+        emb.filter(F.col("vec_id").isin(2, 4, 8))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return ivf_store_topk(
+        spark, root, queries, k=5, nprobe=p["nlist"], where="label = 1"
+    )
+
+
+QUERIES["x20_filtered_store_probe"] = x20_filtered_store_probe
+
+ORACLE["x20_filtered_store_probe"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (2, 4, 8)),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE label = 1),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      FROM c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""

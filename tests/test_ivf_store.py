@@ -193,3 +193,52 @@ def test_trained_centroids_bound_cell_skew(spark, tmp_path):
     counts = {r["cell"]: r["count"] for r in sizes}
     mean = emb.count() / nlist  # mean over ALL nlist cells, empty included
     assert max(counts.values()) <= 2.0 * mean, counts
+
+
+def test_attr_cols_filtered_probe_and_lifecycle(spark, tmp_path):
+    """Attribute-carrying store (x20): metadata rides in the cell
+    partitions, appends must conform to the stored schema, rebuilds
+    preserve attributes, and a filtered probe (a) returns only
+    matching rows with exact-k semantics and (b) pushes the predicate
+    into the parquet scan."""
+    from python_openetl_spark.operators.ivf_store import (
+        rebuild_ivf_store,
+        store_attr_cols,
+        vacuum_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "attr_store")
+    build_ivf_store(
+        emb.filter(F.col("vec_id") % 10 != 7), root, nlist=8, attr_cols=("label",)
+    )
+    assert store_attr_cols(spark, root) == ("label",)
+    # conformance: a batch without the attribute column is rejected
+    with pytest.raises(ValueError, match="label"):
+        append_to_ivf_store(
+            emb.filter(F.col("vec_id") % 10 == 7).select("vec_id", "embedding"), root
+        )
+    append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
+
+    q = (
+        emb.filter(F.col("vec_id").isin(1, 5))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    res = ivf_store_topk(spark, root, q, k=5, nprobe=8, where="label = 1")
+    labels = {r["label"] for r in emb.filter(F.col("vec_id").isin(
+        *[row["vec_id"] for row in res.collect()])).select("label").collect()}
+    assert labels == {1}
+    assert res.count() == 10  # exact k among the matching subset
+    # the predicate reaches the parquet reader on the pruned scan
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan
+
+    # rebuild preserves the attribute column; filtered probe still works
+    rebuild_ivf_store(spark, root)
+    assert store_attr_cols(spark, root) == ("label",)
+    res2 = ivf_store_topk(spark, root, q, k=5, nprobe=8, where="label = 1")
+    assert {(r["query_id"], r["vec_id"]) for r in res2.collect()} == {
+        (r["query_id"], r["vec_id"]) for r in res.collect()
+    }
+    vacuum_ivf_store(root, keep_last=1)
