@@ -47,6 +47,43 @@ PG_TO_SPARK: dict[str, T.DataType] = {
 }
 
 
+#: Derby DDL base type → Spark type NAME (simpleString). The Derby
+#: dialect twin of PG_TO_SPARK, sized for the types Spark's JDBC writer
+#: actually creates on Derby (long→BIGINT, string→CLOB, etc.) plus the
+#: common hand-DDL'd ones. Values are names (not DataType objects) so
+#: the mapping can run IN-PLAN as a literal map lookup.
+DERBY_TO_SPARK_NAME: dict[str, str] = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "DOUBLE": "double",
+    "REAL": "float",
+    "DECIMAL": "decimal(38,18)",
+    "BOOLEAN": "boolean",
+    "CLOB": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "BLOB": "binary",
+    "VARCHAR () FOR BIT DATA": "binary",
+}
+
+
+def spark_type_from_derby(data_type_col: "F.Column") -> "F.Column":
+    """Map a Derby catalog type string ("CLOB(2147483647)",
+    "BIGINT NOT NULL", ...) to the Spark type name, as an IN-PLAN
+    expression: strip the size suffix and nullability, then a literal
+    ``create_map`` lookup (unknown types degrade to 'string', the
+    schema_from_pg rule). Used by the k16 driver row on the S5 Derby
+    catalog scan."""
+    base = F.trim(F.regexp_replace(data_type_col, r"\(.*\)| NOT NULL", ""))
+    m = F.create_map(
+        *[F.lit(x) for kv in DERBY_TO_SPARK_NAME.items() for x in kv]
+    )
+    return F.coalesce(F.element_at(m, base), F.lit("string"))
+
+
 def timestamp_columns(df: DataFrame, suffix: str = "_at", substring: bool = False) -> list[str]:
     """Columns designated for timestamp coercion by naming convention."""
     if substring:

@@ -200,6 +200,26 @@ def information_schema_query(table: str, schema: str = "public") -> str:
     )
 
 
+def derby_columns_query(table: str, schema: str = "APP") -> str:
+    """Column-catalog scan, Derby dialect (S5 — the same
+    `operations.py:271-281` verb against Derby's SYS catalog instead
+    of Postgres's information_schema; Derby is the engine's live
+    offline JDBC target, so this is the form the driver row k16
+    actually executes). ``CAST(COLUMNDATATYPE AS VARCHAR)`` renders the
+    type descriptor as DDL text ("BIGINT", "CLOB(2147483647)", ...);
+    `functions.normalize.spark_type_from_derby` maps it on."""
+    table, schema = _checked_identifier(table, "table"), _checked_identifier(schema, "schema")
+    return (
+        "SELECT c.COLUMNNAME AS column_name, "
+        "CAST(c.COLUMNDATATYPE AS VARCHAR(255)) AS data_type, "
+        "c.COLUMNNUMBER AS ordinal "
+        "FROM SYS.SYSCOLUMNS c "
+        "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID "
+        "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+        f"WHERE t.TABLENAME = '{table}' AND s.SCHEMANAME = '{schema}'"
+    )
+
+
 def pg_indexes_query(table: str, schema: str = "public") -> str:
     """Index-catalog scan (S6, `operations.py:381-392`). The engine maps
     index DDL to write-layout (partition/bucket/sort) instead of btrees —

@@ -412,3 +412,76 @@ ORACLE["x20_filtered_store_probe"] = """
       FROM scored
     ) WHERE rank <= 5
 """
+
+
+def d54_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS plagiarism-detection scheme): hash every token trigram,
+    slide a w=4 window over the hash sequence, and select each
+    window's minimum (rightmost on ties — the winnowing guarantee:
+    any shared substring of length >= w+k-1 tokens yields at least one
+    shared selected fingerprint, at ~1/w the storage of d15's full
+    rolling-hash stream). Engine-exact selection device: (hash, pos)
+    packs into one BIGINT key ``h·2^20 + (2^20-1-pos)`` so a plain
+    windowed MIN realizes the argmin with the rightmost tie-break —
+    no struct comparison semantics to align across engines; position
+    caps at 2^20 grams/doc (stated). One explode + one partitioned
+    window + distinct; raw text never shuffles, only 8-byte keys."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from python_openetl_spark.functions.text import token_hash60
+
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = tk.select("doc_id", F.posexplode(grams).alias("pos", "tri"))
+    h = token_hash60(F.col("tri")) % F.lit(2_147_483_647)
+    key = h * F.lit(1_048_576) + (F.lit(1_048_575) - F.col("pos"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    sel = g.select(
+        "doc_id", F.min(key).over(w).alias("k")
+    ).distinct()
+    return sel.select(
+        "doc_id",
+        F.expr("k DIV 1048576").alias("fp_hash"),
+        (F.lit(1_048_575) - F.pmod(F.col("k"), F.lit(1_048_576))).alias("pos"),
+    )
+
+
+QUERIES["d54_winnowing_fingerprints"] = d54_winnowing_fingerprints
+
+ORACLE["d54_winnowing_fingerprints"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(list_slice(toks, u.i, u.i + 2), ' ') AS tri
+      FROM tk, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             (('0x' || substr(md5(tri), 1, 15))::UBIGINT)::BIGINT % 2147483647
+               * 1048576 + (1048575 - pos) AS key
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS k
+      FROM keyed
+    )
+    SELECT doc_id, k // 1048576 AS fp_hash,
+           1048575 - (k % 1048576) AS pos
+    FROM sel
+"""

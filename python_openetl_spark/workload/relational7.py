@@ -136,3 +136,80 @@ ORACLE = {
         FROM x
     """,
 }
+
+
+def q78_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window robust statistics: per user, MEDIAN / MIN / MAX of
+    the last 4 readings (ROWS 3 PRECEDING..CURRENT) — the outlier-
+    resistant smoother a sensor pipeline runs where q06's running mean
+    is skew-fragile. Spark rejects percentile aggregates over a window
+    FRAME (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the median is
+    realized as the lag-array idiom: gather the frame's four values
+    with lag(1..3), truncate to the true frame size at partition
+    starts (least(rn, 4) — lag-NULL and value-NULL are
+    indistinguishable otherwise), drop genuine NULLs (MEDIAN's
+    semantics), array_sort, and pick/average the middles — the same
+    exact-selection arithmetic as DuckDB's windowed MEDIAN, so doubles
+    hash bit-for-bit ((a+b)/2 on identical inputs). min4/max4 stay
+    plain frame aggregates. Ordering is total via
+    (ts, event_id, value NULLS FIRST) — the q77 tiebreak rule."""
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id", F.col("value").asc_nulls_first()
+    )
+    r = ev.select(
+        "event_id", "user_id", "ts", "value"
+    ).withColumn("rn", F.row_number().over(w_ord))
+    w_rn = Window.partitionBy("user_id").orderBy("rn")
+    w = w_rn.rowsBetween(-3, Window.currentRow)
+    frame = F.slice(
+        F.array(
+            F.col("value"),
+            F.lag("value", 1).over(w_rn),
+            F.lag("value", 2).over(w_rn),
+            F.lag("value", 3).over(w_rn),
+        ),
+        F.lit(1),
+        F.least(F.col("rn"), F.lit(4)),
+    )
+    vals = F.array_sort(F.filter(frame, lambda x: x.isNotNull()))
+    x = r.select(
+        "event_id",
+        "user_id",
+        "rn",
+        vals.alias("__vals"),
+        F.min("value").over(w).alias("min4"),
+        F.max("value").over(w).alias("max4"),
+    )
+    n = F.size("__vals")
+    h = F.floor(n / F.lit(2)).cast("int")
+    med = (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(
+            n % 2 == 1, F.element_at("__vals", h + F.lit(1))
+        )
+        .otherwise(
+            (F.element_at("__vals", h) + F.element_at("__vals", h + F.lit(1)))
+            / F.lit(2.0)
+        )
+    )
+    return x.select("event_id", "user_id", med.alias("med4"), "min4", "max4")
+
+
+QUERIES["q78_sliding_median"] = q78_sliding_median
+
+ORACLE["q78_sliding_median"] = """
+    WITH r AS (
+      SELECT event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id, value NULLS FIRST) AS rn
+      FROM events
+    )
+    SELECT event_id, user_id,
+           MEDIAN(value) OVER w AS med4,
+           MIN(value) OVER w AS min4,
+           MAX(value) OVER w AS max4
+    FROM r
+    WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""

@@ -672,3 +672,53 @@ ORACLE["k15_avro_roundtrip"] = """
            o_totalprice::DOUBLE AS o_price
     FROM orders
 """
+
+
+def k16_jdbc_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live catalog scan (S5, reference `operations.py:271-281`
+    get_postgres_table_schema) as a driver verb: a typed events slice
+    is written to an in-memory Derby table (the k12 live-JDBC device),
+    its COLUMN CATALOG is read back through `sources.jdbc
+    derby_columns_query` (the SYS.SYSCOLUMNS dialect of the
+    information_schema scan), and each Derby DDL type is normalized to
+    the Spark type IN-PLAN (`functions.normalize.spark_type_from_derby`
+    — regexp strip + literal map lookup, the 15-type PG map's Derby
+    twin). The oracle is the statically-known schema the writer
+    creates (long→BIGINT, string→CLOB, double→DOUBLE,
+    timestamp→TIMESTAMP), so a wrong writer type mapping, a broken
+    catalog query, or a wrong normalization all hash-mismatch."""
+    from python_openetl_spark.functions.normalize import spark_type_from_derby
+    from python_openetl_spark.sources.jdbc import (
+        JdbcSource,
+        derby_columns_query,
+        read_query,
+        write_table,
+    )
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    derby = JdbcSource(
+        url="jdbc:derby:memory:poek16;create=true",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    write_table(ev.limit(10), derby, "K16_EVENTS", mode="overwrite")
+    cat = read_query(spark, derby, derby_columns_query("K16_EVENTS"))
+    return cat.select(
+        F.lower(F.col("COLUMN_NAME")).alias("column_name"),
+        F.trim(F.regexp_replace(F.col("DATA_TYPE"), r"\(.*\)| NOT NULL", "")).alias(
+            "derby_type"
+        ),
+        spark_type_from_derby(F.col("DATA_TYPE")).alias("spark_type"),
+        F.col("ORDINAL").cast("int").alias("ordinal"),
+    )
+
+
+QUERIES["k16_jdbc_catalog_scan"] = k16_jdbc_catalog_scan
+
+ORACLE["k16_jdbc_catalog_scan"] = """
+    SELECT * FROM (VALUES
+      ('event_id', 'BIGINT', 'bigint', 1),
+      ('ts', 'TIMESTAMP', 'timestamp', 2),
+      ('event_type', 'CLOB', 'string', 3),
+      ('value', 'DOUBLE', 'double', 4)
+    ) AS t(column_name, derby_type, spark_type, ordinal)
+"""
