@@ -66,7 +66,11 @@ DERBY_TO_SPARK_NAME: dict[str, str] = {
     "DATE": "date",
     "TIMESTAMP": "timestamp",
     "BLOB": "binary",
-    "VARCHAR () FOR BIT DATA": "binary",
+    # Derby renders binary as "VARCHAR (n) FOR BIT DATA"; the lookup
+    # key is the whitespace-collapsed form the size-strip produces
+    "VARCHAR FOR BIT DATA": "binary",
+    "CHAR FOR BIT DATA": "binary",
+    "LONG VARCHAR FOR BIT DATA": "binary",
 }
 
 
@@ -77,7 +81,16 @@ def spark_type_from_derby(data_type_col: "F.Column") -> "F.Column":
     ``create_map`` lookup (unknown types degrade to 'string', the
     schema_from_pg rule). Used by the k16 driver row on the S5 Derby
     catalog scan."""
-    base = F.trim(F.regexp_replace(data_type_col, r"\(.*\)| NOT NULL", ""))
+    # collapse whitespace after the size-strip: "VARCHAR (n) FOR BIT
+    # DATA" must key as "VARCHAR FOR BIT DATA", not "VARCHAR  FOR BIT
+    # DATA" (double space — an unreachable map entry otherwise)
+    base = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(data_type_col, r"\(.*\)| NOT NULL", ""),
+            r"\s+",
+            " ",
+        )
+    )
     m = F.create_map(
         *[F.lit(x) for kv in DERBY_TO_SPARK_NAME.items() for x in kv]
     )

@@ -238,21 +238,36 @@ def append_to_ivf_store(
 ) -> None:
     """Assign new vectors to the EXISTING centroids and append their
     cell partitions — batch-sized cost, corpus never re-read. The
-    batch must carry the store's attribute columns (schema is derived
-    from the live version, so appends cannot silently drop metadata)."""
+    batch must carry the store's attribute columns, and their values are
+    CAST to the store's types (names AND types are read from the live
+    version, never from the batch — a batch carrying ``label`` as a
+    different type would otherwise append type-mismatched parquet into
+    the same cell partitions and break later probes/rebuilds; an
+    un-castable column raises at analysis time instead)."""
     spark = batch.sparkSession
     idx_dir = current_index_dir(root)
-    attrs = store_attr_cols(spark, root, id_col=id_col, vec_col=vec_col)
+    store_schema = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).schema
+    attr_types = {
+        f.name: f.dataType
+        for f in store_schema.fields
+        if f.name not in (id_col, vec_col, "cell")
+    }
+    attrs = tuple(attr_types)
     missing = [a for a in attrs if a not in batch.columns]
     if missing:
         raise ValueError(
             f"append_to_ivf_store: batch lacks store attribute columns {missing}"
         )
     _, cnorm = _read_centroids(spark, idx_dir)
-    assigned = batch.select(id_col, vec_col, *attrs).mapInPandas(
+    conformed = batch.select(
+        id_col,
+        vec_col,
+        *[F.col(a).cast(attr_types[a]).alias(a) for a in attrs],
+    )
+    assigned = conformed.mapInPandas(
         _assign_fn(cnorm, id_col, vec_col, attrs),
         schema=f"{id_col} long, {vec_col} array<float>"
-        + _attr_schema(batch, attrs)
+        + _attr_schema(conformed, attrs)
         + ", cell int",
     )
     assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(

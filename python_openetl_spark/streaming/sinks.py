@@ -435,22 +435,57 @@ class IvfAppendSink:
     (cos, id)). Exactly-once needs the data write and the token in ONE
     atomic commit, which is the versioned-pointer design
     (:class:`VersionedCdcSink`); an IVF store trades that for
-    append-in-place cell files that probes can partition-prune."""
+    append-in-place cell files that probes can partition-prune.
 
-    def __init__(self, root: str, *, id_col: str = "vec_id", vec_col: str = "embedding"):
+    ``stream_id`` scopes the marker: batch ids restart at 0 for every
+    NEW streaming query (fresh checkpoint), so an unscoped marker from
+    an earlier stream against the same store would silently drop every
+    batch of the next one. Pass a stable id per logical stream —
+    the checkpoint location is the natural key; same id across
+    restarts of the same query keeps the replay guard. Omitting it
+    keeps the single-stream-per-store marker name."""
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        stream_id: str | None = None,
+    ):
         self.root = root
         self.id_col = id_col
         self.vec_col = vec_col
+        self.stream_id = stream_id
 
     @property
     def _marker_path(self) -> str:
-        return os.path.join(self.root, "_stream_last_batch.json")
+        if self.stream_id is None:
+            return os.path.join(self.root, "_stream_last_batch.json")
+        import hashlib
+
+        tag = hashlib.sha256(self.stream_id.encode()).hexdigest()[:16]
+        return os.path.join(self.root, f"_stream_last_batch_{tag}.json")
 
     def _last_batch(self) -> int:
         try:
             with open(self._marker_path) as f:
                 return json.load(f)["batch_id"]
-        except (OSError, ValueError, KeyError):
+        except FileNotFoundError:
+            return -1  # first batch of this stream
+        except (OSError, ValueError, KeyError) as e:
+            # a torn/unreadable marker is NOT the no-marker case: the
+            # write is an atomic os.replace, so corruption means real
+            # trouble. Warn loudly; returning -1 re-appends (the sink's
+            # documented at-least-once degradation), never drops data.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "IvfAppendSink: unreadable batch marker %s (%s); "
+                "treating as absent — replayed batches may re-append",
+                self._marker_path,
+                e,
+            )
             return -1
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -118,12 +118,21 @@ def s12_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q = (
             read_file_stream(spark, path, late.schema)
-            .writeStream.foreachBatch(IvfAppendSink(root))
+            .writeStream.foreachBatch(
+                IvfAppendSink(root, stream_id=tmp + "/ckpt")
+            )
             .option("checkpointLocation", tmp + "/ckpt")
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # memoize ONLY a fully-ingested store: awaitTermination(timeout)
+        # returns False if the trigger hasn't finished — memoizing then
+        # would pin a partial store for the rest of the session
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "s12: streaming ingest did not finish within 300s"
+            )
         _S12_STORES[sf_dir] = root
     anchors = (
         emb.filter(F.col("vec_id").isin(*_S12_ANCHOR_SRCS))

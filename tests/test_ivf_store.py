@@ -242,3 +242,76 @@ def test_attr_cols_filtered_probe_and_lifecycle(spark, tmp_path):
         (r["query_id"], r["vec_id"]) for r in res.collect()
     }
     vacuum_ivf_store(root, keep_last=1)
+
+
+def test_append_casts_attrs_to_store_types(spark, tmp_path):
+    """Appends conform attribute TYPES, not just names (r8 advice): a
+    batch carrying ``label`` as a wider/different type is cast to the
+    store's type before the partitioned write, so every cell partition
+    stays schema-homogeneous and later probes/rebuilds never hit a
+    parquet type conflict."""
+    from python_openetl_spark.operators.ivf_store import (
+        current_index_dir,
+        rebuild_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "typed_store")
+    build_ivf_store(
+        emb.filter(F.col("vec_id") % 10 != 7), root, nlist=8, attr_cols=("label",)
+    )
+    store_label_type = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(f"{current_index_dir(root)}/assigned").schema
+    }["label"]
+    # the batch carries label as LONG (and as a castable string in a
+    # second append) — both must land as the store's type
+    append_to_ivf_store(
+        emb.filter(F.col("vec_id") % 10 == 7).withColumn(
+            "label", F.col("label").cast("long")
+        ),
+        root,
+    )
+    append_to_ivf_store(
+        emb.filter(F.col("vec_id") % 10 == 7)
+        .withColumn("label", F.col("label").cast("string"))
+        .withColumn("vec_id", F.col("vec_id") + 1_000_000),
+        root,
+    )
+    live = spark.read.parquet(f"{current_index_dir(root)}/assigned")
+    assert (
+        {f.name: f.dataType.simpleString() for f in live.schema}["label"]
+        == store_label_type
+    )
+    assert live.count() == emb.count() + emb.filter(F.col("vec_id") % 10 == 7).count()
+    # the conformed store still rebuilds and serves filtered probes
+    rebuild_ivf_store(spark, root)
+    q = (
+        emb.filter(F.col("vec_id") == 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    res = ivf_store_topk(spark, root, q, k=3, nprobe=8, where="label = 1")
+    assert res.count() == 3
+
+
+def test_probe_excludes_query_id_equal_rows(spark, store):
+    """The probe's self-exclusion contract, pinned (r8 advice asked for
+    an explicit pin): a query whose query_id EQUALS a stored vec_id
+    never receives that row — x20's brute-force SQL oracle carries the
+    matching ``c.vec_id <> q.query_id`` clause, so both sides must
+    keep agreeing."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = (
+        emb.filter(F.col("vec_id") == 2)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    res = ivf_store_topk(spark, store, q, k=5, nprobe=16).collect()
+    assert len(res) == 5
+    assert all(r["vec_id"] != 2 for r in res)
+    # ...and an id-disjoint alias of the same vector DOES see vec 2 at
+    # cosine 1.0, proving exclusion is by id, not by similarity
+    q2 = q.assign(query_id=q["query_id"] + 2_000_000)
+    top = ivf_store_topk(spark, store, q2, k=1, nprobe=16).collect()[0]
+    assert top["vec_id"] == 2 and top["cos_sim"] > 0.999999

@@ -834,3 +834,50 @@ def test_ivf_append_sink_replays_noop_and_streams_ingest(spark, tmp_path):
         for r in ivf_store_topk(spark, root, anchors, k=3, nprobe=1).collect()
     }
     assert (500_010, 10) in got and (500_025, 25) in got
+
+
+def test_ivf_append_sink_stream_scoped_markers(spark, tmp_path, caplog):
+    """r8 advice: batch ids restart at 0 for every NEW streaming query,
+    so the replay marker must be scoped per stream — a second stream's
+    batch 0 against the same store APPENDS instead of being swallowed
+    by the first stream's marker — while a restart of the SAME stream
+    (same stream_id) still no-ops. A corrupt marker is warned about and
+    treated as absent (at-least-once re-append), never a silent drop."""
+    import logging
+    import os
+
+    from python_openetl_spark.operators.ivf_store import (
+        build_ivf_store,
+        current_index_dir,
+    )
+    from python_openetl_spark.streaming.sinks import IvfAppendSink
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    root = str(tmp_path / "ivf_scoped")
+    build_ivf_store(emb.filter(F.col("vec_id") % 5 != 0), root, nlist=8)
+    late = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    b0 = late.filter(F.col("vec_id") % 10 == 0)
+    b1 = late.filter(F.col("vec_id") % 10 == 5)
+
+    sink_a = IvfAppendSink(root, stream_id=str(tmp_path / "ckpt_a"))
+    sink_a(b0, batch_id=0)
+    sink_a(b0, batch_id=0)  # same-stream restart replay -> no-op
+    n_a = spark.read.parquet(os.path.join(current_index_dir(root), "assigned")).count()
+    assert n_a == emb.filter(F.col("vec_id") % 5 != 0).count() + b0.count()
+
+    # a NEW stream (fresh checkpoint, ids restart at 0) must not be
+    # dropped by stream A's marker
+    sink_b = IvfAppendSink(
+        root,
+        stream_id=str(tmp_path / "ckpt_b"),
+    )
+    sink_b(b1.withColumn("vec_id", F.col("vec_id") + 3_000_000), batch_id=0)
+    n_b = spark.read.parquet(os.path.join(current_index_dir(root), "assigned")).count()
+    assert n_b == n_a + b1.count()
+
+    # corrupt marker: warned, treated as absent
+    with open(sink_b._marker_path, "w") as f:
+        f.write("{ torn")
+    with caplog.at_level(logging.WARNING):
+        assert sink_b._last_batch() == -1
+    assert any("unreadable batch marker" in r.message for r in caplog.records)
