@@ -143,9 +143,47 @@ _MODULES = (
 # k01, k03, k04) — they lead _WINDOW_R9 alongside any round-8
 # post-window additions.
 #
-# _WINDOW_R9 should lead with any round-8 post-window additions, then
-# the 16 remaining r4-checked rows above, then the oldest r5-checked
-# rows per COVERAGE.md's ledger.
+# Round 9's window (_WINDOW_R9), per the rotation rule (never-checked
+# rows lead, oldest evidence fills):
+#   1. the 10 round-8 post-window additions that have never had a
+#      driver row (x19, s12, d53, e08, mm06, x20, d54, q77, q78, k16 —
+#      all green in the sf0.1 soak; k13 is excluded because it already
+#      has an r8 driver row, rows-only by design);
+#   2. the 15 remaining r4-checked rows (q00, q32-q36, q38, q45, q46,
+#      q48, q49, d30, k01, k03, k04);
+#   3. the first 25 r5-checked rows in COVERAGE.md ledger order
+#      (d02-d17 family, d31-d38, e02-e04).
+# That is exactly 50; after a green R9 nothing predates r5, and the
+# next-stalest rows (the remaining 25 r5 rows: k05, m14, mm01-mm04,
+# q54-q59, s07, u01-u04, x01-x04, x04p, x06, x09, x10, d14p... minus
+# the 25 taken) lead _WINDOW_R10's fill.
+_WINDOW_R9 = (
+    # never driver-checked (round-8 post-window additions)
+    "x19_knn_join_linkage", "s12_stream_ivf_ingest",
+    "d53_ngram_novelty", "e08_temperature_mixture",
+    "mm06_video_frame_near_dup", "x20_filtered_store_probe",
+    "d54_winnowing_fingerprints", "q77_linear_interpolation",
+    "q78_sliding_median", "k16_jdbc_catalog_scan",
+    # last r4-checked rows, rotated back through (15)
+    "q00_full_scan", "q32_profile", "q33_binned_range_join",
+    "q34_custdist", "q35_waiting_supplier",
+    "q36_global_sales_opportunity", "q38_unpivot", "q45_top_supplier",
+    "q46_best_supplier_per_part", "q48_stats_aggs",
+    "q49_argmax_per_group", "d30_vocab_encode",
+    "k01_csv_roundtrip", "k03_orc_roundtrip", "k04_parquet_roundtrip",
+    # oldest r5-checked rows in ledger order (25)
+    "d02_text_stats", "d03_language_id", "d04_quality_score",
+    "d05_fingerprint", "d07_ngram_jaccard_pairs", "d08_simhash",
+    "d09_simhash_near_pairs", "d10_hash_sample",
+    "d11_stratified_sample", "d13_canonical_corpus",
+    "d14p_dup_clusters_production", "d15_rolling_fingerprint",
+    "d16_token_frequency", "d17_tfidf_top_terms",
+    "d31_leakage_safe_split", "d32_unigram_logprob",
+    "d33_cms_heavy_hitters", "d34_bm25_topk", "d35_chunk_documents",
+    "d36_incremental_postings", "d37_curriculum_mixture",
+    "d38_containment_pairs", "e02_exact_contamination",
+    "e03_neardup_contamination", "e04_build_training_set",
+)
 #
 _WINDOW_R8 = (
     # never driver-checked / r3-stale (lead slots)
@@ -337,9 +375,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R8 if n not in out]
+    missing = [n for n in _WINDOW_R9 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R8}
+    ordered = {n: out[n] for n in _WINDOW_R9}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
