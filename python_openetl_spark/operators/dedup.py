@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import fingerprint, text_shingles, token_hash60, tokens
@@ -773,4 +773,66 @@ def cross_doc_repeated_windows(
             F.col("n_repeated").cast("long").alias("n_repeated"),
             F.round(F.col("n_repeated") / F.col("n_windows"), 6).alias("repeat_frac"),
         )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    para_tokens: int = 12,
+) -> DataFrame:
+    """Cross-document PARAGRAPH-level dedup with document reconstruction
+    — the CCNet device: boilerplate (headers, footers, license blocks)
+    repeats across millions of pages while the surrounding prose is
+    unique, so deduplicating whole documents misses it and deduplicating
+    at paragraph granularity removes it. Paragraph unit here: contiguous
+    non-overlapping ``para_tokens``-token windows (the fixture corpus
+    has no newline structure; a corpus with real paragraphs would swap
+    the splitter, the dataflow is identical). The globally-first
+    occurrence of each distinct paragraph wins (min ``(doc_id, idx)`` —
+    the exact-dedup min-id convention), every later occurrence is
+    dropped, and each document's retained text is reassembled in
+    original paragraph order.
+
+    Scale shape: the dedup DECISION shuffles ids only — (doc_id, idx,
+    16-byte md5) rows through one fingerprint-partitioned window — and
+    the per-doc kept-index lists (ints) shuffle once more; document
+    TEXT crosses the wire exactly once, in the final doc_id-keyed join
+    that reassembles it. Documents with zero tokens (empty/NULL text)
+    emit no row — there is nothing to deduplicate or train on.
+
+    Returns ``(id_col, n_paras, n_kept, text_dedup)``.
+    """
+    P = para_tokens
+    assert P > 0
+    tk = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+        .filter(F.size("__tk") >= 1)
+    )
+    n_paras = F.expr(f"CAST(ceil(size(__tk) / {P}.0) AS INT)")
+    idxs = F.sequence(F.lit(0), n_paras - F.lit(1))
+    para = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("__tk"), i * F.lit(P) + F.lit(1), F.lit(P)), " "
+    )
+    g = tk.select(
+        id_col, F.explode(idxs).alias("idx"), "__tk"
+    ).select(id_col, "idx", F.md5(para(F.col("idx"))).alias("fp"))
+    w = Window.partitionBy("fp").orderBy(id_col, "idx")
+    decided = g.withColumn("__rn", F.row_number().over(w))
+    per_doc = decided.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count_if(F.col("__rn") == 1).alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__rn") == 1, F.col("idx")))
+        ).alias("__kept_idx"),
+    )
+    return tk.join(per_doc, id_col).select(
+        id_col,
+        "n_paras",
+        "n_kept",
+        F.array_join(
+            F.transform(F.col("__kept_idx"), para), " "
+        ).alias("text_dedup"),
     )

@@ -341,6 +341,70 @@ def ivf_store_topk(
     )
 
 
+def ivf_store_range_search(
+    spark: SparkSession,
+    root: str,
+    queries_pdf: pd.DataFrame,
+    *,
+    radius: float,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    where: str | None = None,
+) -> DataFrame:
+    """FAISS ``range_search`` parity on the persisted store: ALL
+    neighbors with ``cos_sim >= radius`` per query, not a fixed k —
+    the right verb when the answer size is data-dependent (near-dup
+    discovery around a probe document, recall-oriented retrieval).
+
+    Same probe machinery as :func:`ivf_store_topk` (one pointer
+    resolve, ``cell IN`` partition-pruned scan, optional pre-filter
+    ``where`` pushed into the parquet reader, self-exclusion by id)
+    but the rank window is replaced by a radius predicate — no shuffle
+    at all after the scan-side joins: the threshold filters inside the
+    scan stage, and the output needs no per-query ordering. At
+    ``nprobe = nlist`` the result is exact (the x07 device), which is
+    what makes the brute-force SQL a full value-hash oracle; at
+    production nprobe it inherits IVF's probed-cells recall contract.
+    Output is deterministic as a SET (no rank column to tie-break)."""
+    idx_dir = current_index_dir(root)
+    cells, cnorm = _read_centroids(spark, idx_dir)
+    if queries_pdf.empty:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double"
+        )
+    qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
+    qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.maximum(
+        np.linalg.norm(qmat, axis=1, keepdims=True), 1e-300
+    )
+    probe = np.argsort(-(qnorm @ cnorm.T), axis=1)[:, :nprobe]
+    pairs = [(int(q), int(cells[c])) for q, row in zip(qids, probe) for c in row]
+    probe_df = spark.createDataFrame(pairs, f"{query_id_col} long, cell int")
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, queries_pdf[vec_col])],
+        f"{query_id_col} long, __qv array<float>",
+    )
+    wanted = sorted({c for _, c in pairs})
+    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).filter(
+        F.col("cell").isin(wanted)
+    )
+    if where is not None:
+        assigned = assigned.filter(F.expr(where))
+    return (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            _cosine_clamped(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(float(radius)))
+    )
+
+
 def rebuild_ivf_store(
     spark: SparkSession,
     root: str,

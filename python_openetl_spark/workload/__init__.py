@@ -33,6 +33,7 @@ from python_openetl_spark.workload import (
     llm8,
     llm9,
     llm11,
+    llm12,
     relational,
     relational2,
     relational3,
@@ -87,6 +88,8 @@ _MODULES = (
     # round-8 post-window additions (rotate into _WINDOW_R9)
     llm11,
     relational7,
+    # round-9 post-window additions (rotate into _WINDOW_R10)
+    llm12,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

@@ -1,0 +1,226 @@
+"""Round-9 additions: paragraph-level dedup, store range search, a
+real two-stream watermarked join.
+
+- d55: CCNet-style cross-document PARAGRAPH dedup with document
+  reconstruction (``operators/dedup.py paragraph_dedup``) — the
+  boilerplate-removal granularity whole-document dedup misses.
+- x21: FAISS ``range_search`` parity on the persisted IVF store
+  (``operators/ivf_store.py ivf_store_range_search``) — ALL neighbors
+  within a cosine radius, the data-dependent-answer-size verb; run at
+  ``nprobe = nlist`` so the brute-force SQL is a full value-hash
+  oracle (the x07/x20 device).
+- s13: stream-STREAM inner interval join executed as two REAL replayed
+  file streams (s06 is the batch twin; this row runs the actual
+  two-sided state-store machinery): both sides watermarked, chunks
+  staged in event-time order so the 2-hour watermark provably admits
+  every row, and the emitted matches must equal the batch join exactly.
+
+Reference parity: the reference (tmccall8829/python-openetl) has no
+streaming or vector surface; these extend its sync verbs
+(pyopenetl/operations.py:515-609) toward the BASELINE.json north star.
+
+Registered after ``relational7`` in ``_MODULES``; round-9 post-window
+additions that rotate into ``_WINDOW_R10``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.llm import _TOKS_SQL
+from python_openetl_spark.workload.util import t
+
+
+def d55_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc paragraph dedup (operators/dedup.py paragraph_dedup):
+    12-token non-overlapping paragraphs, globally-first occurrence
+    wins, documents reassembled from their kept paragraphs in order.
+    The dedup decision shuffles (doc_id, idx, md5) only; text crosses
+    the wire once in the reassembly join."""
+    from python_openetl_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(t(spark, sf_dir, "documents"), para_tokens=12)
+
+
+#: x21 store memo: sf_dir -> store root (the x15/x18/x20 rule: an index
+#: is amortized infrastructure — bench repeats measure the probe path)
+_X21_STORES: dict = {}
+
+_X21_QUERY_IDS = (3, 11, 42)
+_X21_RADIUS = 0.15
+
+
+def x21_store_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search on the persisted IVF store: every corpus vector
+    with cosine >= 0.15 of each probe — FAISS ``range_search``, the
+    verb for data-dependent answer sizes (near-dup discovery around a
+    document, recall-oriented retrieval) where a fixed k either
+    truncates or pads. Probes every cell (nprobe = nlist), making the
+    result exact and the brute-force filtered SQL a full value-hash
+    oracle for the radius predicate, the partition-pruned scan, and
+    the set semantics (no rank column — the output is a set, so no
+    tie-break subtleties exist to diverge on). Production nprobe
+    inherits IVF's probed-cells recall contract, measured in
+    tests/test_ivf_store.py."""
+    from python_openetl_spark.operators.ivf_store import (
+        build_ivf_store,
+        ivf_store_range_search,
+    )
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double"
+        )
+    p = ivf_params(emb.count())
+    import tempfile
+
+    root = _X21_STORES.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="poe_x21_") + "/ivf"
+        build_ivf_store(emb, root, nlist=p["nlist"])
+        _X21_STORES[sf_dir] = root
+    queries = (
+        emb.filter(F.col("vec_id").isin(*_X21_QUERY_IDS))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return ivf_store_range_search(
+        spark, root, queries, radius=_X21_RADIUS, nprobe=p["nlist"]
+    )
+
+
+def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner interval join as two REAL replayed streams:
+    purchases and clicks arrive as separate file-source streams (three
+    time-ordered chunks each), both watermarked 2 hours, joined on
+    user_id with clicks in the hour before the purchase. Event-time-
+    ordered staging + the 2-hour delay means no input is ever behind
+    the watermark, so the two-sided state store must emit EXACTLY the
+    batch join (s06's oracle shape) — a dropped-state bug, a watermark
+    regression, or a chunk-boundary loss all change the row set. State
+    is bounded: each side retains only the watermark-plus-interval
+    window, which is the property that makes this join runnable on an
+    unbounded stream at all."""
+    import tempfile
+
+    from python_openetl_spark.streaming.sources import (
+        read_file_stream,
+        stage_replay_dir,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    if not ev.take(1):
+        return spark.createDataFrame(
+            [],
+            "p_id long, user_id long, purchase_us long, c_id long, click_us long",
+        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="poe_s13_")
+    p_path = stage_replay_dir(
+        purchases, tmp + "/p", chunks=3, order_col="p_ts", shuffle_time_order=False
+    )
+    c_path = stage_replay_dir(
+        clicks, tmp + "/c", chunks=3, order_col="c_ts", shuffle_time_order=False
+    )
+    ps = read_file_stream(spark, p_path, purchases.schema).withWatermark(
+        "p_ts", "2 hours"
+    )
+    cs = read_file_stream(spark, c_path, clicks.schema).withWatermark(
+        "c_ts", "2 hours"
+    )
+    joined = ps.join(
+        cs,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    name = "poe_s13_join"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("s13: two-stream join did not finish within 300s")
+    return spark.table(name).select(
+        "p_id",
+        "user_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        "c_id",
+        F.unix_micros("c_ts").alias("click_us"),
+    )
+
+
+QUERIES = {
+    "d55_paragraph_dedup": d55_paragraph_dedup,
+    "x21_store_range_search": x21_store_range_search,
+    "s13_stream_stream_interval_join": s13_stream_stream_interval_join,
+}
+
+ORACLE = {
+    "d55_paragraph_dedup": f"""
+        WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        p AS (
+          SELECT doc_id, u.i AS idx,
+                 array_to_string(
+                   list_slice(toks, u.i * 12 + 1, u.i * 12 + 12), ' ') AS para
+          FROM tk,
+               LATERAL unnest(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)))
+                 AS u(i)
+          WHERE len(toks) >= 1
+        ),
+        decided AS (
+          SELECT doc_id, idx, para,
+                 ROW_NUMBER() OVER (PARTITION BY para
+                                    ORDER BY doc_id, idx) AS rn
+          FROM p
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_paras,
+               COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+               COALESCE(
+                 string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+                 '') AS text_dedup
+        FROM decided GROUP BY doc_id
+    """,
+    "x21_store_range_search": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN {_X21_QUERY_IDS}),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT q.query_id, c.vec_id,
+               list_dot_product(c.v, q.qv)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+        FROM c, q
+        WHERE c.vec_id <> q.query_id
+          AND list_dot_product(c.v, q.qv)
+                / (sqrt(list_dot_product(c.v, c.v))
+                   * sqrt(list_dot_product(q.qv, q.qv))) >= {_X21_RADIUS}
+    """,
+    "s13_stream_stream_interval_join": """
+        SELECT p.event_id AS p_id, p.user_id,
+               epoch_us(p.ts) AS purchase_us,
+               c.event_id AS c_id,
+               epoch_us(c.ts) AS click_us
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND epoch_us(c.ts) <= epoch_us(p.ts)
+         AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+    """,
+}

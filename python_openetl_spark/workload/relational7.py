@@ -213,3 +213,86 @@ ORACLE["q78_sliding_median"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY rn
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 """
+
+
+def q79_regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression + correlation of extended
+    price on quantity — the regr_slope/regr_intercept/corr family,
+    realized scale-safely: ONE aggregation pass accumulates the five
+    classic sufficient statistics (Σx, Σy, Σx², Σy², Σxy) as exact
+    DECIMALs (the fixture doubles carry ≤ 2 decimal digits, so the
+    casts are lossless and the sums order-independent — partial
+    aggregation combines freely across 1000 executors), and the
+    slope/intercept/corr arithmetic runs on the exact sums in ONE
+    identical IEEE double expression tree on both engines (sqrt is
+    correctly rounded everywhere; no ROUND, the q77 rule). Spark's own
+    regr_slope/corr aggregate in float and are order-DEPENDENT — a
+    different partitioning changes their bits, which is exactly what a
+    differential gate cannot tolerate; the sufficient-statistics form
+    is how a warehouse computes these at scale anyway."""
+    ev = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(6,2)")
+    y = F.col("l_extendedprice").cast("decimal(10,2)")
+    agg = ev.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate groups (constant x / single row) have zero variance:
+    # slope/corr are undefined -> NULL on BOTH engines (ANSI Spark
+    # would otherwise raise DIVIDE_BY_ZERO; the oracle mirrors the
+    # guard so NULL-ness matches exactly)
+    slope = F.when(var_x_n != 0, cov_n / var_x_n)
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n").alias("n_rows"),
+        slope.alias("slope"),
+        F.when(var_x_n != 0, (F.col("sy") - slope * F.col("sx")) / nd).alias(
+            "intercept"
+        ),
+        F.when(
+            (var_x_n > 0) & (var_y_n > 0),
+            cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n)),
+        ).alias("corr_xy"),
+    )
+
+
+QUERIES["q79_regression_aggs"] = q79_regression_aggs
+
+ORACLE["q79_regression_aggs"] = """
+    WITH agg AS (
+      SELECT l_returnflag, l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))
+                      * CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                      * CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))
+                      * CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n AS n_rows,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+             (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+               / CAST(n AS DOUBLE) END AS intercept,
+           CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                 AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+             (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr_xy
+    FROM agg
+"""

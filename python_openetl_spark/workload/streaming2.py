@@ -341,7 +341,11 @@ def s11_stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a timed-out trigger would leave the memory table partial — fail
+    # loudly instead of returning a truncated final state (s12 rule)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("s11: replayed stream did not finish within 300s")
     emitted = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (

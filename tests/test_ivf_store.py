@@ -315,3 +315,46 @@ def test_probe_excludes_query_id_equal_rows(spark, store):
     q2 = q.assign(query_id=q["query_id"] + 2_000_000)
     top = ivf_store_topk(spark, store, q2, k=1, nprobe=16).collect()[0]
     assert top["vec_id"] == 2 and top["cos_sim"] > 0.999999
+
+
+def test_range_search_exact_and_subset_properties(spark, store):
+    """x21: at nprobe = nlist the radius result equals the brute-force
+    set; at production nprobe it is a SUBSET (IVF's probed-cells
+    contract); radius > 1 is empty; the where= pre-filter composes."""
+    from python_openetl_spark.operators.ivf_store import ivf_store_range_search
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = _queries(spark)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_store_range_search(
+            spark, store, q, radius=0.15, nprobe=16
+        ).collect()
+    }
+    # brute force in numpy over the same fixture
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    want = set()
+    for _, qr in q.iterrows():
+        qv = np.asarray(qr["embedding"], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-300)
+        cos = matn @ qv
+        for vid, c in zip(ids, cos):
+            if c >= 0.15 and vid != qr["query_id"]:
+                want.add((int(qr["query_id"]), int(vid)))
+    assert exact == want
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_store_range_search(
+            spark, store, q, radius=0.15, nprobe=4
+        ).collect()
+    }
+    assert approx <= exact and approx  # subset, non-empty at this radius
+    assert (
+        ivf_store_range_search(spark, store, q, radius=1.000001, nprobe=16).count()
+        == 0
+    )

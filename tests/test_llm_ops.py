@@ -531,3 +531,45 @@ def test_frame_phash_near_dup_semantics(spark):
         for r in multimodal.frame_phash_near_dup(rep).collect()
     }
     assert got_rep == {(10, 11): 1}
+
+
+def test_paragraph_dedup_drops_cross_doc_boilerplate(spark):
+    """d55: a 12-token boilerplate block planted in three docs survives
+    only in the globally-first one; unique prose is untouched; a doc
+    that is ALL boilerplate reassembles to ''; NULL/empty text emits no
+    row."""
+    boiler = " ".join(f"legal{i}" for i in range(12))
+    u = lambda d, n: " ".join(f"w{d}x{j}" for j in range(n))  # noqa: E731
+    rows = [
+        (1, boiler + " " + u(1, 12)),          # first: keeps boiler + prose
+        (2, u(2, 12) + " " + boiler),          # later: drops the boiler block
+        (3, boiler),                           # all boilerplate -> ''
+        (4, u(4, 5)),                          # short unique doc, 1 para
+        (5, None),                             # NULL -> no row
+        (6, ""),                               # empty -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(df, para_tokens=12).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == boiler + " " + u(1, 12)
+    # doc 2's paragraphs are (unique, boiler): boiler already seen
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == u(2, 12)
+    assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
+    assert out[4]["n_kept"] == 1 and out[4]["text_dedup"] == u(4, 5)
+
+
+def test_paragraph_dedup_within_doc_repeat(spark):
+    """A paragraph repeated INSIDE one document keeps only its first
+    occurrence (min (doc_id, idx) — the same convention as cross-doc)."""
+    block = " ".join(f"t{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(7, block + " " + block)], "doc_id long, text string"
+    )
+    r = dedup.paragraph_dedup(df, para_tokens=4).collect()[0]
+    assert r["n_paras"] == 2 and r["n_kept"] == 1
+    assert r["text_dedup"] == block
