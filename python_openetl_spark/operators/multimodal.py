@@ -423,3 +423,131 @@ def frame_phash_near_dup(
         .agg(F.count(F.lit(1)).alias("n_matched_frames"))
         .filter(F.col("n_matched_frames") >= min_matched_frames)
     )
+
+
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    divisor: int = 8,
+    decoder=None,
+) -> DataFrame:
+    """CONTENT-DEFINED chunk fingerprints of binary payloads — the
+    storage-dedup / rsync device, and the property mm06's fixed-frame
+    hashing lacks: a copy with a PREFIX PAD (re-encoded audio with a
+    new header, a video remuxed with different metadata) shifts every
+    fixed-offset frame, but content-defined boundaries depend only on
+    a ``window``-byte rolling context, so cut positions in the shared
+    region are identical in both copies and their interior chunks
+    fingerprint-match regardless of offset.
+
+    Boundary rule: a cut after byte ``i`` iff the polynomial rolling
+    hash of the ``window`` bytes ending at ``i`` satisfies
+    ``h % divisor == divisor - 1`` (expected chunk length ≈
+    ``divisor`` bytes — fixture-sized here; storage systems run 2-8 KB
+    with min/max clamps, which trade the pure offset-invariance below
+    for bounded chunk sizes and re-synchronize probabilistically).
+    No min/max clamp is applied, so cuts are PURELY content-local:
+    byte-identical regions longer than one chunk share fingerprints
+    deterministically. The first ``window - 1`` bytes after a payload
+    edge see a partial context and may cut differently — stated, and
+    why matching needs interior chunks.
+
+    One Arrow-batched scan emits ``(id, chunk_fp int64)`` — payload
+    bytes never leave the scan, only 8-byte fingerprints shuffle
+    (the mm05/mm06 rule). NULL payloads emit nothing; a zero-byte
+    payload has no chunks. ``decoder`` is the usual injectable seam
+    (default sha256) so a real deployment can fingerprint DECODED
+    samples instead of container bytes."""
+    if window <= 0 or divisor <= 0:
+        raise ValueError(f"window/divisor must be positive: {window}/{divisor}")
+
+    import numpy as np
+
+    # fixed odd multiplier; uint64 wraparound is the modulus
+    weights = np.array(
+        [pow(1099511628211, window - 1 - j, 1 << 64) for j in range(window)],
+        dtype=np.uint64,
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                if len(raw) == 0:
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+                if len(arr) >= window:
+                    wins = np.lib.stride_tricks.sliding_window_view(arr, window)
+                    h = (wins * weights).sum(axis=1)  # uint64 wraps
+                    # cut AFTER byte (window-1)+k for each satisfying k
+                    cuts = np.nonzero(h % divisor == divisor - 1)[0] + window
+                else:
+                    cuts = np.array([], dtype=np.int64)
+                bounds = [0, *cuts.tolist(), len(raw)]
+                for s, e in zip(bounds, bounds[1:]):
+                    if e <= s:
+                        continue
+                    chunk = raw[s:e]
+                    digest = (
+                        decoder(chunk)
+                        if decoder is not None
+                        else hashlib.sha256(chunk).digest()[:8]
+                    )
+                    ids.append(i)
+                    fps.append(int.from_bytes(digest, "big", signed=True))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return (
+        df.select(id_col, payload_col)
+        .mapInPandas(kernel, schema=f"{id_col} long, chunk_fp long")
+        .distinct()  # a chunk repeated WITHIN one payload counts once
+    )
+
+
+def cdc_chunk_near_dup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    divisor: int = 8,
+    min_shared_chunks: int = 1,
+    decoder=None,
+) -> DataFrame:
+    """Offset-invariant binary near-dup pairs by shared content-defined
+    chunks: fingerprint with :func:`cdc_chunk_fingerprints`, then an
+    exact-equality self-join on ``chunk_fp`` (chunks are exact-dup
+    units — the fuzziness lives in the boundary rule, not the hash)
+    rolled up to ``n_shared_chunks`` per pair. The join key is a
+    single int64, so the heavy exchange is 16 bytes/row; hot chunks
+    (a zero-run appearing in everything) behave like hot LSH bands —
+    bounded by ``distinct()`` per payload before the join."""
+    fp = cdc_chunk_fingerprints(
+        df, payload_col, id_col, window=window, divisor=divisor, decoder=decoder
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_fp") == F.col("b.chunk_fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= min_shared_chunks)
+    )

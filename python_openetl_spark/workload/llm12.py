@@ -224,3 +224,72 @@ ORACLE = {
          AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
     """,
 }
+
+
+#: deterministic 64-byte "new container header" pad for mm07's copies
+_MM07_PAD = bytes(range(64, 128))
+assert len(_MM07_PAD) == 64
+
+
+def mm07_cdc_offset_invariant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-invariant binary dedup through CONTENT-DEFINED chunking
+    (operators/multimodal.py cdc_chunk_fingerprints — the storage-dedup
+    / rsync boundary device): every 10th+1 payload of >= 256 bytes is
+    re-ingested with a 64-byte deterministic "new container header"
+    prefix (id + 8M) — the re-encoded-audio / remuxed-video shape that
+    shifts every FIXED-offset frame, so mm06's frame hashing would
+    match nothing, while content-defined cut positions in the shared
+    region are identical in both copies and their interior chunks
+    fingerprint-match. Each planted pair must share chunks (expected
+    ~30 cuts per 256-byte payload at divisor 8; the pair misses only
+    if the shared content contains < 2 cut positions, p < 1e-10 —
+    margin asserted in tests/test_llm_ops.py). The probe joins the
+    planted originals against their copies only — the generic
+    all-pairs verb is the operator; binding the planted relation keeps
+    the row's join linear in corpus size."""
+    from python_openetl_spark.operators.multimodal import cdc_chunk_fingerprints
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    planted = d.filter(
+        (F.col("doc_id") % 10 == 1) & (F.length("payload") >= 256)
+    )
+    copies = planted.select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"),
+        F.concat(F.lit(_MM07_PAD), F.col("payload")).alias("payload"),
+    )
+    fp = cdc_chunk_fingerprints(planted.unionByName(copies), divisor=8)
+    fa = fp.filter(F.col("doc_id") < 8_000_000).withColumnRenamed(
+        "doc_id", "doc_a"
+    )
+    fb = fp.filter(F.col("doc_id") >= 8_000_000).select(
+        (F.col("doc_id") - 8_000_000).alias("doc_a"),
+        F.col("chunk_fp").alias("fp_b"),
+    )
+    shared = (
+        fa.join(fb, (fa.chunk_fp == fb.fp_b) & (fa.doc_a == fb.doc_a))
+        .groupBy(fa.doc_a)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        planted.select(F.col("doc_id").alias("doc_a"))
+        .join(shared, "doc_a", "left")
+        .select(
+            "doc_a",
+            (F.col("doc_a") + 8_000_000).alias("doc_b"),
+            F.coalesce(F.col("n_shared") >= 1, F.lit(False)).alias("matched"),
+        )
+    )
+
+
+QUERIES["mm07_cdc_offset_invariant_dedup"] = mm07_cdc_offset_invariant_dedup
+
+ORACLE["mm07_cdc_offset_invariant_dedup"] = """
+    SELECT doc_id AS doc_a, doc_id + 8000000 AS doc_b, TRUE AS matched
+    FROM documents
+    WHERE text IS NOT NULL AND text <> '' AND doc_id % 10 = 1
+      AND octet_length(encode(text)) >= 256
+"""

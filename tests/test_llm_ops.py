@@ -573,3 +573,76 @@ def test_paragraph_dedup_within_doc_repeat(spark):
     r = dedup.paragraph_dedup(df, para_tokens=4).collect()[0]
     assert r["n_paras"] == 2 and r["n_kept"] == 1
     assert r["text_dedup"] == block
+
+
+def test_cdc_chunks_are_offset_invariant(spark):
+    """mm07's core property: a prefix-padded copy shares its interior
+    content-defined chunks with the original (fixed-frame hashing
+    shares none), NULL/empty payloads chunk to nothing, and a repeated
+    chunk within one payload fingerprints once."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    content = rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()
+    pad = bytes(range(100, 141))  # 41-byte "header"
+    rows = [
+        (1, content),
+        (2, pad + content),          # offset-shifted copy
+        (3, rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()),
+        (4, None),
+        (5, b""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = multimodal.cdc_chunk_fingerprints(df, divisor=8)
+    by_doc = {
+        r["doc_id"]: r["n"]
+        for r in fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(by_doc) == {1, 2, 3}  # NULL and empty emit nothing
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_chunks"]
+        for r in multimodal.cdc_chunk_near_dup(df, divisor=8).collect()
+    }
+    # the shifted copy shares nearly all of the original's chunks
+    assert pairs.get((1, 2), 0) >= by_doc[1] - 2, (pairs, by_doc)
+    # unrelated random payloads share nothing
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # within-payload repetition: identical halves -> each chunk once
+    rep = content[:256] + content[:256]
+    df2 = spark.createDataFrame([(9, rep)], "doc_id long, payload binary")
+    fps = [
+        r["chunk_fp"]
+        for r in multimodal.cdc_chunk_fingerprints(df2, divisor=8).collect()
+    ]
+    assert len(fps) == len(set(fps))
+
+
+def test_mm07_planted_pairs_have_margin(spark):
+    """The mm07 row's probabilistic floor, measured with margin (the
+    x15 rule): every planted >=256-byte payload must share MANY interior
+    chunks with its padded copy, not scrape by at 1."""
+    from python_openetl_spark.workload.llm12 import (
+        mm07_cdc_offset_invariant_dedup,
+    )
+
+    rows = mm07_cdc_offset_invariant_dedup(spark, SF_DIR).collect()
+    assert rows and all(r["matched"] for r in rows)
+    # recompute shared-chunk counts directly for the margin assertion
+    from python_openetl_spark.workload.llm12 import _MM07_PAD
+    from python_openetl_spark.workload.util import t as _t
+
+    d = (
+        _t(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter((F.col("doc_id") % 10 == 1) & (F.length("payload") >= 256))
+    )
+    copies = d.select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"),
+        F.concat(F.lit(_MM07_PAD), F.col("payload")).alias("payload"),
+    )
+    shared = multimodal.cdc_chunk_near_dup(
+        d.unionByName(copies), divisor=8
+    ).filter(F.col("doc_b") == F.col("doc_a") + 8_000_000)
+    m = shared.agg(F.min("n_shared_chunks").alias("m")).collect()[0]["m"]
+    assert m is not None and m >= 10, f"weakest planted pair shares only {m}"
