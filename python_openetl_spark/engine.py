@@ -272,6 +272,16 @@ class Dataset:
 
         return Dataset(blocked_fuzzy_pairs(self.df, **kw))
 
+    def paragraph_dedup(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.dedup import paragraph_dedup
+
+        return Dataset(paragraph_dedup(self.df, **kw))
+
+    def cdc_chunk_near_dup(self, **kw) -> "Dataset":
+        from python_openetl_spark.operators.multimodal import cdc_chunk_near_dup
+
+        return Dataset(cdc_chunk_near_dup(self.df, **kw))
+
     def url_dedup(self, **kw) -> "Dataset":
         from python_openetl_spark.operators.urlops import url_dedup
 
