@@ -120,6 +120,53 @@ def _global_topk(local: DataFrame, query_id_col: str, id_col: str, k: int) -> Da
     )
 
 
+#: shortlist margin: GEMM selects k + margin candidates before the
+#: exact re-score, absorbing ULP-order flips at the k boundary
+_RESCORE_MARGIN = 4
+
+
+def _exact_rescore_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """GEMM SELECTS, the exact expression SCORES: numpy's dgemm result
+    differs in the last ULP with the matrix SHAPE (the same pair scored
+    in a co-partition holding N queries and one holding N' queries can
+    disagree), so GEMM scores are not bit-stable across plan shapes —
+    unusable under an exact value-hash oracle. Shortlisted candidate
+    pairs are therefore re-scored with the sequential JVM cosine
+    (functions/vectors.py — the expression DuckDB's list_dot_product
+    matches bit-for-bit, the x01/x02 contract) and re-ranked on the
+    exact values. Cost: two id-keyed joins over (k + margin)·|queries|
+    rows — output-sized, not corpus-sized."""
+    from python_openetl_spark.functions.vectors import dot, norm
+
+    rescored = (
+        candidates.select(query_id_col, id_col)
+        .join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            queries.select(query_id_col, F.col(vec_col).alias("__qv")),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col(vec_col), F.col("__qv"))
+                / F.greatest(
+                    norm(F.col(vec_col)) * norm(F.col("__qv")), F.lit(1e-300)
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    return _global_topk(rescored, query_id_col, id_col, k)
+
+
 def cosine_knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,11 +212,16 @@ def cosine_knn_join(
         c.groupBy("__cb", "__qb")
         .cogroup(q.groupBy("__cb", "__qb"))
         .applyInPandas(
-            _gemm_topk_kernel(id_col, query_id_col, vec_col, k, exclude_self),
+            _gemm_topk_kernel(
+                id_col, query_id_col, vec_col, k + _RESCORE_MARGIN, exclude_self
+            ),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )
-    return _global_topk(local, query_id_col, id_col, k)
+    cand = _global_topk(local, query_id_col, id_col, k + _RESCORE_MARGIN)
+    return _exact_rescore_topk(
+        cand, corpus, queries, query_id_col, id_col, vec_col, k
+    )
 
 
 def ivf_knn_join(
@@ -265,8 +317,114 @@ def ivf_knn_join(
         c.groupBy("__cell", "__qb")
         .cogroup(q.groupBy("__cell", "__qb"))
         .applyInPandas(
-            _gemm_topk_kernel(id_col, query_id_col, vec_col, k, exclude_self),
+            _gemm_topk_kernel(
+                id_col, query_id_col, vec_col, k + _RESCORE_MARGIN, exclude_self
+            ),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )
-    return _global_topk(local, query_id_col, id_col, k)
+    cand = _global_topk(local, query_id_col, id_col, k + _RESCORE_MARGIN)
+    return _exact_rescore_topk(
+        cand, corpus, queries, query_id_col, id_col, vec_col, k
+    )
+
+
+def ivf_store_knn_join(
+    spark,
+    root: str,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    nprobe: int = 4,
+    query_block_rows: int = 4_096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    where: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """kNN join of a distributed query DataFrame against the PERSISTED
+    IVF store (operators/ivf_store.py) — batch scoring against an
+    index that already exists, which is how production linkage
+    actually runs: :func:`ivf_knn_join` retrains a quantizer and
+    re-assigns the corpus on every call (right for ad-hoc joins),
+    while the store has already paid both costs once — this verb reads
+    the store's materialized ``cell=`` partitions and trained
+    centroids, so the corpus side costs a partition-laid-out scan and
+    ZERO training at join time, and every append/rebuild/vacuum since
+    build is automatically visible (one pointer resolve, the
+    ivf_store_topk snapshot rule).
+
+    Queries fan out to their ``nprobe`` nearest cells in one Arrow
+    pass over the broadcast centroid matrix (nlist × dim scalars);
+    the equi-join on the cell id meets in the same cogrouped GEMM
+    kernel as x16/x17, with the query-block axis bounding hot cells.
+    ``where`` is the store-level pre-filter (attribute columns from
+    ``build_ivf_store(attr_cols=...)``): non-matching corpus rows die
+    inside the scan before any replication or distance math, and
+    top-k stays exactly k among the matching subset. At
+    ``nprobe = nlist`` the join is exact (every cell probed), which
+    is what makes a brute-force filtered SQL a full value-hash oracle
+    (the x07/x20/x21 device); production nprobe inherits IVF's
+    probed-cells recall contract."""
+    import os
+
+    from python_openetl_spark.operators.ivf_store import (
+        _ASSIGNED,
+        _read_centroids,
+        current_index_dir,
+    )
+
+    idx_dir = current_index_dir(root)
+    cells, cnorm = _read_centroids(spark, idx_dir)
+    n_q = queries.count()
+    if cnorm.shape[0] == 0 or n_q == 0:
+        return spark.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
+        )
+    nprobe = min(nprobe, cnorm.shape[0])
+    qb = max(1, math.ceil(n_q / query_block_rows))
+
+    def assign_queries(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qn = _unit(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            probe = np.argsort(-(qn @ cnorm.T), axis=1)[:, :nprobe]
+            idx = np.repeat(np.arange(len(pdf)), nprobe)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].to_numpy()[idx],
+                    "__qv": pdf[vec_col].to_numpy()[idx],
+                    # store cell ids come from the centroid table, not
+                    # a dense 0..nlist-1 range — map through `cells`
+                    "__cell": cells[probe.reshape(-1)].astype(np.int32),
+                }
+            )
+
+    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED))
+    if where is not None:
+        assigned = assigned.filter(F.expr(where))
+    c = assigned.select(
+        id_col, vec_col, F.col("cell").cast("int").alias("__cell")
+    ).withColumn("__qb", F.explode(F.sequence(F.lit(0), F.lit(qb - 1))))
+    q = queries.select(query_id_col, vec_col).mapInPandas(
+        assign_queries,
+        schema=f"{query_id_col} long, __qv array<float>, __cell int",
+    ).withColumn(
+        "__qb", F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(qb)).cast("int")
+    )
+    local = (
+        c.groupBy("__cell", "__qb")
+        .cogroup(q.groupBy("__cell", "__qb"))
+        .applyInPandas(
+            _gemm_topk_kernel(
+                id_col, query_id_col, vec_col, k + _RESCORE_MARGIN, exclude_self
+            ),
+            schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
+        )
+    )
+    cand = _global_topk(local, query_id_col, id_col, k + _RESCORE_MARGIN)
+    return _exact_rescore_topk(
+        cand, assigned, queries, query_id_col, id_col, vec_col, k
+    )

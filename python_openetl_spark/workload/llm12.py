@@ -324,3 +324,74 @@ ORACLE["mm07_cdc_offset_invariant_dedup"] = """
     WHERE text IS NOT NULL AND text <> '' AND doc_id % 10 = 1
       AND octet_length(encode(text)) >= 256
 """
+
+
+#: x22 store memo: sf_dir -> attribute-carrying store root
+_X22_STORES: dict = {}
+
+
+def x22_store_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN JOIN against the PERSISTED store
+    (operators/knn_join.py ivf_store_knn_join): every 30th vector
+    queries the index under a disjoint id space (+5M, the linkage
+    shape, exclude_self=False) with the store-level pre-filter
+    ``label = 0`` — batch scoring against amortized infrastructure,
+    where x17 retrains per call. The corpus side is the store's
+    materialized cell partitions (zero training, zero re-assignment
+    at join time); queries fan to every cell (nprobe = nlist, the
+    exactness device), so the filtered brute-force SQL is a full
+    value-hash oracle for the store scan, the attribute filter
+    placement, the cell mapping, and the cogrouped GEMM + global
+    re-rank. Production nprobe inherits the measured IVF recall
+    contract (tests/test_knn_join.py)."""
+    from python_openetl_spark.operators.ivf_store import build_ivf_store
+    from python_openetl_spark.operators.knn_join import ivf_store_knn_join
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
+    p = ivf_params(emb.count())
+    import tempfile
+
+    root = _X22_STORES.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="poe_x22_") + "/ivf"
+        build_ivf_store(emb, root, nlist=p["nlist"], attr_cols=("label",))
+        _X22_STORES[sf_dir] = root
+    queries = emb.filter(F.col("vec_id") % 30 == 2).select(
+        (F.col("vec_id") + 5_000_000).alias("query_id"), "embedding"
+    )
+    return ivf_store_knn_join(
+        spark,
+        root,
+        queries,
+        k=3,
+        nprobe=p["nlist"],
+        where="label = 0",
+        exclude_self=False,
+    )
+
+
+QUERIES["x22_store_knn_join"] = x22_store_knn_join
+
+ORACLE["x22_store_knn_join"] = """
+    WITH q AS (SELECT vec_id + 5000000 AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 30 = 2),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE label = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      FROM c, q
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""

@@ -153,3 +153,52 @@ def test_zero_norm_vectors_score_zero_not_nan(spark):
         by_q = {(r["query_id"], r["rank"]): r["vec_id"] for r in rows}
         assert by_q[(10, 1)] == 1 and by_q[(10, 3)] == 3  # zero row ranks last
         assert all(r["cos_sim"] == 0.0 for r in rows if r["query_id"] == 11)
+
+
+def test_store_knn_join_exact_filtered_and_recall(spark, emb, tmp_path):
+    """x22: the store-backed join at nprobe = nlist equals the exact
+    block join over the same (filtered) corpus; at production nprobe
+    the planted anchor (query equal to a stored vector) is always
+    found; appends become visible to the join without rebuild."""
+    from python_openetl_spark.operators.ivf_store import (
+        append_to_ivf_store,
+        build_ivf_store,
+    )
+    from python_openetl_spark.operators.knn_join import ivf_store_knn_join
+
+    root = str(tmp_path / "join_store")
+    build_ivf_store(
+        emb.filter(F.col("vec_id") % 10 != 7), root, nlist=8, attr_cols=("label",)
+    )
+    append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
+    queries = emb.filter(F.col("vec_id") % 30 == 2).select(
+        (F.col("vec_id") + 5_000_000).alias("query_id"), "embedding"
+    )
+    got = ivf_store_knn_join(
+        spark, root, queries, k=3, nprobe=8, where="label = 0", exclude_self=False
+    )
+    want = cosine_knn_join(
+        emb.filter(F.col("label") == 0),
+        queries,
+        k=3,
+        corpus_block_rows=128,
+        query_block_rows=4,
+        exclude_self=False,
+    )
+    g = {(r["query_id"], r["vec_id"]): (r["rank"], r["cos_sim"]) for r in got.collect()}
+    w = {(r["query_id"], r["vec_id"]): (r["rank"], r["cos_sim"]) for r in want.collect()}
+    assert g.keys() == w.keys()
+    for key, (rank, cos) in g.items():
+        # ranks identical; cos within GEMM-shape ULP noise (the store
+        # join re-scores winners with the exact JVM expression — THAT
+        # value is what the x22 SQL oracle hash-checks bit-for-bit)
+        assert rank == w[key][0] and abs(cos - w[key][1]) < 1e-12, (key, g[key], w[key])
+    # production nprobe: the anchor (query == appended stored vector 7)
+    # lands in its own nearest cell, which is always probed first
+    anchor_q = emb.filter(F.col("vec_id") == 7).select(
+        F.lit(9_000_007).alias("query_id"), "embedding"
+    )
+    top = ivf_store_knn_join(
+        spark, root, anchor_q, k=1, nprobe=1, exclude_self=False
+    ).collect()[0]
+    assert top["vec_id"] == 7 and top["cos_sim"] > 0.999999
