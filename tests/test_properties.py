@@ -657,3 +657,108 @@ def test_block_knn_join_matches_bruteforce_with_ties(spark, vecs, dup_of):
         ).collect()
     }
     assert got == exact
+
+
+_payloads = st.lists(
+    st.one_of(
+        st.none(),
+        st.binary(min_size=0, max_size=200),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(payloads=_payloads)
+@_settings
+def test_cdc_chunks_partition_the_payload(spark, payloads):
+    """Content-defined chunk boundaries PARTITION each payload: chunks
+    are non-empty, contiguous, and concatenate back to the exact bytes
+    — verified against a local recompute of the same rolling-hash rule
+    on arbitrary payloads (incl. shorter than the window)."""
+    import hashlib
+
+    import numpy as np
+
+    from python_openetl_spark.operators.multimodal import cdc_chunk_fingerprints
+
+    rows = [(i, b) for i, b in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {}
+    for r in cdc_chunk_fingerprints(df, divisor=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["chunk_fp"])
+    window, divisor = 8, 4
+    weights = np.array(
+        [pow(1099511628211, window - 1 - j, 1 << 64) for j in range(window)],
+        dtype=np.uint64,
+    )
+    for i, b in rows:
+        if b is None or len(b) == 0:
+            assert i not in got
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        if len(arr) >= window:
+            wins = np.lib.stride_tricks.sliding_window_view(arr, window)
+            h = (wins * weights).sum(axis=1)
+            cuts = (np.nonzero(h % divisor == divisor - 1)[0] + window).tolist()
+        else:
+            cuts = []
+        bounds = [0, *cuts, len(b)]
+        chunks = [b[s:e] for s, e in zip(bounds, bounds[1:]) if e > s]
+        assert b"".join(chunks) == b  # partition property
+        want = {
+            int.from_bytes(hashlib.sha256(c).digest()[:8], "big", signed=True)
+            for c in chunks
+        }
+        assert got.get(i, set()) == want
+
+
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=60),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_texts)
+@_settings
+def test_paragraph_dedup_invariants(spark, texts):
+    """On arbitrary texts: kept <= total paragraphs; every document's
+    reassembled text is a subsequence of its original paragraphs; the
+    union of kept paragraph contents has no duplicates globally; the
+    total kept count equals the number of DISTINCT paragraphs."""
+    import re
+
+    from python_openetl_spark.operators.dedup import paragraph_dedup
+
+    P = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, para_tokens=P).collect()}
+    all_paras = {}
+    kept_all = []
+    for i, t in rows:
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        paras = [" ".join(toks[j : j + P]) for j in range(0, len(toks), P)]
+        if not paras:
+            assert i not in out
+            continue
+        r = out[i]
+        assert r["n_paras"] == len(paras)
+        assert 0 <= r["n_kept"] <= r["n_paras"]
+        kept_local = [p for p in paras if p not in all_paras]
+        # min-(doc,idx) convention: first occurrence in doc order wins,
+        # and within a doc the earlier index wins
+        seen_in_doc = set()
+        expect = []
+        for p in paras:
+            if p not in all_paras and p not in seen_in_doc:
+                expect.append(p)
+                seen_in_doc.add(p)
+        for p in seen_in_doc:
+            all_paras[p] = i
+        assert r["n_kept"] == len(expect)
+        assert r["text_dedup"] == " ".join(expect)
+        kept_all.extend(expect)
+        del kept_local
+    assert len(kept_all) == len(set(kept_all))
