@@ -395,3 +395,92 @@ ORACLE["x22_store_knn_join"] = """
       FROM scored
     ) WHERE rank <= 3
 """
+
+
+def e09_dedup_temperature_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 pipeline composite: paragraph-level dedup (d55) →
+    temperature-weighted language resample over the DEDUPED corpus
+    (e08's rule — weights derive from post-dedup counts, which is the
+    honest order: dedup first, or boilerplate-heavy languages keep
+    inflated weights) → per-language corpus report (docs kept, tokens
+    kept). Three stages, one driver row; each keeps its individual
+    scale shape (ids-only dedup decision, one text shuffle, broadcast
+    accept thresholds, final agg over per-doc token counts). The
+    token count re-tokenizes the REASSEMBLED text, so a reassembly
+    bug (wrong paragraph order, dropped separator) changes the row."""
+    from python_openetl_spark.functions.text import tokens
+    from python_openetl_spark.operators.dedup import paragraph_dedup
+    from python_openetl_spark.operators.prep import temperature_mixture
+
+    docs = t(spark, sf_dir, "documents")
+    deduped = (
+        paragraph_dedup(docs, para_tokens=12)
+        .filter(F.col("n_kept") >= 1)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    sel = temperature_mixture(deduped, alpha=0.5, strata_col="lang")
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text_dedup"))).cast("bigint").alias("n_tokens"),
+        )
+        .select("lang", "n_docs", "n_tokens")
+    )
+
+
+QUERIES["e09_dedup_temperature_corpus"] = e09_dedup_temperature_corpus
+
+ORACLE["e09_dedup_temperature_corpus"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(
+               list_slice(toks, u.i * 12 + 1, u.i * 12 + 12), ' ') AS para
+      FROM tk,
+           LATERAL unnest(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)))
+             AS u(i)
+      WHERE len(toks) >= 1
+    ),
+    decided AS (
+      SELECT doc_id, idx, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM p
+    ),
+    dedup AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+             COALESCE(
+               string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+               '') AS text_dedup
+      FROM decided GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT d.doc_id, d.text_dedup, doc.lang
+      FROM dedup d JOIN documents doc USING (doc_id)
+      WHERE d.n_kept >= 1
+    ),
+    c AS (SELECT lang, COUNT(*) AS cnt FROM corpus GROUP BY lang),
+    w AS (SELECT lang, cnt,
+                 CAST(FLOOR(SQRT(cnt) * 1e12) AS DECIMAL(28,0)) AS pw
+          FROM c),
+    n AS (SELECT SUM(pw) AS pw_sum, SUM(cnt) AS total FROM w),
+    acc AS (
+      SELECT w.lang,
+             CAST(FLOOR(10000.0 * LEAST(1.0,
+                  (CAST(pw AS DOUBLE) / CAST(pw_sum AS DOUBLE))
+                  * 0.5 * CAST(total AS DOUBLE) / cnt)) AS BIGINT) AS accept_bp
+      FROM w, n
+    ),
+    sel AS (
+      SELECT corpus.*
+      FROM corpus JOIN acc USING (lang)
+      WHERE ('0x' || substr(md5(':' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT
+            % 10000 < accept_bp
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(
+             regexp_split_to_array(lower(text_dedup), '[^a-z0-9]+'),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+    FROM sel GROUP BY lang
+"""
