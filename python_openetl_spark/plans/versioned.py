@@ -156,19 +156,60 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Delete all but the newest ``keep_last`` versions (never the
-        current one). Returns the versions removed."""
+        current one). Returns the versions removed.
+
+        Shallow-clone safe: a version directory OUTSIDE this table's
+        root (a shallow clone's borrowed reference to its source) is
+        dropped from the pointer state but never deleted from disk —
+        only the SOURCE table may reclaim its own files (the Delta
+        shallow-clone vacuum rule)."""
         state = self._state()
         keep = set(sorted((int(v) for v in state["versions"]))[-keep_last:])
         if state["current"] is not None:
             keep.add(state["current"])
         removed = []
+        root = os.path.realpath(self.path)
         for v in list(state["versions"]):
             if int(v) not in keep:
-                shutil.rmtree(
-                    os.path.join(self.path, state["versions"][v]["dir"]),
-                    ignore_errors=True,
+                vdir = os.path.realpath(
+                    os.path.join(self.path, state["versions"][v]["dir"])
                 )
+                if vdir.startswith(root + os.sep):
+                    shutil.rmtree(vdir, ignore_errors=True)
                 del state["versions"][v]
                 removed.append(int(v))
         self._commit_state(state)
         return sorted(removed)
+
+    def clone(self, dest_path: str, *, shallow: bool = False) -> "VersionedTable":
+        """CLONE the table (the Delta ``CLONE`` verb): a new table at
+        ``dest_path`` with the full version history, current pointer,
+        and idempotence tokens, that then EVOLVES INDEPENDENTLY —
+        commits to the clone never touch the source and vice versa
+        (immutable version directories make this safe by construction).
+
+        ``shallow=True`` is the zero-copy form: the clone's pointer
+        references the SOURCE's version directories by absolute path
+        (``read`` resolves them unchanged — ``os.path.join`` yields the
+        absolute path as-is), so cloning costs one JSON write no matter
+        the table size; new commits land in the clone's own directory.
+        The clone must not outlive a source vacuum of the borrowed
+        versions (exactly Delta's shallow-clone caveat), and the
+        clone's own vacuum never deletes borrowed files (see
+        :meth:`vacuum`). ``shallow=False`` copies every version
+        directory — a portable, self-contained backup."""
+        dest = VersionedTable(dest_path)
+        if dest.current_version() is not None or dest.versions():
+            raise ValueError(f"clone destination is not empty: {dest_path}")
+        state = self._state()
+        new_state: dict = {"current": state["current"], "versions": {}}
+        for v, meta in state["versions"].items():
+            src_dir = os.path.join(self.path, meta["dir"])
+            new_meta = dict(meta)
+            if shallow:
+                new_meta["dir"] = os.path.realpath(src_dir)
+            else:
+                shutil.copytree(src_dir, os.path.join(dest_path, meta["dir"]))
+            new_state["versions"][v] = new_meta
+        dest._commit_state(new_state)
+        return dest

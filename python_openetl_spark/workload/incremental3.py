@@ -142,3 +142,79 @@ ORACLE = {
         FROM new GROUP BY 1
     """,
 }
+
+
+def m21_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table CLONE with independent evolution (plans/versioned.py
+    VersionedTable.clone — the Delta CLONE verb): a two-version source
+    is deep-cloned AND shallow-cloned (zero-copy: the shallow clone's
+    pointer borrows the source's version directories by absolute
+    path), the DEEP clone then commits a third version (every 3rd
+    key's value +1000), and the row checks the isolation matrix with
+    exact decimal checksums: the evolved clone reflects the merge, the
+    source and the shallow clone still read the ORIGINAL data and keep
+    their two-version history, and all three histories have the
+    expected lengths. A clone that shares mutable state with its
+    source — or a commit that leaks across — flips a checksum or a
+    version count."""
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    b0 = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("event_id").alias("id"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("v")
+        )
+    )
+    if not b0.take(1):
+        return spark.createDataFrame(
+            [],
+            "src_versions int, clone_versions int, shallow_versions int, "
+            "src_checksum double, clone_checksum double, shallow_checksum double",
+        )
+    base = tempfile.mkdtemp(prefix="poe_m21_")
+    src = VersionedTable(base + "/src")
+    src.commit(b0.filter(F.col("id") % 2 == 0))
+    src.commit(b0)
+    deep = src.clone(base + "/deep")
+    shallow = src.clone(base + "/shallow", shallow=True)
+    evolved = deep.read(spark).withColumn(
+        "v",
+        F.when(F.col("id") % 3 == 0, F.col("v") + F.lit(1000.0)).otherwise(
+            F.col("v")
+        ),
+    )
+    deep.commit(evolved)
+    return (
+        src.read(spark)
+        .agg(dsum("v").alias("src_checksum"))
+        .crossJoin(deep.read(spark).agg(dsum("v").alias("clone_checksum")))
+        .crossJoin(shallow.read(spark).agg(dsum("v").alias("shallow_checksum")))
+        .select(
+            F.lit(len(src.versions())).cast("int").alias("src_versions"),
+            F.lit(len(deep.versions())).cast("int").alias("clone_versions"),
+            F.lit(len(shallow.versions())).cast("int").alias("shallow_versions"),
+            "src_checksum",
+            "clone_checksum",
+            "shallow_checksum",
+        )
+    )
+
+
+QUERIES["m21_versioned_clone"] = m21_versioned_clone
+
+ORACLE["m21_versioned_clone"] = """
+    WITH b0 AS (
+      SELECT event_id AS id,
+             CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS v
+      FROM events GROUP BY event_id
+    )
+    SELECT 2 AS src_versions, 3 AS clone_versions, 2 AS shallow_versions,
+           CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS src_checksum,
+           CAST(SUM(CAST(
+             CASE WHEN id % 3 = 0 THEN v + 1000.0 ELSE v END
+             AS DECIMAL(24,6))) AS DOUBLE) AS clone_checksum,
+           CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS shallow_checksum
+    FROM b0
+    HAVING COUNT(*) > 0
+"""

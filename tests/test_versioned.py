@@ -78,3 +78,46 @@ def test_changes_between_versions(spark, tmp_path):
     again = {(r["id"], r["change_type"]) for r in vt.changes(spark, "id", 1, 2).collect()}
     assert again == got
     assert vt.changes(spark, "id", 2, 2).count() == 0
+
+
+def test_clone_deep_and_shallow_lifecycle(spark, tmp_path):
+    """m21's operator contract: clones carry history + tokens and
+    evolve independently; a shallow clone is zero-copy (borrowed
+    absolute dirs) and its vacuum never deletes the source's files;
+    cloning into a non-empty destination refuses."""
+    import os
+
+    import pytest as _pytest
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    src = VersionedTable(str(tmp_path / "src"))
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    df2 = spark.createDataFrame([(1, 11.0), (2, 20.0), (3, 30.0)], "id long, v double")
+    src.commit(df1, txn="t1")
+    src.commit(df2)
+
+    deep = src.clone(str(tmp_path / "deep"))
+    shallow = src.clone(str(tmp_path / "shallow"), shallow=True)
+    assert deep.versions() == shallow.versions() == src.versions() == [1, 2]
+    assert deep.has_txn("t1") and shallow.has_txn("t1")  # tokens survive
+    # zero-copy: shallow wrote no version directories of its own
+    assert not any(
+        d.startswith("v") for d in os.listdir(str(tmp_path / "shallow"))
+    )
+    # independent evolution: the deep clone commits; source unmoved
+    deep.commit(spark.createDataFrame([(9, 90.0)], "id long, v double"))
+    assert deep.current_version() == 3 and src.current_version() == 2
+    assert src.read(spark).count() == 3
+    assert shallow.read(spark).count() == 3  # borrowed v2
+    # shallow vacuum drops borrowed refs from ITS pointer but never
+    # deletes the source's files
+    shallow.commit(spark.createDataFrame([(8, 80.0)], "id long, v double"))
+    removed = shallow.vacuum(keep_last=1)
+    assert removed == [1, 2]
+    assert src.read(spark, version=1).count() == 2  # source v1 intact
+    assert src.read(spark, version=2).count() == 3
+    # time travel on the deep clone reaches copied history
+    assert deep.read(spark, version=1).count() == 2
+    with _pytest.raises(ValueError, match="not empty"):
+        src.clone(str(tmp_path / "deep"))
