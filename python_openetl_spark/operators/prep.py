@@ -661,3 +661,70 @@ def token_budget_selection(
         sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def epoch_mixture(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Epoch-style UP-sampling mixture — the other half of temperature
+    sampling that :func:`temperature_mixture` cannot express: its
+    accept-fraction is capped at 1, so a low-resource stratum can be
+    kept whole but never repeated, while real pretraining recipes run
+    small languages for MULTIPLE epochs (multiplier > 1) to hit the
+    temperature-weighted target. Each stratum gets the real multiplier
+    ``m_s = w_s · N / count_s`` (``w_s = count_s^alpha / Σ count^alpha``
+    — total output size stays ≈ N, mass shifted toward small strata),
+    realized deterministically: every row emits ``floor(m_s)`` full
+    copies plus one extra copy iff its id-hash bucket falls under the
+    fractional remainder — the same content-hash device as
+    :func:`mixture_resample`, so the expansion is exact, reproducible
+    under any partitioning, and engine-independent. Output carries
+    ``copy_idx`` (0-based) so downstream shuffling/packing can treat
+    copies as distinct examples.
+
+    Cross-engine exactness: alpha = 0.5 uses SQRT + FLOOR-scaled
+    decimal weights (the e08 rule); the per-stratum multiplier is
+    materialized as integer basis points (``FLOOR(m_s · SAMPLE_D)``),
+    so copy counts are integer arithmetic on both engines. Scale
+    shape: one tiny count agg broadcasts onto the corpus; the 1→N
+    expansion happens inside the scan (explode over a sequence), rows
+    never shuffle."""
+    pw = F.sqrt(F.col("cnt")) if alpha == 0.5 else F.pow(F.col("cnt"), F.lit(alpha))
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = counts.select(
+        strata_col,
+        "cnt",
+        F.floor(pw * F.lit(1e12)).cast("decimal(28,0)").alias("pw"),
+    )
+    norm = weighted.groupBy().agg(
+        F.sum("pw").alias("pw_sum"), F.sum("cnt").alias("total")
+    )
+    acc = weighted.crossJoin(F.broadcast(norm)).select(
+        strata_col,
+        F.floor(
+            F.lit(float(SAMPLE_D))
+            * (F.col("pw").cast("double") / F.col("pw_sum").cast("double"))
+            * F.col("total").cast("double")
+            / F.col("cnt").cast("double")
+        ).cast("bigint").alias("mult_bp"),
+    )
+    n_full = F.expr(f"mult_bp DIV {SAMPLE_D}")
+    extra = F.when(
+        sample_bucket(F.col(id_col), salt) < F.pmod(F.col("mult_bp"), F.lit(SAMPLE_D)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    n_copies = (n_full + extra).cast("int")
+    return (
+        docs.join(F.broadcast(acc), strata_col)
+        .withColumn("__n", n_copies)
+        .filter(F.col("__n") >= 1)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - F.lit(1)))
+        )
+        .drop("mult_bp", "__n")
+    )

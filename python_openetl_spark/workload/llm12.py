@@ -484,3 +484,52 @@ ORACLE["e09_dedup_temperature_corpus"] = f"""
              x -> x <> ''))) AS BIGINT) AS n_tokens
     FROM sel GROUP BY lang
 """
+
+
+def d56_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style UP-sampling mixture (operators/prep.py
+    epoch_mixture): temperature weights (alpha = 0.5) over the skewed
+    lang stratum realized as REAL multipliers — small languages emit
+    multiple deterministic copies per document (floor(m) full epochs +
+    one fractional epoch by id-hash), the dominant language
+    down-samples below 1 — which is the half of temperature sampling
+    e08's capped accept-fraction cannot express and the form actual
+    pretraining mixtures use. Copy counts are integer basis-point
+    arithmetic from the e08 decimal-weight device, so the expansion is
+    bit-identical across engines and partitionings; the 1→N explode
+    happens inside the scan, rows never shuffle."""
+    from python_openetl_spark.operators.prep import epoch_mixture
+
+    return epoch_mixture(
+        t(spark, sf_dir, "documents"), alpha=0.5, strata_col="lang"
+    ).select("doc_id", "lang", "copy_idx")
+
+
+QUERIES["d56_epoch_mixture"] = d56_epoch_mixture
+
+ORACLE["d56_epoch_mixture"] = """
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    w AS (SELECT lang, cnt,
+                 CAST(FLOOR(SQRT(cnt) * 1e12) AS DECIMAL(28,0)) AS pw
+          FROM c),
+    n AS (SELECT SUM(pw) AS pw_sum, SUM(cnt) AS total FROM w),
+    acc AS (
+      SELECT w.lang,
+             CAST(FLOOR(10000.0
+                  * (CAST(pw AS DOUBLE) / CAST(pw_sum AS DOUBLE))
+                  * CAST(total AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)
+               AS mult_bp
+      FROM w, n
+    ),
+    base AS (
+      SELECT d.doc_id, d.lang,
+             mult_bp // 10000
+             + CASE WHEN ('0x' || substr(md5(':' || CAST(d.doc_id AS VARCHAR)),
+                          1, 15))::UBIGINT % 10000 < mult_bp % 10000
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN acc USING (lang)
+    )
+    SELECT doc_id, lang, u.i AS copy_idx
+    FROM base, LATERAL unnest(range(0, n_copies)) AS u(i)
+    WHERE n_copies >= 1
+"""

@@ -231,3 +231,34 @@ def test_temperature_mixture_upweights_small_sources(spark):
     # identical accept_bp across strata: the rate gap must shrink vs alpha=0.5
     rate_p = {s: kept_p.get(s, 0) / counts[s] for s in counts}
     assert abs(rate_p[small] - rate_p[big]) <= abs(rate[small] - rate[big])
+
+
+def test_epoch_mixture_upsamples_small_strata(spark):
+    """d56: a small stratum's multiplier exceeds 1 (documents emit
+    multiple copies with distinct copy_idx), the dominant stratum
+    down-samples below 1, total output stays within a few percent of
+    the corpus size, and the expansion is deterministic."""
+    from python_openetl_spark.operators.prep import epoch_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_mixture(df, alpha=0.5, strata_col="lang")
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # sqrt weights: w_small/w_big = sqrt(100/900) = 1/3 -> m_small =
+    # (0.25 * 1000)/100 = 2.5x, m_big = (0.75 * 1000)/900 ~ 0.83x
+    assert per["small"] > 100 * 2 and per["small"] < 100 * 3
+    assert per["big"] < 900
+    total = sum(per.values())
+    assert abs(total - 1000) < 60
+    # full epochs carry every doc: copy_idx 0 and 1 present for ALL
+    # small docs, copy_idx 2 only for the fractional-keep subset
+    small = out.filter(F.col("lang") == "small")
+    assert small.filter(F.col("copy_idx") == 1).count() == 100
+    n2 = small.filter(F.col("copy_idx") == 2).count()
+    assert 0 < n2 < 100
+    # deterministic: second run identical
+    again = epoch_mixture(df, alpha=0.5, strata_col="lang")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
