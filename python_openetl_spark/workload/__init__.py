@@ -158,11 +158,12 @@ _MODULES = (
 #      (d02-d17 family, d31-d38, e02-e04).
 # That is exactly 50; after a green R9 nothing predates r5.
 #
-# _WINDOW_R10 should lead with the 9 round-9 post-window additions
+# _WINDOW_R10 should lead with the 10 round-9 post-window additions
 # (d55_paragraph_dedup, d56_epoch_mixture, x21_store_range_search,
 # x22_store_knn_join, s13_stream_stream_interval_join,
-# q79_regression_aggs, mm07_cdc_offset_invariant_dedup,
-# e09_dedup_temperature_corpus, m21_versioned_clone — all
+# q79_regression_aggs, q80_strict_sequence_funnel,
+# mm07_cdc_offset_invariant_dedup, e09_dedup_temperature_corpus,
+# m21_versioned_clone — all
 # oracle/hostile/soak-verified in round 9), then the 25 remaining
 # r5-checked rows in ledger order (k05, m14, mm01-mm04, q54-q59, s07,
 # u01-u04, x01-x04, x04p, x06, x09, x10), then the oldest r6-checked

@@ -296,3 +296,60 @@ ORACLE["q79_regression_aggs"] = """
                   * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr_xy
     FROM agg
 """
+
+
+def q80_strict_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-SEQUENCE funnel (the common MATCH_RECOGNIZE shape): per
+    user, occurrences of view → click → purchase as ADJACENT events in
+    the user's event-time stream, each step within 30 minutes of the
+    previous — q61's funnel counts users who EVER did each step in
+    order; this detects the contiguous pattern itself, which is what
+    "did the session convert directly" actually asks. Realized with
+    the LEAD pair over one (user) partitioning (pattern matching as
+    window adjacency — no self-joins, no explosion): two leads of
+    (event_type, ts), a single filter for the pattern row, then a
+    per-user rollup (match count + first match). Ordering is total via
+    (ts, event_id), the q77 tiebreak rule; timestamps compare as
+    unix_micros integers on both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead(F.unix_micros("ts"), 1).over(w).alias("us1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead(F.unix_micros("ts"), 2).over(w).alias("us2"),
+    )
+    m = x.filter(
+        (F.col("event_type") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("t2") == "purchase")
+        & (F.col("us1") - F.col("us") <= 1_800_000_000)
+        & (F.col("us2") - F.col("us1") <= 1_800_000_000)
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_funnels"),
+        F.min("us").alias("first_funnel_us"),
+    )
+
+
+QUERIES["q80_strict_sequence_funnel"] = q80_strict_sequence_funnel
+
+ORACLE["q80_strict_sequence_funnel"] = """
+    WITH x AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(epoch_us(ts), 1) OVER w AS us1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(epoch_us(ts), 2) OVER w AS us2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_funnels, MIN(us) AS first_funnel_us
+    FROM x
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND us1 - us <= 1800000000 AND us2 - us1 <= 1800000000
+    GROUP BY user_id
+"""
