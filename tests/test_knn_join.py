@@ -202,3 +202,19 @@ def test_store_knn_join_exact_filtered_and_recall(spark, emb, tmp_path):
         spark, root, anchor_q, k=1, nprobe=1, exclude_self=False
     ).collect()[0]
     assert top["vec_id"] == 7 and top["cos_sim"] > 0.999999
+    # lifecycle: a rebuild (new quantizer, new version dir) and a
+    # vacuum of the superseded version leave the join's answer
+    # unchanged — the join resolves the pointer per call
+    from python_openetl_spark.operators.ivf_store import (
+        rebuild_ivf_store,
+        vacuum_ivf_store,
+    )
+
+    rebuild_ivf_store(spark, root)
+    vacuum_ivf_store(root, keep_last=1)
+    got2 = ivf_store_knn_join(
+        spark, root, queries, k=3, nprobe=8, where="label = 0", exclude_self=False
+    )
+    assert {(r["query_id"], r["vec_id"], r["rank"]) for r in got2.collect()} == {
+        (r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()
+    }
