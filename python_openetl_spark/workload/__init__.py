@@ -158,16 +158,56 @@ _MODULES = (
 #      (d02-d17 family, d31-d38, e02-e04).
 # That is exactly 50; after a green R9 nothing predates r5.
 #
-# _WINDOW_R10 should lead with the 10 round-9 post-window additions
-# (d55_paragraph_dedup, d56_epoch_mixture, x21_store_range_search,
-# x22_store_knn_join, s13_stream_stream_interval_join,
-# q79_regression_aggs, q80_strict_sequence_funnel,
-# mm07_cdc_offset_invariant_dedup, e09_dedup_temperature_corpus,
-# m21_versioned_clone — all
-# oracle/hostile/soak-verified in round 9), then the 25 remaining
-# r5-checked rows in ledger order (k05, m14, mm01-mm04, q54-q59, s07,
-# u01-u04, x01-x04, x04p, x06, x09, x10), then the oldest r6-checked
-# rows.
+# Round 10's window (_WINDOW_R10), per the rotation rule
+# (never-checked rows lead, oldest evidence fills):
+#   1. the 10 round-9 post-window additions that have never had a
+#      driver row (d55, d56, x21, x22, s13, q79, q80, mm07, e09,
+#      m21 — all oracle/hostile-checked and independently
+#      sf0.1-soaked by the round-9 judge; k13 stays excluded:
+#      rows-only by design with an r8 driver row);
+#   2. the 25 remaining r5-checked rows in COVERAGE.md ledger order
+#      (k05, m14, mm01-mm04, q54-q59, s07, u01-u04, x01-x04, x04p,
+#      x06, x09, x10);
+#   3. the first 15 r6-checked rows in ledger order (d01, d06, d12,
+#      d14, d18-d24, d39-d42).
+# That is exactly 50; after a green R10 every one of the 235 queries
+# has driver evidence and nothing predates r6.
+#
+# _WINDOW_R11 should lead with any round-10 post-window additions,
+# then the 35 remaining r6-checked rows in ledger order (d43-d50,
+# e01, e05, k02, k06-k08, m15-m18, q60-q68, s08, u05, u06, x05, x07,
+# x11-x13), then the oldest r7-checked rows.
+_WINDOW_R10 = (
+    # never driver-checked (round-9 post-window additions)
+    "d55_paragraph_dedup", "d56_epoch_mixture",
+    "x21_store_range_search", "x22_store_knn_join",
+    "s13_stream_stream_interval_join", "q79_regression_aggs",
+    "q80_strict_sequence_funnel", "mm07_cdc_offset_invariant_dedup",
+    "e09_dedup_temperature_corpus", "m21_versioned_clone",
+    # oldest r5-checked rows in ledger order (25)
+    "k05_manifest_pruned_scan", "m14_partition_overwrite",
+    "mm01_binary_payload_stats", "mm02_image_decode",
+    "mm03_frame_sample", "mm04_modality_dispatch",
+    "q54_order_priority_checking", "q55_priority_shipping",
+    "q56_supplier_cnt_by_part", "q57_part_promotion_suppliers",
+    "q58_hll_distinct_sketch", "q59_approx_quantile_sketch",
+    "s07_outer_interval_join",
+    "u01_pandas_udf_norm", "u02_apply_in_pandas_zscore",
+    "u03_python_udf_priority", "u04_python_udtf_terms",
+    "x01_cosine_topk", "x02_cosine_pairs_exact",
+    "x03_cosine_topk_arrow", "x04_lsh_cosine_pairs",
+    "x04p_lsh_production_recall", "x06_quantize_embeddings",
+    "x09_ivf_pq_topk", "x10_hybrid_search_rrf",
+    # oldest r6-checked rows in ledger order (15)
+    "d01_exact_dedup", "d06_minhash_lsh_candidates",
+    "d12_dup_clusters", "d14_embedding_dup_clusters",
+    "d18_repetition_stats", "d19_contamination_check",
+    "d20_pii_redaction", "d21_sequence_packing",
+    "d22_mixture_resample", "d23_incremental_dedup",
+    "d24_training_shuffle", "d39_url_dedup", "d40_pagerank",
+    "d41_blocked_fuzzy_pairs", "d42_k_anonymity",
+)
+#
 _WINDOW_R9 = (
     # never driver-checked (round-8 post-window additions)
     "x19_knn_join_linkage", "s12_stream_ivf_ingest",
@@ -386,9 +426,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R9 if n not in out]
+    missing = [n for n in _WINDOW_R10 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R9}
+    ordered = {n: out[n] for n in _WINDOW_R10}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
