@@ -22,12 +22,26 @@ same sf, per-query deltas are printed to stderr and queries whose
 median AND min are both >40% and >0.3s over the snapshot are listed in
 the JSON line under "regressions" — thresholds sized so a flag means a
 plan change, not suite/JVM state (the r5/r6 flagged sets were disjoint
-run-to-run at 25%). Refresh the snapshot with
-``python bench.py > bench_out.json`` after a clean run.
+run-to-run at 25%). Refresh the snapshot by writing to a TEMP file
+first (``python bench.py > /tmp/bench_new.json && mv /tmp/bench_new.json
+bench_out.json``) — redirecting straight onto bench_out.json truncates
+the snapshot before this script reads it for the trend comparison.
+
+Adjudicating a flag (the r9 protocol): a flag is a PLAN regression
+only if (a) the flagged query's code path actually changed this round
+(``git diff`` the operator/workload modules it imports) AND (b) an
+isolated re-run reproduces the delta:
+``SPARK_GRAFT_ONLY=<name> python bench.py`` on an idle box, comparing
+the printed median to the snapshot. Flags on untouched code paths that
+vanish in isolation are machine-load noise — queries run
+name-hash-interleaved (not family-contiguous) precisely so one load
+spike cannot flag a whole family, but a long spike can still straddle
+several unrelated rows.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -95,7 +109,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     total = 0.0
-    for name in sorted(queries):
+    # Run order: deterministic name-hash interleave, NOT lexical (r9
+    # verdict #4). Lexical order runs each family back-to-back — the
+    # r9 driver bench flagged 4 consecutive heavy ANN rows whose code
+    # hadn't changed, because one machine-load spike during that
+    # segment moved the whole family past the threshold. Hashing the
+    # name scatters families across the suite so a transient spike
+    # lands on unrelated queries (which the median-AND-min gate then
+    # absorbs); the order is still identical run-to-run.
+    run_order = sorted(
+        queries, key=lambda n: hashlib.md5(n.encode()).hexdigest()
+    )
+    for name in run_order:
         runs: list[float] = []
         n = 0
         for _ in range(repeats):

@@ -242,8 +242,12 @@ def append_to_ivf_store(
     CAST to the store's types (names AND types are read from the live
     version, never from the batch — a batch carrying ``label`` as a
     different type would otherwise append type-mismatched parquet into
-    the same cell partitions and break later probes/rebuilds; an
-    un-castable column raises at analysis time instead)."""
+    the same cell partitions and break later probes/rebuilds). Casts
+    go through ``try_cast`` with an explicit null-introduced check
+    that raises ``ValueError`` when any value fails to cast — Spark's
+    plain CAST only raises under ANSI mode (Spark 4 default), and on
+    3.5 a bad value would silently become NULL, corrupting filterable
+    store metadata."""
     spark = batch.sparkSession
     idx_dir = current_index_dir(root)
     store_schema = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).schema
@@ -259,10 +263,32 @@ def append_to_ivf_store(
             f"append_to_ivf_store: batch lacks store attribute columns {missing}"
         )
     _, cnorm = _read_centroids(spark, idx_dir)
+    if attrs:
+        # try_cast + null-introduced check: one batch-sized aggregate.
+        # Plain CAST raises only under ANSI (Spark 4); on 3.5 a bad
+        # value silently nulls, so the check must be value-level.
+        nulled = batch.select(
+            *[
+                F.sum(
+                    (
+                        F.col(a).isNotNull()
+                        & F.col(a).try_cast(attr_types[a]).isNull()
+                    ).cast("int")
+                ).alias(a)
+                for a in attrs
+            ]
+        ).first()
+        bad = [a for a in attrs if (nulled[a] or 0) > 0]
+        if bad:
+            raise ValueError(
+                "append_to_ivf_store: batch values not castable to the "
+                f"store's attribute types in columns {bad} "
+                f"(store types: { {a: attr_types[a].simpleString() for a in bad} })"
+            )
     conformed = batch.select(
         id_col,
         vec_col,
-        *[F.col(a).cast(attr_types[a]).alias(a) for a in attrs],
+        *[F.col(a).try_cast(attr_types[a]).alias(a) for a in attrs],
     )
     assigned = conformed.mapInPandas(
         _assign_fn(cnorm, id_col, vec_col, attrs),

@@ -120,9 +120,15 @@ def _global_topk(local: DataFrame, query_id_col: str, id_col: str, k: int) -> Da
     )
 
 
-#: shortlist margin: GEMM selects k + margin candidates before the
-#: exact re-score, absorbing ULP-order flips at the k boundary
-_RESCORE_MARGIN = 4
+def _shortlist_size(k: int) -> int:
+    """GEMM selects ``k + max(4, k)`` candidates before the exact
+    re-score. The margin SCALES with k (r9 advice): a fixed +4 can
+    still drop a true top-k neighbor when more than 4 distinct
+    candidates sit within GEMM ULP noise at the k boundary (dense
+    near-duplicate clusters). k extra slots bound that failure to
+    "every one of the top 2k candidates is ULP-tied", while keeping
+    the re-score cost output-sized (≤ 2k·|queries| pairs)."""
+    return k + max(4, k)
 
 
 def _exact_rescore_topk(
@@ -213,12 +219,12 @@ def cosine_knn_join(
         .cogroup(q.groupBy("__cb", "__qb"))
         .applyInPandas(
             _gemm_topk_kernel(
-                id_col, query_id_col, vec_col, k + _RESCORE_MARGIN, exclude_self
+                id_col, query_id_col, vec_col, _shortlist_size(k), exclude_self
             ),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )
-    cand = _global_topk(local, query_id_col, id_col, k + _RESCORE_MARGIN)
+    cand = _global_topk(local, query_id_col, id_col, _shortlist_size(k))
     return _exact_rescore_topk(
         cand, corpus, queries, query_id_col, id_col, vec_col, k
     )
@@ -318,12 +324,12 @@ def ivf_knn_join(
         .cogroup(q.groupBy("__cell", "__qb"))
         .applyInPandas(
             _gemm_topk_kernel(
-                id_col, query_id_col, vec_col, k + _RESCORE_MARGIN, exclude_self
+                id_col, query_id_col, vec_col, _shortlist_size(k), exclude_self
             ),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )
-    cand = _global_topk(local, query_id_col, id_col, k + _RESCORE_MARGIN)
+    cand = _global_topk(local, query_id_col, id_col, _shortlist_size(k))
     return _exact_rescore_topk(
         cand, corpus, queries, query_id_col, id_col, vec_col, k
     )
@@ -419,12 +425,12 @@ def ivf_store_knn_join(
         .cogroup(q.groupBy("__cell", "__qb"))
         .applyInPandas(
             _gemm_topk_kernel(
-                id_col, query_id_col, vec_col, k + _RESCORE_MARGIN, exclude_self
+                id_col, query_id_col, vec_col, _shortlist_size(k), exclude_self
             ),
             schema=_OUT_SCHEMA.format(qid=query_id_col, cid=id_col),
         )
     )
-    cand = _global_topk(local, query_id_col, id_col, k + _RESCORE_MARGIN)
+    cand = _global_topk(local, query_id_col, id_col, _shortlist_size(k))
     return _exact_rescore_topk(
         cand, assigned, queries, query_id_col, id_col, vec_col, k
     )

@@ -460,7 +460,10 @@ def cdc_chunk_fingerprints(
     (the mm05/mm06 rule). NULL payloads emit nothing; a zero-byte
     payload has no chunks. ``decoder`` is the usual injectable seam
     (default sha256) so a real deployment can fingerprint DECODED
-    samples instead of container bytes."""
+    samples instead of container bytes; its return value is truncated
+    to the first 8 bytes (the int64 fingerprint width) — returning
+    fewer than 8 is fine, the shorter digest just spans less of the
+    key space."""
     if window <= 0 or divisor <= 0:
         raise ValueError(f"window/divisor must be positive: {window}/{divisor}")
 
@@ -494,11 +497,14 @@ def cdc_chunk_fingerprints(
                     if e <= s:
                         continue
                     chunk = raw[s:e]
+                    # [:8] applies to injected decoders too (r9 advice):
+                    # the fingerprint is int64, so any longer digest
+                    # would overflow the Series construction at runtime
                     digest = (
                         decoder(chunk)
                         if decoder is not None
-                        else hashlib.sha256(chunk).digest()[:8]
-                    )
+                        else hashlib.sha256(chunk).digest()
+                    )[:8]
                     ids.append(i)
                     fps.append(int.from_bytes(digest, "big", signed=True))
             yield pd.DataFrame(
@@ -523,6 +529,7 @@ def cdc_chunk_near_dup(
     window: int = 8,
     divisor: int = 8,
     min_shared_chunks: int = 1,
+    max_chunk_docs: int | None = None,
     decoder=None,
 ) -> DataFrame:
     """Offset-invariant binary near-dup pairs by shared content-defined
@@ -530,12 +537,27 @@ def cdc_chunk_near_dup(
     exact-equality self-join on ``chunk_fp`` (chunks are exact-dup
     units — the fuzziness lives in the boundary rule, not the hash)
     rolled up to ``n_shared_chunks`` per pair. The join key is a
-    single int64, so the heavy exchange is 16 bytes/row; hot chunks
-    (a zero-run appearing in everything) behave like hot LSH bands —
-    bounded by ``distinct()`` per payload before the join."""
+    single int64, so the heavy exchange is 16 bytes/row.
+
+    ``max_chunk_docs`` drops chunk fingerprints shared by MORE than N
+    payloads before the self-join (None = exact). This is the same
+    stop-key cap as ``ngram_jaccard_pairs``'s ``max_shingle_docs``
+    (operators/dedup.py): ``distinct()`` per payload bounds repeats
+    WITHIN a document, but a UNIVERSAL chunk — a zero-run, a shared
+    container header — appears once per payload and makes the pair
+    join quadratic in corpus size. At 100× scale always set a cap; a
+    chunk in half the corpus carries no near-dup signal anyway."""
     fp = cdc_chunk_fingerprints(
         df, payload_col, id_col, window=window, divisor=divisor, decoder=decoder
     )
+    if max_chunk_docs is not None:
+        rare = (
+            fp.groupBy("chunk_fp")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_chunk_docs)
+            .select("chunk_fp")
+        )
+        fp = fp.join(rare, "chunk_fp", "left_semi")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

@@ -693,8 +693,16 @@ def epoch_mixture(
     so copy counts are integer arithmetic on both engines. Scale
     shape: one tiny count agg broadcasts onto the corpus; the 1→N
     expansion happens inside the scan (explode over a sequence), rows
-    never shuffle."""
+    never shuffle.
+
+    Rows with a NULL stratum are DROPPED (r9 advice): they are
+    filtered before the count agg so they neither receive copies nor
+    skew ``pw_sum``/``total`` — a mixture weight for "unknown source"
+    is not meaningful; tag such rows upstream if they should
+    participate. (``mixture_resample`` drops them the same way, via
+    its weights join.)"""
     pw = F.sqrt(F.col("cnt")) if alpha == 0.5 else F.pow(F.col("cnt"), F.lit(alpha))
+    docs = docs.filter(F.col(strata_col).isNotNull())
     counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("cnt"))
     weighted = counts.select(
         strata_col,

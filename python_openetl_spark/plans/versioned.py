@@ -197,7 +197,14 @@ class VersionedTable:
         versions (exactly Delta's shallow-clone caveat), and the
         clone's own vacuum never deletes borrowed files (see
         :meth:`vacuum`). ``shallow=False`` copies every version
-        directory — a portable, self-contained backup."""
+        directory — a portable, self-contained backup. A deep clone
+        LOCALIZES borrowed (shallow-clone) versions: their absolute
+        source dirs are copied into the destination under the local
+        ``v{n}`` name, so the deep clone is self-contained even when
+        the source was itself a shallow clone (copying a borrowed
+        version the source already vacuumed raises
+        ``FileNotFoundError`` — the same staleness the shallow caveat
+        documents)."""
         dest = VersionedTable(dest_path)
         if dest.current_version() is not None or dest.versions():
             raise ValueError(f"clone destination is not empty: {dest_path}")
@@ -209,7 +216,14 @@ class VersionedTable:
             if shallow:
                 new_meta["dir"] = os.path.realpath(src_dir)
             else:
-                shutil.copytree(src_dir, os.path.join(dest_path, meta["dir"]))
+                # Localize under the canonical v{n} name: meta["dir"] may be
+                # an ABSOLUTE borrowed dir (this table is a shallow clone),
+                # and joining an absolute path would resolve to the SOURCE
+                # directory itself (copytree onto itself / post-vacuum
+                # FileNotFoundError). Version keys are unique, so v{n} is
+                # collision-free in the empty destination.
+                new_meta["dir"] = f"v{int(v)}"
+                shutil.copytree(src_dir, os.path.join(dest_path, new_meta["dir"]))
             new_state["versions"][v] = new_meta
         dest._commit_state(new_state)
         return dest

@@ -508,7 +508,8 @@ def d56_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["d56_epoch_mixture"] = d56_epoch_mixture
 
 ORACLE["d56_epoch_mixture"] = """
-    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents
+               WHERE lang IS NOT NULL GROUP BY lang),
     w AS (SELECT lang, cnt,
                  CAST(FLOOR(SQRT(cnt) * 1e12) AS DECIMAL(28,0)) AS pw
           FROM c),

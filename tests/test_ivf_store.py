@@ -358,3 +358,35 @@ def test_range_search_exact_and_subset_properties(spark, store):
         ivf_store_range_search(spark, store, q, radius=1.000001, nprobe=16).count()
         == 0
     )
+
+
+def test_append_uncastable_attr_value_raises(spark, tmp_path):
+    """Round-9 advice: plain CAST only raises under ANSI (Spark 4);
+    on 3.5 an un-castable value silently becomes NULL and corrupts
+    filterable store metadata. append_to_ivf_store therefore runs a
+    value-level try_cast null-introduced check and raises ValueError,
+    and a genuinely-NULL input attribute still appends fine."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "strict_store")
+    build_ivf_store(
+        emb.filter(F.col("vec_id") % 10 != 7), root, nlist=8, attr_cols=("label",)
+    )
+    # label is numeric in the store; a non-numeric string cannot cast
+    bad = (
+        emb.filter(F.col("vec_id") % 10 == 7)
+        .withColumn("label", F.lit("not-a-number"))
+    )
+    with _pytest.raises(ValueError, match="not castable.*label"):
+        append_to_ivf_store(bad, root)
+    # NULL input values are NOT cast failures — they pass through
+    ok = (
+        emb.filter(F.col("vec_id") % 10 == 7)
+        .withColumn("label", F.lit(None).cast("string"))
+    )
+    append_to_ivf_store(ok, root)
+    from python_openetl_spark.operators.ivf_store import current_index_dir
+
+    live = spark.read.parquet(f"{current_index_dir(root)}/assigned")
+    assert live.count() == emb.count()

@@ -218,3 +218,32 @@ def test_store_knn_join_exact_filtered_and_recall(spark, emb, tmp_path):
     assert {(r["query_id"], r["vec_id"], r["rank"]) for r in got2.collect()} == {
         (r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()
     }
+
+
+def test_shortlist_margin_scales_with_k_under_dense_ties(spark):
+    """r9 advice: a fixed +4 shortlist can drop a true top-k neighbor
+    when >4 candidates are ULP-tied at the k boundary. The margin now
+    scales with k (_shortlist_size = k + max(4, k)). Plant a corpus
+    where ALL 24 vectors are exactly tied in cosine (same direction,
+    different magnitudes) and k=8 — any shortlist truncation that
+    reorders ties would surface as a wrong id set; the exact contract
+    is the k lowest ids (the deterministic tiebreak)."""
+    from python_openetl_spark.operators.knn_join import _shortlist_size
+
+    assert _shortlist_size(3) == 7  # small k keeps the old +4 floor
+    assert _shortlist_size(8) == 16  # large k gets a k-sized margin
+    base = [1.0, 2.0, 3.0, 4.0]
+    corpus = spark.createDataFrame(
+        [(i, [x * (1.0 + i) for x in base]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(1000, base)], "query_id long, embedding array<float>"
+    )
+    res = cosine_knn_join(
+        corpus, q, k=8, corpus_block_rows=5, query_block_rows=4,
+        exclude_self=False,
+    ).collect()
+    assert [r["vec_id"] for r in sorted(res, key=lambda r: r["rank"])] == list(
+        range(8)
+    )

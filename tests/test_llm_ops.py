@@ -646,3 +646,72 @@ def test_mm07_planted_pairs_have_margin(spark):
     ).filter(F.col("doc_b") == F.col("doc_a") + 8_000_000)
     m = shared.agg(F.min("n_shared_chunks").alias("m")).collect()[0]["m"]
     assert m is not None and m >= 10, f"weakest planted pair shares only {m}"
+
+
+def test_cdc_near_dup_hot_chunk_cap_bounds_pairs(spark):
+    """r9 verdict #2: a UNIVERSAL chunk (zero-run / shared header) makes
+    the chunk self-join quadratic — max_chunk_docs drops fingerprints
+    shared by more than N payloads before the join, exactly like
+    ngram_jaccard_pairs' max_shingle_docs. Plant a common block in
+    every payload: uncapped pairs are quadratic, capped pairs keep
+    only the genuinely-related near-dup pair; an 8-byte-digest
+    injected decoder is also exercised (the r9 truncation contract)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    common = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    content = rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()
+    rows = [(1, content), (2, bytes(range(64)) + content)]
+    # 10 unrelated docs that all embed the same universal block
+    for i in range(3, 13):
+        uniq = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+        rows.append((i, common + uniq))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    uncapped = multimodal.cdc_chunk_near_dup(df, divisor=8)
+    capped = multimodal.cdc_chunk_near_dup(df, divisor=8, max_chunk_docs=4)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # universal block links all 10 planted docs pairwise (45 pairs)
+    assert n_un >= 45, n_un
+    cap_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1, 2) in cap_pairs  # the real near-dup survives the cap
+    assert n_cap < n_un / 4, (n_cap, n_un)
+    # an injected decoder returning MORE than 8 bytes must not overflow
+    import hashlib as _h
+
+    res = multimodal.cdc_chunk_near_dup(
+        df, divisor=8, max_chunk_docs=4,
+        decoder=lambda b: _h.sha256(b).digest(),  # 32 bytes, truncated
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in res.collect()} == cap_pairs
+
+
+def test_paragraph_dedup_hostile_universal_paragraph_no_window_sort(spark):
+    """r9 verdict #3+#5 hostile shapes: one paragraph planted in EVERY
+    document (the hot-fingerprint group), one document that is PURE
+    boilerplate (every paragraph loses -> n_kept=0, text_dedup=''),
+    and the plan-shape pin: the first-occurrence decision contains NO
+    Window operator — min(struct) partial-aggregates map-side, so a
+    universal paragraph can never become a corpus-sized one-task sort."""
+    P = 4
+    boiler = "all rights reserved by the publisher"  # > P tokens? no: 6 tokens
+    docs = []
+    for i in range(50):
+        unique = " ".join(f"u{i}w{j}" for j in range(P))
+        # boilerplate paragraph first, unique paragraph second
+        docs.append((i, " ".join(boiler.split()[:P]) + " " + unique))
+    docs.append((999, " ".join(boiler.split()[:P])))  # pure boilerplate
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.paragraph_dedup(df, para_tokens=P)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 51
+    # doc 0 wins the boilerplate; every other doc keeps only its unique
+    assert rows[0]["n_kept"] == 2
+    for i in range(1, 50):
+        assert rows[i]["n_kept"] == 1
+        assert rows[i]["text_dedup"] == " ".join(f"u{i}w{j}" for j in range(P))
+    # the pure-boilerplate doc reassembles to the empty string
+    assert rows[999]["n_kept"] == 0 and rows[999]["n_paras"] == 1
+    assert rows[999]["text_dedup"] == ""

@@ -262,3 +262,26 @@ def test_epoch_mixture_upsamples_small_strata(spark):
     # deterministic: second run identical
     again = epoch_mixture(df, alpha=0.5, strata_col="lang")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_epoch_mixture_null_stratum_dropped_without_skew(spark):
+    """r9 advice: NULL-stratum rows used to count in pw_sum/total but
+    be silently dropped by the equi-join, undershooting the ~N output
+    contract. They are now filtered BEFORE the count agg: output size
+    tracks the NON-NULL corpus and no NULL rows appear. Also covers
+    the hostile single-doc stratum with multiplier < 1 (r9 verdict #5):
+    a 1-doc stratum among big ones keeps w*N/1 >= 1, so it must emit
+    at least its own copy."""
+    from python_openetl_spark.operators.prep import epoch_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    rows += [(5000 + i, None) for i in range(500)]  # NULL stratum
+    rows.append((9999, "solo"))  # single-doc stratum
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_mixture(df, alpha=0.5, strata_col="lang")
+    assert out.filter(F.col("lang").isNull()).count() == 0
+    total = out.count()
+    # ~N of the NON-NULL corpus (1001), not of the padded 1501
+    assert abs(total - 1001) < 80, total
+    # the solo stratum's multiplier is w*N/1 > 1 -> several copies
+    assert out.filter(F.col("lang") == "solo").count() >= 1

@@ -121,3 +121,40 @@ def test_clone_deep_and_shallow_lifecycle(spark, tmp_path):
     assert deep.read(spark, version=1).count() == 2
     with _pytest.raises(ValueError, match="not empty"):
         src.clone(str(tmp_path / "deep"))
+
+
+def test_deep_clone_localizes_borrowed_versions(spark, tmp_path):
+    """Round-9 advice: deep-cloning a table that holds BORROWED
+    (shallow-clone) versions must localize them — meta['dir'] is an
+    absolute path into the SOURCE, and a naive join(dest, dir) would
+    copytree the source onto itself. The deep clone of a shallow
+    clone is self-contained: it survives a vacuum of the original."""
+    import os
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    src = VersionedTable(str(tmp_path / "src"))
+    src.commit(spark.createDataFrame([(1, 10.0)], "id long, v double"))
+    src.commit(spark.createDataFrame([(1, 11.0), (2, 22.0)], "id long, v double"))
+
+    shallow = src.clone(str(tmp_path / "shallow"), shallow=True)
+    # deep clone OF the shallow clone: both versions are borrowed
+    deep = shallow.clone(str(tmp_path / "deep"))
+    assert deep.versions() == [1, 2]
+    # localized: every version dir is relative and lives in the dest
+    state = deep._state()
+    for meta in state["versions"].values():
+        assert not os.path.isabs(meta["dir"]), meta["dir"]
+        assert os.path.isdir(os.path.join(str(tmp_path / "deep"), meta["dir"]))
+    # self-contained: vacuum the ORIGINAL source to nothing extra,
+    # then the deep clone still time-travels
+    src.commit(spark.createDataFrame([(9, 90.0)], "id long, v double"))
+    src.vacuum(keep_last=1)
+    assert deep.read(spark, version=1).count() == 1
+    assert deep.read(spark, version=2).count() == 2
+    # and the shallow clone's borrowed v1 is now gone from disk —
+    # the documented caveat the deep clone exists to escape
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        shallow.read(spark, version=1).count()
