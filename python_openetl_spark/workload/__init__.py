@@ -41,6 +41,7 @@ from python_openetl_spark.workload import (
     relational5,
     relational6,
     relational7,
+    relational8,
     scale,
     sinks_io,
     streaming2,
@@ -90,6 +91,8 @@ _MODULES = (
     relational7,
     # round-9 post-window additions (rotate into _WINDOW_R10)
     llm12,
+    # round-10 post-window additions (rotate into _WINDOW_R11)
+    relational8,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

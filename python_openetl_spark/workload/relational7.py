@@ -306,32 +306,27 @@ def q80_strict_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; this detects the contiguous pattern itself, which is what
     "did the session convert directly" actually asks. Realized with
     the LEAD pair over one (user) partitioning (pattern matching as
-    window adjacency — no self-joins, no explosion): two leads of
-    (event_type, ts), a single filter for the pattern row, then a
-    per-user rollup (match count + first match). Ordering is total via
-    (ts, event_id), the q77 tiebreak rule; timestamps compare as
-    unix_micros integers on both engines."""
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    x = ev.select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.lead("event_type", 1).over(w).alias("t1"),
-        F.lead(F.unix_micros("ts"), 1).over(w).alias("us1"),
-        F.lead("event_type", 2).over(w).alias("t2"),
-        F.lead(F.unix_micros("ts"), 2).over(w).alias("us2"),
-    )
-    m = x.filter(
-        (F.col("event_type") == "view")
-        & (F.col("t1") == "click")
-        & (F.col("t2") == "purchase")
-        & (F.col("us1") - F.col("us") <= 1_800_000_000)
-        & (F.col("us2") - F.col("us1") <= 1_800_000_000)
+    window adjacency — no self-joins, no explosion), a single filter
+    for the pattern row, then a per-user rollup (match count + first
+    match). Ordering is total via (ts, event_id), the q77 tiebreak
+    rule; timestamps compare as unix_micros integers on both engines.
+    Since round 10 this is the 3-step instance of the generalized
+    ``operators/funnel.py match_sequence`` (r9 verdict #8) — the
+    oracle SQL below is unchanged, which pins the refactor."""
+    from python_openetl_spark.operators.funnel import match_sequence
+
+    m = match_sequence(
+        t(spark, sf_dir, "events"),
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        max_gap_us=1_800_000_000,
     )
     return m.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_funnels"),
-        F.min("us").alias("first_funnel_us"),
+        F.min("start_us").alias("first_funnel_us"),
     )
 
 

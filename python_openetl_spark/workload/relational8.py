@@ -1,0 +1,81 @@
+"""Round-10 relational additions.
+
+- q81: 4-step strict-sequence funnel with per-transition time bounds —
+  the parameterized ``operators/funnel.py match_sequence`` exercised
+  beyond q80's fixed 3-step shape (r9 verdict #8): arbitrary step
+  predicates (the last step also requires a non-NULL ``value``) and a
+  DIFFERENT gap bound per transition, returning match-level rows
+  rather than a per-user rollup.
+
+Reference parity: tmccall8829/python-openetl has no event-pattern
+operator (row-level ETL only, openetl/etl.py); this family is part of
+the beyond-reference analytics surface (SURVEY.md §2).
+
+Registered after ``llm12`` in ``_MODULES``; round-10 post-window,
+rotates into ``_WINDOW_R11``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def q81_multi_step_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → view → click → purchase as ADJACENT events per user,
+    with per-transition bounds (48 h to first view, 24 h between the
+    rest) and a predicate beyond the event type on the final step
+    (``value IS NOT NULL`` — a purchase without an amount is not a
+    conversion). One shuffle: the step predicates project to booleans
+    BEFORE the user-partitioned window, so lead() carries 4 booleans
+    + micros, never the payload; the filter is one codegen span.
+    Match-level output (start/end micros + duration), ordered for the
+    driver hash by (user_id, start_us)."""
+    from python_openetl_spark.operators.funnel import match_sequence
+
+    m = match_sequence(
+        t(spark, sf_dir, "events"),
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        ],
+        max_gap_us=[172_800_000_000, 86_400_000_000, 86_400_000_000],
+    )
+    return m.select(
+        "user_id",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+    )
+
+
+QUERIES["q81_multi_step_funnel"] = q81_multi_step_funnel
+
+ORACLE["q81_multi_step_funnel"] = """
+    WITH x AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(epoch_us(ts), 1) OVER w AS us1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(epoch_us(ts), 2) OVER w AS us2,
+             LEAD(event_type, 3) OVER w AS t3,
+             LEAD(value, 3) OVER w AS v3,
+             LEAD(epoch_us(ts), 3) OVER w AS us3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, us AS start_us, us3 AS end_us, us3 - us AS duration_us
+    FROM x
+    WHERE event_type = 'signup' AND t1 = 'view' AND t2 = 'click'
+      AND t3 = 'purchase' AND v3 IS NOT NULL
+      AND us1 - us <= 172800000000
+      AND us2 - us1 <= 86400000000
+      AND us3 - us2 <= 86400000000
+"""

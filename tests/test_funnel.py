@@ -1,0 +1,131 @@
+"""operators/funnel.py — generalized strict-sequence matching
+(r9 verdict #8: q80's window-adjacency device as a parameterized
+operator with per-step predicates and per-transition time bounds)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.operators.funnel import match_sequence
+
+US = 1_000_000
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, sec, event_type, value)
+    return spark.createDataFrame(
+        [
+            (eid, uid, sec * US, et, v)
+            for eid, uid, sec, et, v in rows
+        ],
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def _steps3():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        F.col("event_type") == "a",
+        F.col("event_type") == "b",
+        F.col("event_type") == "c",
+    ]
+
+
+def test_adjacency_is_strict(spark):
+    """An intervening event between steps kills the match — that is
+    the contract that distinguishes this from q61's eventually-funnel."""
+    ok = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 10, "b", 1.0), (3, 1, 20, "c", 1.0)])
+    gap = _events(
+        spark,
+        [(1, 2, 0, "a", 1.0), (2, 2, 5, "x", 1.0), (3, 2, 10, "b", 1.0), (4, 2, 20, "c", 1.0)],
+    )
+    assert match_sequence(ok, _steps3()).count() == 1
+    assert match_sequence(gap, _steps3()).count() == 0
+    r = match_sequence(ok, _steps3()).first()
+    assert r["start_us"] == 0 and r["end_us"] == 20 * US
+    assert r["step_us"] == [0, 10 * US, 20 * US]
+
+
+def test_per_transition_gap_bounds(spark):
+    """Gaps are per-TRANSITION: [15s, 5s] accepts (0,10,14) but not
+    (0,10,16); a single int applies to every transition."""
+    ev = _events(
+        spark,
+        [(1, 1, 0, "a", 1.0), (2, 1, 10, "b", 1.0), (3, 1, 14, "c", 1.0),
+         (4, 2, 0, "a", 1.0), (5, 2, 10, "b", 1.0), (6, 2, 16, "c", 1.0)],
+    )
+    got = {
+        r["user_id"]
+        for r in match_sequence(ev, _steps3(), max_gap_us=[15 * US, 5 * US]).collect()
+    }
+    assert got == {1}
+    assert match_sequence(ev, _steps3(), max_gap_us=20 * US).count() == 2
+    assert match_sequence(ev, _steps3(), max_gap_us=None).count() == 2
+
+
+def test_overlapping_matches_all_report(spark):
+    """a b a b c: the trailing (a b c)? No — strict adjacency means
+    only rows 3,4,5 form a match; rows 1,2 are broken by row 3.
+    But a a b c yields one match (second a); a b c b c from a
+    predicate that repeats yields every aligned occurrence."""
+    ev = _events(
+        spark,
+        [(1, 1, 0, "a", 1.0), (2, 1, 1, "b", 1.0), (3, 1, 2, "a", 1.0),
+         (4, 1, 3, "b", 1.0), (5, 1, 4, "c", 1.0)],
+    )
+    rows = match_sequence(ev, _steps3()).collect()
+    assert len(rows) == 1 and rows[0]["start_us"] == 2 * US
+
+
+def test_string_predicates_and_null_handling(spark):
+    """SQL-string steps work; a NULL predicate result (NULL value
+    compared) is a non-match, not an error."""
+    ev = _events(
+        spark,
+        [(1, 1, 0, "a", None), (2, 1, 1, "b", 2.0),
+         (3, 2, 0, "a", 5.0), (4, 2, 1, "b", 2.0)],
+    )
+    m = match_sequence(ev, ["event_type = 'a' AND value > 1", "event_type = 'b'"])
+    assert {r["user_id"] for r in m.collect()} == {2}
+
+
+def test_single_step_and_errors(spark):
+    ev = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 1, "b", 1.0)])
+    m = match_sequence(ev, [F.col("event_type") == "b"])
+    r = m.first()
+    assert m.count() == 1 and r["start_us"] == r["end_us"] == 1 * US
+    with pytest.raises(ValueError, match="non-empty"):
+        match_sequence(ev, [])
+    with pytest.raises(ValueError, match="gap bounds"):
+        match_sequence(ev, _steps3(), max_gap_us=[1])
+
+
+def test_tiebreak_totalizes_same_timestamp(spark):
+    """Same-ts events order by event_id, so the match is deterministic
+    under any partitioning (the q77 tiebreak rule)."""
+    ev = _events(
+        spark,
+        [(2, 1, 0, "b", 1.0), (1, 1, 0, "a", 1.0), (3, 1, 1, "c", 1.0)],
+    )
+    assert match_sequence(ev, _steps3()).count() == 1
+
+
+def test_one_exchange_and_no_payload_in_window(spark):
+    """Plan shape: exactly one shuffle (the user partitioning) feeds
+    the window; the lead columns are booleans + micros, so the sort
+    never carries event payloads."""
+    ev = _events(spark, [(i, i % 7, i, "a", 1.0) for i in range(100)])
+    plan = (
+        match_sequence(ev, _steps3(), max_gap_us=60 * US)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan

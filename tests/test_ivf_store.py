@@ -358,6 +358,16 @@ def test_range_search_exact_and_subset_properties(spark, store):
         ivf_store_range_search(spark, store, q, radius=1.000001, nprobe=16).count()
         == 0
     )
+    # radius BELOW every possible cosine (r9 verdict #5): full probe
+    # returns every (query, vector) pair except self-matches
+    n_all = ivf_store_range_search(
+        spark, store, q, radius=-1.000001, nprobe=16
+    ).count()
+    n_q = len(q)
+    n_self = emb.filter(
+        F.col("vec_id").isin([int(v) for v in q["query_id"]])
+    ).count()
+    assert n_all == n_q * emb.count() - n_self
 
 
 def test_append_uncastable_attr_value_raises(spark, tmp_path):

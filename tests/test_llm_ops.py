@@ -615,6 +615,17 @@ def test_cdc_chunks_are_offset_invariant(spark):
         for r in multimodal.cdc_chunk_fingerprints(df2, divisor=8).collect()
     ]
     assert len(fps) == len(set(fps))
+    # payload SHORTER than the rolling window (r9 verdict #5): no
+    # context ever fills, so no cuts — exactly one whole-payload chunk
+    short = spark.createDataFrame(
+        [(20, b"abc"), (21, b"\x00")], "doc_id long, payload binary"
+    )
+    per = {
+        r["doc_id"]: r["n"]
+        for r in multimodal.cdc_chunk_fingerprints(short, window=8, divisor=8)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per == {20: 1, 21: 1}
 
 
 def test_mm07_planted_pairs_have_margin(spark):
