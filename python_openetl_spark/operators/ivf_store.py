@@ -29,6 +29,10 @@ and splits the lifecycle the way the incremental-dedup family does
 - :func:`rebuild_ivf_store` — writes a NEW version directory and
   commits it with one atomic pointer replace; in-flight readers keep
   scanning the version they resolved at query start.
+- :func:`delete_from_ivf_store` — FAISS ``remove_ids`` parity as
+  id-level tombstones (the deletion-vector device): delete-sized
+  cost, all read paths anti-join the tombstones, compaction happens
+  at the next rebuild.
 - :func:`vacuum_ivf_store` — the explicit deletion point: prunes
   superseded version directories once no reader can still hold them.
 
@@ -70,7 +74,25 @@ def _cosine_clamped(a, b):
 
 _CENTROIDS = "centroids.parquet"
 _ASSIGNED = "assigned"
+_DELETED = "deleted"
 _POINTER = "_current.json"
+
+
+def _load_assigned(
+    spark: SparkSession, idx_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The ONE place store contents are read: the cell-partitioned
+    ``assigned`` scan minus the version's id-level tombstones (see
+    :func:`delete_from_ivf_store`). Every probe/rebuild/join path goes
+    through here so delete semantics cannot drift between verbs. The
+    tombstone set is broadcast — its size is bounded by rebuild
+    cadence, the deletion-vector contract."""
+    df = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED))
+    ddir = os.path.join(idx_dir, _DELETED)
+    if os.path.isdir(ddir):
+        tomb = spark.read.parquet(ddir).select(id_col).distinct()
+        df = df.join(F.broadcast(tomb), id_col, "left_anti")
+    return df
 
 
 def _version_dir(root: str, version: int) -> str:
@@ -301,6 +323,63 @@ def append_to_ivf_store(
     )
 
 
+def delete_from_ivf_store(
+    spark: SparkSession,
+    root: str,
+    *,
+    ids: "list[int] | None" = None,
+    where: str | None = None,
+    id_col: str = "vec_id",
+) -> int:
+    """FAISS ``remove_ids`` / Delta deletion-vector parity: delete
+    vectors from the live version by explicit id list OR by a SQL
+    predicate over the store's columns (attributes, id — anything in
+    the assigned schema). Returns the number of LIVE rows deleted.
+
+    Design: id-level TOMBSTONES, not a rewrite. Deleting rewrites
+    nothing — matching ids append to ``<version>/deleted/`` and every
+    read path (:func:`_load_assigned`: probes, range search, store kNN
+    joins, rebuild) anti-joins them out. Cost is delete-sized; a
+    predicate delete scans the (partition-pruned, columnar) store once
+    to find ids, never touches vectors. Deletes COMPACT at
+    :func:`rebuild_ivf_store`: the new version contains neither the
+    tombstoned rows nor the tombstones. This is the LSM/deletion-vector
+    trade every production store makes — O(1)-ish deletes, bounded
+    probe overhead (one broadcast anti-join on the id), reclaimed at
+    the scheduled rebuild.
+
+    Contract notes (stated, because they surprise): tombstones apply
+    by ID within the live version lineage — appending a vector that
+    reuses a deleted id stays invisible until a rebuild clears the
+    tombstones (rebuild first, then append, to resurrect an id).
+    Exactly one of ``ids`` / ``where`` must be given. Deleting ids not
+    in the store is a no-op that returns 0, not an error (the FAISS
+    semantic)."""
+    if (ids is None) == (where is None):
+        raise ValueError("delete_from_ivf_store: pass exactly one of ids/where")
+    idx_dir = current_index_dir(root)
+    live = _load_assigned(spark, idx_dir, id_col)
+    if where is not None:
+        doomed = live.filter(F.expr(where)).select(id_col).distinct()
+    else:
+        id_df = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} long"
+        )
+        doomed = live.select(id_col).join(
+            F.broadcast(id_df.distinct()), id_col, "left_semi"
+        )
+    doomed = doomed.persist()
+    try:
+        n = doomed.count()
+        if n:
+            doomed.coalesce(1).write.mode("append").parquet(
+                os.path.join(idx_dir, _DELETED)
+            )
+    finally:
+        doomed.unpersist()
+    return n
+
+
 def ivf_store_topk(
     spark: SparkSession,
     root: str,
@@ -344,7 +423,7 @@ def ivf_store_topk(
         f"{query_id_col} long, __qv array<float>",
     )
     wanted = sorted({c for _, c in pairs})
-    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).filter(
+    assigned = _load_assigned(spark, idx_dir, id_col).filter(
         F.col("cell").isin(wanted)  # partition-pruned directory scan
     )
     if where is not None:
@@ -413,7 +492,7 @@ def ivf_store_range_search(
         f"{query_id_col} long, __qv array<float>",
     )
     wanted = sorted({c for _, c in pairs})
-    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).filter(
+    assigned = _load_assigned(spark, idx_dir, id_col).filter(
         F.col("cell").isin(wanted)
     )
     if where is not None:
@@ -456,7 +535,9 @@ def rebuild_ivf_store(
     plans/versioned.py)."""
     version = _current_version(root)
     cur_dir = _version_dir(root, version)
-    full = spark.read.parquet(os.path.join(cur_dir, _ASSIGNED))
+    # _load_assigned drops tombstoned ids, so deletes COMPACT here:
+    # the new version contains neither the rows nor the tombstones
+    full = _load_assigned(spark, cur_dir, id_col)
     # attribute columns survive the rebuild (everything except cell,
     # which the new quantizer reassigns)
     attrs = tuple(c for c in full.columns if c not in (id_col, vec_col, "cell"))

@@ -373,10 +373,8 @@ def ivf_store_knn_join(
     is what makes a brute-force filtered SQL a full value-hash oracle
     (the x07/x20/x21 device); production nprobe inherits IVF's
     probed-cells recall contract."""
-    import os
-
     from python_openetl_spark.operators.ivf_store import (
-        _ASSIGNED,
+        _load_assigned,
         _read_centroids,
         current_index_dir,
     )
@@ -408,7 +406,7 @@ def ivf_store_knn_join(
                 }
             )
 
-    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED))
+    assigned = _load_assigned(spark, idx_dir, id_col)
     if where is not None:
         assigned = assigned.filter(F.expr(where))
     c = assigned.select(

@@ -34,6 +34,7 @@ from python_openetl_spark.workload import (
     llm9,
     llm11,
     llm12,
+    llm13,
     relational,
     relational2,
     relational3,
@@ -93,6 +94,7 @@ _MODULES = (
     llm12,
     # round-10 post-window additions (rotate into _WINDOW_R11)
     relational8,
+    llm13,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

@@ -1,0 +1,322 @@
+"""Round-10 LLM-pipeline / vector-store / streaming additions.
+
+- x23: DELETE on the persisted IVF store — the lifecycle verb FAISS
+  calls ``remove_ids`` and lakehouses call deletion vectors. The store
+  deletes by predicate (tombstones, delete-sized cost), and the probe
+  must act as if the rows never existed; the brute-force SQL over the
+  surviving id set is a full value-hash oracle for the tombstone
+  anti-join on the probe path.
+- d57: CCNet-style perplexity bucketing — per-document average token
+  log-probability under the corpus unigram LM, cut into head/middle/
+  tail terciles by exact rank (the filter step real pretraining
+  pipelines run; CCNet keeps head+middle).
+- s14: stream-stream LEFT OUTER interval join — the semantics
+  milestone past s13's inner join: unmatched left rows may only emit
+  once the watermark proves no match can still arrive, so the row
+  exercises the state-store eviction logic itself.
+
+Reference parity: the reference (tmccall8829/python-openetl) has no
+vector, LM, or streaming surface; these extend SURVEY.md §2's
+beyond-reference families (ANN store lifecycle, text analysis,
+structured streaming).
+
+Registered after ``relational8`` in ``_MODULES``; round-10
+post-window, rotates into ``_WINDOW_R11``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_openetl_spark.workload.util import t
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+#: x23 store memo: sf_dir -> store root. Build + delete are store
+#: PREPARATION (amortized infrastructure, the x20/x21/x22 convention);
+#: the probe under test runs fresh on every call.
+_X23_STORES: dict = {}
+
+
+def x23_store_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k probe of a store that DELETED a tenth of its vectors
+    (``vec_id % 10 = 3``, a predicate delete → id tombstones): the
+    deleted rows must be invisible to the probe exactly as if never
+    ingested — the tombstone anti-join sits on the partition-pruned
+    scan BEFORE any distance math, so deleted vectors can neither
+    rank nor displace. nprobe = nlist (the x07 exactness device)
+    makes the brute-force SQL over the surviving ids a full value-hash
+    oracle for delete semantics on the read path; compaction and
+    resurrect-after-rebuild are pinned in tests/test_ivf_store.py."""
+    from python_openetl_spark.operators.ivf_store import (
+        build_ivf_store,
+        delete_from_ivf_store,
+        ivf_store_topk,
+    )
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
+    p = ivf_params(emb.count())
+    import tempfile
+
+    root = _X23_STORES.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="poe_x23_") + "/ivf"
+        build_ivf_store(emb, root, nlist=p["nlist"])
+        delete_from_ivf_store(spark, root, where="vec_id % 10 = 3")
+        _X23_STORES[sf_dir] = root
+    queries = (
+        emb.filter(F.col("vec_id").isin(5, 10, 20))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return ivf_store_topk(spark, root, queries, k=5, nprobe=p["nlist"])
+
+
+QUERIES["x23_store_delete_probe"] = x23_store_delete_probe
+
+ORACLE["x23_store_delete_probe"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (5, 10, 20)),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 10 <> 3),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      FROM c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+def d57_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (d32's exact-decimal device), rank ALL documents
+    by average negative log-probability ascending (fluent first), and
+    cut into exact terciles — head / middle / tail, with the CCNet
+    keep rule (head + middle) as a flag. The tercile assignment is
+    ``operators/ranking.py global_ntile`` (banded two-pass exact
+    NTILE), NOT a partitionless window — the ranking never funnels the
+    corpus through one task, which is the difference between a filter
+    step and a bottleneck at 100 TB. Ordering is total via
+    (avg_neglogp, doc_id) so ties cannot flip buckets between
+    engines."""
+    from python_openetl_spark.operators.ranking import global_ntile
+    from python_openetl_spark.operators.textops import unigram_logprob_score
+
+    scored = unigram_logprob_score(t(spark, sf_dir, "documents")).select(
+        "doc_id", "avg_neglogp"
+    )
+    terc = global_ntile(
+        scored, "avg_neglogp", ["doc_id"], k=3, descending=False,
+        out_col="tercile",
+    )
+    return terc.select(
+        "doc_id",
+        "avg_neglogp",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("tercile"),
+        ).alias("bucket"),
+        (F.col("tercile") <= 2).alias("kept"),
+    )
+
+
+QUERIES["d57_perplexity_buckets"] = d57_perplexity_buckets
+
+_D32_AGG_SQL = """
+        WITH tk AS (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks FROM documents),
+        ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        freq AS (SELECT tok, COUNT(*) AS n FROM ex GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS total FROM ex),
+        nlps AS (
+          SELECT e.doc_id, round(-ln(f.n::DOUBLE / t.total), 9) AS nlp
+          FROM ex e JOIN freq f USING (tok) CROSS JOIN tot t
+        ),
+        agg AS (
+          SELECT doc_id,
+                 round(CAST(SUM(CAST(nlp AS DECIMAL(24,12))) AS DOUBLE)
+                       / COUNT(*), 6) AS avg_neglogp
+          FROM nlps GROUP BY doc_id
+        ),
+        scored AS (
+          SELECT d.doc_id, COALESCE(avg_neglogp, 0.0) AS avg_neglogp
+          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        )
+"""
+
+ORACLE["d57_perplexity_buckets"] = _D32_AGG_SQL + """
+        SELECT doc_id, avg_neglogp,
+               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               tercile <= 2 AS kept
+        FROM (
+          SELECT *, NTILE(3) OVER (ORDER BY avg_neglogp, doc_id) AS tercile
+          FROM scored
+        )
+"""
+
+
+#: s14 staging memo: sf_dir -> (purchases_dir, clicks_dir). Input
+#: preparation only (the s13 convention) — the stream itself runs
+#: fresh on every call with new checkpoint + state stores.
+_S14_STAGED: dict = {}
+
+#: sentinel ids sit outside every fixture id domain; the sentinel ROW
+#: exists only to advance the event-time watermark past the last real
+#: purchase so unmatched left rows can finalize (see docstring).
+_S14_SENTINEL_UID = -999
+
+
+def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics milestone
+    past s13's inner join: a purchase with NO click in the preceding
+    hour must still emit, with NULL click columns, and it may only do
+    so once the watermark PROVES no matching click can still arrive.
+    The inner join never exercises state-store eviction correctness
+    (late emission is merely latency); the outer join turns eviction
+    into output, so an eviction bug becomes a row diff against the
+    batch left join.
+
+    Watermark-closure device: a left-outer row for purchase p finalizes
+    only when the global watermark passes p_ts (the latest click that
+    could match is at p_ts exactly), and the watermark trails the max
+    SEEN event time by the 2-hour delay — so without help, every
+    purchase in the last 2 h of the fixture would sit in state forever
+    and the stream would emit a SUBSET of the batch join. Each staged
+    side therefore ends with one SENTINEL chunk (user_id -999, outside
+    the fixture domain, event time = max(ts) + 4 h): processing it
+    advances both sides' watermarks past every real purchase, and the
+    engine's no-data final micro-batch flushes the remaining unmatched
+    state before availableNow terminates. Sentinel rows are dropped
+    from the output by user_id. This is exactly how a production
+    pipeline closes the books on a bounded replay — a real unbounded
+    stream finalizes continuously as the watermark advances.
+
+    State sizing: shuffle partitions pinned to 8 around the stream and
+    restored after (the s13 measurement: per-partition-per-batch state
+    cost), exactly as a production job sizes partitions to state
+    volume."""
+    import tempfile
+
+    from python_openetl_spark.streaming.sources import (
+        read_file_stream,
+        stage_replay_dir,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    if not ev.take(1):
+        return spark.createDataFrame(
+            [],
+            "p_id long, user_id long, purchase_us long, c_id long, click_us long",
+        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    staged = _S14_STAGED.get(sf_dir)
+    if staged is None:
+        tmp = tempfile.mkdtemp(prefix="poe_s14_")
+        p_path = stage_replay_dir(
+            purchases, tmp + "/p", chunks=3,
+            order_col="p_ts", shuffle_time_order=False,
+        )
+        c_path = stage_replay_dir(
+            clicks, tmp + "/c", chunks=3,
+            order_col="c_ts", shuffle_time_order=False,
+        )
+        far = ev.agg(
+            (F.max(F.unix_micros("ts")) + F.lit(4 * 3_600_000_000)).alias("us")
+        ).first()["us"]
+        sent_ts = F.timestamp_micros(F.lit(int(far)))
+        purchases.limit(1).select(
+            F.lit(-1).cast("long").alias("p_id"),
+            F.lit(_S14_SENTINEL_UID).cast("long").alias("user_id"),
+            sent_ts.alias("p_ts"),
+        ).coalesce(1).write.parquet(p_path + "/chunk=3")
+        clicks.limit(1).select(
+            F.lit(-1).cast("long").alias("c_id"),
+            F.lit(_S14_SENTINEL_UID).cast("long").alias("c_user"),
+            sent_ts.alias("c_ts"),
+        ).coalesce(1).write.parquet(c_path + "/chunk=3")
+        staged = (p_path, c_path)
+        _S14_STAGED[sf_dir] = staged
+    p_path, c_path = staged
+    ps = read_file_stream(spark, p_path, purchases.schema).withWatermark(
+        "p_ts", "2 hours"
+    )
+    cs = read_file_stream(spark, c_path, clicks.schema).withWatermark(
+        "c_ts", "2 hours"
+    )
+    joined = ps.join(
+        cs,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = "poe_s14_join"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="poe_s14_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s14: left-outer stream join did not finish in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") != _S14_SENTINEL_UID)
+        .select(
+            "p_id",
+            "user_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            "c_id",
+            F.unix_micros("c_ts").alias("click_us"),
+        )
+    )
+
+
+QUERIES["s14_stream_stream_left_join"] = s14_stream_stream_left_join
+
+ORACLE["s14_stream_stream_left_join"] = """
+    SELECT p.event_id AS p_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           c.event_id AS c_id,
+           epoch_us(c.ts) AS click_us
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND epoch_us(c.ts) <= epoch_us(p.ts)
+     AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
+    WHERE p.event_type = 'purchase'
+"""

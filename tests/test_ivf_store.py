@@ -400,3 +400,71 @@ def test_append_uncastable_attr_value_raises(spark, tmp_path):
 
     live = spark.read.parquet(f"{current_index_dir(root)}/assigned")
     assert live.count() == emb.count()
+
+
+def test_delete_tombstones_all_read_paths(spark, tmp_path):
+    """x23's operator contract: delete_from_ivf_store (id list or SQL
+    predicate) hides rows from topk, range search, AND the store kNN
+    join (every path goes through _load_assigned); deletes compact at
+    rebuild (new version has no tombstones, vectors really gone);
+    deleting a missing id is a 0 no-op; a re-appended deleted id stays
+    invisible until rebuild (the documented contract)."""
+    from python_openetl_spark.operators.ivf_store import (
+        current_index_dir,
+        delete_from_ivf_store,
+        ivf_store_range_search,
+        rebuild_ivf_store,
+    )
+    from python_openetl_spark.operators.knn_join import ivf_store_knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "del_store")
+    build_ivf_store(emb, root, nlist=8)
+    n_total = emb.count()
+    victims = [r["vec_id"] for r in emb.limit(40).collect()][:20]
+
+    # predicate delete + id delete, counts are exact
+    n1 = delete_from_ivf_store(spark, root, ids=victims[:10])
+    n2 = delete_from_ivf_store(spark, root, where=f"vec_id IN ({','.join(map(str, victims[10:]))})")
+    assert n1 == 10 and n2 == 10
+    assert delete_from_ivf_store(spark, root, ids=[99_999_999]) == 0
+    # double-delete of an already-dead id is also a 0 no-op
+    assert delete_from_ivf_store(spark, root, ids=victims[:3]) == 0
+
+    q = (
+        emb.filter(~F.col("vec_id").isin(victims)).limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding").toPandas()
+    )
+    topk = ivf_store_topk(spark, root, q, k=n_total - 21, nprobe=8)
+    assert topk.filter(F.col("vec_id").isin(victims)).count() == 0
+    rs = ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=8)
+    assert rs.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert rs.count() == 3 * (n_total - 20) - 3  # all live minus self
+    qdf = spark.createDataFrame(q)
+    kj = ivf_store_knn_join(spark, root, qdf, k=n_total - 21, nprobe=8)
+    assert kj.filter(F.col("vec_id").isin(victims)).count() == 0
+
+    # re-append one victim: still invisible (id-level tombstone)
+    append_to_ivf_store(emb.filter(F.col("vec_id") == victims[0]), root)
+    rs2 = ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=8)
+    assert rs2.filter(F.col("vec_id") == victims[0]).count() == 0
+
+    # rebuild compacts: tombstones gone, rows really gone, store serves
+    rebuild_ivf_store(spark, root)
+    import os
+
+    assert not os.path.isdir(os.path.join(current_index_dir(root), "deleted"))
+    live = spark.read.parquet(os.path.join(current_index_dir(root), "assigned"))
+    assert live.count() == n_total - 20
+    assert live.filter(F.col("vec_id").isin(victims)).count() == 0
+    # post-rebuild append resurrects the id
+    append_to_ivf_store(emb.filter(F.col("vec_id") == victims[0]), root)
+    rs3 = ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=8)
+    assert rs3.filter(F.col("vec_id") == victims[0]).count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        delete_from_ivf_store(spark, root)
+    with _pytest.raises(ValueError, match="exactly one"):
+        delete_from_ivf_store(spark, root, ids=[1], where="vec_id = 1")
