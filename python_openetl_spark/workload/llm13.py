@@ -320,3 +320,172 @@ ORACLE["s14_stream_stream_left_join"] = """
      AND epoch_us(c.ts) > epoch_us(p.ts) - 3600000000
     WHERE p.event_type = 'purchase'
 """
+
+
+#: mm08's frame-aligned "new container header": exactly 2 frames of
+#: 32 int16 samples (128 bytes), so the copy's frames align with the
+#: original's and every interior constellation hash is shared.
+_MM08_PAD = bytes(range(128, 192)) + bytes(range(0, 64))
+
+
+def mm08_audio_constellation_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via Shazam-style constellation fingerprints
+    (operators/multimodal.py audio_constellation_fingerprints): every
+    10th+5 payload long enough for >= 6 frames is re-ingested with a
+    frame-ALIGNED 2-frame prefix pad (the remuxed-with-new-header
+    shape). Constellation hashes carry only (peak f1, peak f2, dt) —
+    relative offsets — so the copy shares every interior hash
+    deterministically under the int16-PCM fake decode, while the FFT
+    landmark extraction, the banding, the fanout pairing, and the
+    rollup are the machinery under test: a break in any of them drops
+    planted rows and fails the row-count gate. Only 8-byte hashes
+    shuffle; payload bytes never leave the scan."""
+    from python_openetl_spark.operators.multimodal import (
+        audio_constellation_near_dup,
+    )
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    )
+    planted = d.filter(
+        (F.col("doc_id") % 10 == 5) & (F.length("payload") >= 384)
+    )
+    copies = planted.select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat(F.lit(_MM08_PAD), F.col("payload")).alias("payload"),
+    )
+    pairs = audio_constellation_near_dup(
+        d.unionByName(copies), "payload", "doc_id",
+        frame_samples=32, fanout=2,
+    )
+    return pairs.filter(
+        (F.col("doc_b") == F.col("doc_a") + 9_000_000)
+        & (F.col("doc_a") % 10 == 5)
+    ).select("doc_a", "doc_b", (F.col("n_shared_hashes") >= 1).alias("matched"))
+
+
+QUERIES["mm08_audio_constellation_near_dup"] = mm08_audio_constellation_near_dup
+
+ORACLE["mm08_audio_constellation_near_dup"] = """
+    SELECT doc_id AS doc_a, doc_id + 9000000 AS doc_b, TRUE AS matched
+    FROM documents
+    WHERE text IS NOT NULL AND text <> '' AND doc_id % 10 = 5
+      AND octet_length(encode(text)) >= 384
+"""
+
+
+#: s15 staging memo (sf_dir -> staged dir): input preparation only.
+_S15_STAGED: dict = {}
+
+
+def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation as a REAL replayed stream — the
+    stateful-aggregation milestone s03 (the batch twin) cannot prove:
+    session windows MERGE as events arrive (two open sessions bridged
+    by a late-enough event must collapse into one state entry), and a
+    session may only EMIT once the watermark proves it can no longer
+    grow. Events replay in three event-time-ordered chunks with a
+    2-hour watermark (no real row is ever behind it, the s13 staging
+    rule); a final frame-of-reference SENTINEL event (user -999,
+    max(ts) + 4 h) advances the watermark past every real session's
+    close so availableNow's no-data final batch flushes ALL sessions —
+    the emitted set must equal s03's batch result exactly. Gap 30 min,
+    the s03 convention; same DECIMAL-exact value sums."""
+    import tempfile
+
+    from python_openetl_spark.streaming.sources import (
+        read_file_stream,
+        stage_replay_dir,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    if not ev.take(1):
+        return spark.createDataFrame(
+            [],
+            "session_start long, user_id long, n_events long, total_value double",
+        )
+    base = ev.select("user_id", "ts", "value")
+    staged = _S15_STAGED.get(sf_dir)
+    if staged is None:
+        tmp = tempfile.mkdtemp(prefix="poe_s15_")
+        staged = stage_replay_dir(
+            base, tmp + "/ev", chunks=3, order_col="ts",
+            shuffle_time_order=False,
+        )
+        far = ev.agg(
+            (F.max(F.unix_micros("ts")) + F.lit(4 * 3_600_000_000)).alias("us")
+        ).first()["us"]
+        base.limit(1).select(
+            F.lit(_S14_SENTINEL_UID).cast("long").alias("user_id"),
+            F.timestamp_micros(F.lit(int(far))).alias("ts"),
+            F.lit(0.0).alias("value"),
+        ).coalesce(1).write.parquet(staged + "/chunk=3")
+        _S15_STAGED[sf_dir] = staged
+    stream = read_file_stream(spark, staged, base.schema).withWatermark(
+        "ts", "2 hours"
+    )
+    sess = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(24,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "poe_s15_sessions"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="poe_s15_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("s15: session stream did not finish in 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).filter(F.col("user_id") != _S14_SENTINEL_UID)
+
+
+QUERIES["s15_stream_session_windows"] = s15_stream_session_windows
+
+ORACLE["s15_stream_session_windows"] = """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTES
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT epoch_us(MIN(ts)) // 1000000 AS session_start,
+           user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(24,2))) AS DOUBLE) AS total_value
+    FROM islands
+    GROUP BY user_id, session_id
+"""

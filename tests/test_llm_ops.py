@@ -726,3 +726,95 @@ def test_paragraph_dedup_hostile_universal_paragraph_no_window_sort(spark):
     # the pure-boilerplate doc reassembles to the empty string
     assert rows[999]["n_kept"] == 0 and rows[999]["n_paras"] == 1
     assert rows[999]["text_dedup"] == ""
+
+
+def test_audio_constellation_offset_invariance_and_margin(spark):
+    """mm08's operator contract: a frame-ALIGNED prefix pad shares every
+    interior constellation hash (offset invariance in the frequency
+    domain, containment exactly 1.0); a NON-aligned pad breaks frame
+    phase (stated boundary); unrelated random audio stays far below
+    the containment threshold; payloads under 2 frames emit nothing;
+    the hot-key cap bounds corpus-wide landmarks."""
+    import numpy as np
+
+    from python_openetl_spark.operators.multimodal import (
+        audio_constellation_fingerprints,
+        audio_constellation_near_dup,
+    )
+
+    rng = np.random.default_rng(11)
+    content = rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()  # 8 frames
+    aligned_pad = bytes(range(64)) * 2  # 128 B = exactly 2 frames
+    rows = [
+        (1, content),
+        (2, aligned_pad + content),      # frame-aligned copy -> matches
+        (3, b"\x01" * 37 + content),     # unaligned pad -> phase broken
+        (4, rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()),
+        (5, b"\x00" * 40),               # < 2 frames -> no hashes
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = audio_constellation_fingerprints(df, frame_samples=32)
+    per = {
+        r["doc_id"]: r["n"]
+        for r in fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 5 not in per and 6 not in per
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in audio_constellation_near_dup(df, frame_samples=32).collect()
+    }
+    # aligned copy: containment exactly 1.0 (copy hash set is a superset)
+    assert (1, 2) in pairs and pairs[(1, 2)]["containment"] == 1.0
+    assert pairs[(1, 2)]["n_shared_hashes"] == per[1]
+    # unrelated random audio never crosses the containment threshold
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # below-threshold collisions are visible at min_containment=0
+    raw = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in audio_constellation_near_dup(
+            df, frame_samples=32, min_containment=0.0
+        ).collect()
+    }
+    assert raw.get((1, 4), 0.0) < 0.5  # background noise, not structure
+    # the hot-key cap drops hashes common to >N docs before the join
+    capped = audio_constellation_near_dup(df, frame_samples=32, max_fp_docs=1)
+    assert capped.count() == 0  # every shared hash is by definition in 2 docs
+
+
+def test_mm08_planted_pairs_have_margin(spark):
+    """The mm08 row's floor, measured with margin (the x15/mm07 rule):
+    every planted >= 384-byte payload shares MANY hashes with its
+    frame-aligned padded copy, not just one."""
+    from python_openetl_spark.operators.multimodal import (
+        audio_constellation_near_dup,
+    )
+    from python_openetl_spark.workload.llm13 import (
+        _MM08_PAD,
+        mm08_audio_constellation_near_dup,
+    )
+    from python_openetl_spark.workload.util import t as _t
+
+    assert len(_MM08_PAD) == 128  # exactly 2 frames of 32 int16 samples
+    rows = mm08_audio_constellation_near_dup(spark, SF_DIR).collect()
+    assert rows and all(r["matched"] for r in rows)
+    d = (
+        _t(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+        .filter((F.col("doc_id") % 10 == 5) & (F.length("payload") >= 384))
+    )
+    copies = d.select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat(F.lit(_MM08_PAD), F.col("payload")).alias("payload"),
+    )
+    shared = audio_constellation_near_dup(
+        d.unionByName(copies), frame_samples=32
+    ).filter(F.col("doc_b") == F.col("doc_a") + 9_000_000)
+    agg = shared.agg(
+        F.min("containment").alias("c"), F.min("n_shared_hashes").alias("m")
+    ).collect()[0]
+    # the decision metric is CONTAINMENT (exactly 1.0 for every planted
+    # superset copy); absolute counts vary with spectral repetitiveness
+    assert agg["c"] == 1.0, f"weakest planted containment {agg['c']}"
+    assert agg["m"] is not None and agg["m"] >= 2
