@@ -1,0 +1,115 @@
+"""Spark 4 Python DataSource: a PARTITIONED JSONL/text reader
+(``openetl_jsonl``) — the extension point for formats Spark has no
+native reader for, written the way a distributed scan must be.
+
+The reference ingests line-oriented feeds by looping chunks through
+pandas on one machine (tmccall8829/python-openetl operations.py:486-513
+seed loop); the Spark-4 Python DataSource API turns the same ingest
+into a first-class parallel source: the planner asks for partitions,
+each executor task reads ONE byte range of the file, and the classic
+Hadoop text-split protocol makes the ranges exact — every line is read
+by exactly one task no matter where the split boundaries fall:
+
+- a reader whose range starts at ``start > 0`` seeks to ``start - 1``
+  and discards one ``readline()``: if byte ``start - 1`` is the
+  previous line's newline this consumes exactly that newline (so a
+  line starting exactly at ``start`` is kept), and if the split lands
+  mid-line it discards the tail of the line the PREVIOUS reader will
+  complete;
+- each reader takes lines while its position before the read is
+  ``< end``, so it finishes a straddling line past its boundary and
+  leaves a line starting exactly at ``end`` to the next reader.
+
+With ``schema`` given, each line parses as one JSON object (missing
+keys → NULL); without it the source is a raw distributed text reader
+(one ``value string`` column). ``target_bytes`` sizes the splits —
+the 100 TB knob, exactly ``spark.sql.files.maxPartitionBytes`` for
+native sources.
+
+Registration: ``spark.dataSource.register(JsonlDataSource)`` then
+``spark.read.format("openetl_jsonl").option(...)``. The class ships to
+executors by pickle (the API contract), so it imports everything
+lazily inside methods.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _ByteRange(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class JsonlDataSource(DataSource):
+    """``format("openetl_jsonl")`` — options:
+
+    - ``path`` (required): local/posix path to the JSONL or text file.
+    - ``schema`` (optional DDL): parse each line as a JSON object into
+      these fields; omit for raw-line mode (``value string``).
+    - ``target_bytes`` (optional, default 4 MiB): split size.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "openetl_jsonl"
+
+    def schema(self):
+        return self.options.get("schema") or "value string"
+
+    def reader(self, schema: StructType) -> "JsonlReader":
+        return JsonlReader(self.options, schema)
+
+
+class JsonlReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("openetl_jsonl: the 'path' option is required")
+        self.path = path
+        self.target_bytes = int(options.get("target_bytes", 4 * 1024 * 1024))
+        if self.target_bytes <= 0:
+            raise ValueError("openetl_jsonl: target_bytes must be positive")
+        self.fields = [f.name for f in schema.fields]
+        self.raw = self.fields == ["value"] and "schema" not in options
+
+    def partitions(self):
+        size = os.path.getsize(self.path)
+        if size == 0:
+            return [_ByteRange(self.path, 0, 0)]
+        step = self.target_bytes
+        return [
+            _ByteRange(self.path, start, min(start + step, size))
+            for start in range(0, size, step)
+        ]
+
+    def read(self, part: _ByteRange):
+        if part.start >= part.end:
+            return
+        with open(part.path, "rb") as f:
+            if part.start > 0:
+                # Hadoop LineRecordReader protocol: consume from
+                # start-1 through the first newline. Exactly the
+                # previous line's '\n' when the boundary is clean, the
+                # partial tail (owned by the previous reader) when not.
+                f.seek(part.start - 1)
+                f.readline()
+            while f.tell() < part.end:
+                line = f.readline()
+                if not line:
+                    break
+                line = line.rstrip(b"\r\n")
+                if not line:
+                    continue
+                if self.raw:
+                    yield (line.decode("utf-8"),)
+                else:
+                    obj = json.loads(line)
+                    yield tuple(obj.get(k) for k in self.fields)

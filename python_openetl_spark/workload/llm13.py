@@ -489,3 +489,66 @@ ORACLE["s15_stream_session_windows"] = """
     FROM islands
     GROUP BY user_id, session_id
 """
+
+
+#: k17 staging memo (sf_dir -> jsonl path): input preparation only.
+_K17_STAGED: dict = {}
+
+
+def k17_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned scan through the Spark-4 PYTHON DataSource API
+    (sources/pydatasource.py JsonlDataSource): the documents table
+    staged as one JSONL file and read back as a first-class parallel
+    source — byte-range splits sized by ``target_bytes`` (forced small
+    here so the scan really runs multi-partition), each task aligning
+    to line boundaries with the Hadoop text-split protocol (seek to
+    start-1, discard one readline; read while pos < end). Every line is
+    read by exactly ONE task no matter where splits fall, which is the
+    property the full value-hash oracle checks: a double-read or a
+    dropped straddler changes the row multiset. This is the reference's
+    chunked feed-ingest loop (operations.py:486-513) as a planner-
+    visible source instead of a driver loop."""
+    import json
+    import tempfile
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = _K17_STAGED.get(sf_dir)
+    if path is None:
+        rows = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text")
+            .collect()
+        )
+        path = tempfile.mkdtemp(prefix="poe_k17_") + "/documents.jsonl"
+        with open(path, "w") as f:
+            for r in sorted(rows, key=lambda r: r["doc_id"]):
+                f.write(
+                    json.dumps(
+                        {"doc_id": r["doc_id"], "lang": r["lang"], "text": r["text"]},
+                        sort_keys=True,
+                    )
+                    + "\n"
+                )
+        _K17_STAGED[sf_dir] = path
+    import os
+
+    tb = max(1024, os.path.getsize(path) // 24)  # force ~24 splits
+    return (
+        spark.read.format("openetl_jsonl")
+        .option("path", path)
+        .option("schema", "doc_id bigint, lang string, text string")
+        .option("target_bytes", str(tb))
+        .load()
+    )
+
+
+QUERIES["k17_python_datasource_scan"] = k17_python_datasource_scan
+
+ORACLE["k17_python_datasource_scan"] = """
+    SELECT doc_id, lang, text FROM documents
+"""

@@ -762,3 +762,59 @@ def test_paragraph_dedup_invariants(spark, texts):
         kept_all.extend(expect)
         del kept_local
     assert len(kept_all) == len(set(kept_all))
+
+
+_seq_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # user
+        st.integers(min_value=0, max_value=40),   # seconds
+        st.sampled_from(["a", "b", "c"]),          # event type
+    ),
+    max_size=14,
+)
+
+
+@given(events=_seq_events, gap=st.integers(min_value=1, max_value=20))
+@_settings
+def test_match_sequence_matches_bruteforce(spark, events, gap):
+    """operators/funnel.py match_sequence vs a brute-force Python
+    scan: same strict-adjacency matches, same per-transition time
+    bound, under arbitrary ties (same user+second pairs are ordered by
+    event_id, which the oracle mirrors)."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.operators.funnel import match_sequence
+
+    rows = [
+        (i, u, s * 1_000_000, t) for i, (u, s, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"), "event_type",
+    )
+    steps = ["event_type = 'a'", "event_type = 'b'", "event_type = 'c'"]
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"])
+        for r in match_sequence(
+            df, steps, max_gap_us=gap * 1_000_000
+        ).collect()
+    }
+
+    # brute force: per user, sort by (us, event_id), scan adjacent runs
+    want = set()
+    by_user: dict = {}
+    for i, (u, s, t) in enumerate(events):
+        by_user.setdefault(u, []).append((s * 1_000_000, i, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for j in range(len(evs) - 2):
+            (us0, _, t0), (us1, _, t1), (us2, _, t2) = evs[j : j + 3]
+            if (
+                (t0, t1, t2) == ("a", "b", "c")
+                and us1 - us0 <= gap * 1_000_000
+                and us2 - us1 <= gap * 1_000_000
+            ):
+                want.add((u, us0, us2))
+    assert got == want

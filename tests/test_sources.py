@@ -222,3 +222,47 @@ def test_derby_bit_data_types_map_to_binary(spark):
         spark_type_from_derby(F.col("data_type")).alias("got"), "want"
     ).collect()
     assert all(r["got"] == r["want"] for r in got), got
+
+
+def test_jsonl_datasource_split_protocol_exact(spark, tmp_path):
+    """k17's operator contract (sources/pydatasource.py): the byte-range
+    split protocol reads every line exactly once at ANY target_bytes —
+    boundaries mid-line, at a line start, at a newline; raw-line mode
+    and empty files degrade cleanly; missing JSON keys are NULL."""
+    import json
+    import os
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    p = str(tmp_path / "docs.jsonl")
+    rows = [{"doc_id": i, "txt": "x" * (i % 23)} for i in range(200)]
+    rows[7] = {"doc_id": 7}  # missing key -> NULL
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+    want = sorted((r["doc_id"], r.get("txt")) for r in rows)
+    size = os.path.getsize(p)
+    for tb in [size + 1, size // 5, 97]:
+        df = (
+            spark.read.format("openetl_jsonl")
+            .option("path", p)
+            .option("schema", "doc_id bigint, txt string")
+            .option("target_bytes", str(tb))
+            .load()
+        )
+        got = sorted((r["doc_id"], r["txt"]) for r in df.collect())
+        assert got == want, f"target_bytes={tb}"
+    raw = (
+        spark.read.format("openetl_jsonl")
+        .option("path", p)
+        .option("target_bytes", "997")
+        .load()
+    )
+    assert raw.columns == ["value"] and raw.count() == 200
+    empty = str(tmp_path / "empty.jsonl")
+    open(empty, "w").close()
+    assert (
+        spark.read.format("openetl_jsonl").option("path", empty).load().count()
+        == 0
+    )
