@@ -552,3 +552,66 @@ QUERIES["k17_python_datasource_scan"] = k17_python_datasource_scan
 ORACLE["k17_python_datasource_scan"] = """
     SELECT doc_id, lang, text FROM documents
 """
+
+
+def m22_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting-algorithm IVM for a JOIN view (operators/ivm.py,
+    Gupta-Mumick 1995): an orders⋈lineitem view materialized with
+    per-row multiplicities, then maintained through one CDC step that
+    changes BOTH sides — inserts AND deletes on each — via
+    Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB with multiplied
+    multiplicities. The oracle recomputes the view from the POST-delta
+    snapshots, so any missing term (the ΔA⋈ΔB cross term is the
+    classic omission), a sign error, or a lost zero-count row breaks
+    the hash. m07/m18 maintain aggregate views; this is the join-view
+    verb the reference's sliding-window refresh approximates. Cost is
+    delta-sized joins + one map-side-combinable count merge — the view
+    is maintained for the price of the delta, never A⋈B."""
+    from python_openetl_spark.operators.ivm import join_view, maintain_join_view
+
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_returnflag"
+    )
+    a_old = a.filter(F.col("o_orderkey") % 7 != 0)
+    b_old = b.filter(F.col("o_orderkey") % 3 != 0)
+    delta_a = (
+        a.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("mult", F.lit(1).cast("long"))
+        .unionByName(
+            a_old.filter(F.col("o_orderkey") % 5 == 1)
+            .withColumn("mult", F.lit(-1).cast("long"))
+        )
+    )
+    delta_b = (
+        b.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("mult", F.lit(1).cast("long"))
+        .unionByName(
+            b_old.filter(F.col("l_linenumber") == 2)
+            .withColumn("mult", F.lit(-1).cast("long"))
+        )
+    )
+    view = join_view(a_old, b_old, "o_orderkey")
+    return maintain_join_view(view, a_old, b_old, delta_a, delta_b, "o_orderkey")
+
+
+QUERIES["m22_incremental_join_view"] = m22_incremental_join_view
+
+ORACLE["m22_incremental_join_view"] = """
+    WITH a_new AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 <> 1
+    ),
+    b_new AS (
+      SELECT l_orderkey AS o_orderkey, l_linenumber, l_returnflag
+      FROM lineitem
+      WHERE l_orderkey % 3 = 0 OR l_linenumber <> 2
+    )
+    SELECT a.o_orderkey, o_custkey, o_orderpriority,
+           l_linenumber, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS mult
+    FROM a_new a JOIN b_new b USING (o_orderkey)
+    GROUP BY ALL
+"""

@@ -1,0 +1,55 @@
+"""operators/ivm.py — counting-algorithm join-view maintenance
+(m22's operator): multiset exactness under duplicates, deletes that
+zero out rows, and the ΔA⋈ΔB cross term."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_openetl_spark.operators.ivm import join_view, maintain_join_view
+
+
+def _v(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_maintenance_equals_recompute_under_all_change_kinds(spark):
+    """One step with inserts+deletes on BOTH sides, duplicate rows
+    included, must equal join_view of the post-delta snapshots —
+    including a both-sides-new match that only the ΔA⋈ΔB term sees
+    and a delete that removes a view row entirely."""
+    a_old = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y"), (3, "z")], "k long, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 20), (9, 90)], "k long, bv long"
+    )
+    # ΔA: insert (4,'w') twice, delete one duplicate of (1,'x')
+    delta_a = spark.createDataFrame(
+        [(4, "w", 2), (1, "x", -1)], "k long, av string, mult long"
+    )
+    # ΔB: insert (4,44) (matches ONLY the new A row: the cross term),
+    # insert another (1,10) duplicate, delete both (2,20) copies
+    delta_b = spark.createDataFrame(
+        [(4, 44, 1), (1, 10, 1), (2, 20, -2)], "k long, bv long, mult long"
+    )
+    a_new = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (4, "w"), (4, "w")], "k long, av string"
+    )
+    b_new = spark.createDataFrame(
+        [(1, 10), (1, 10), (9, 90), (4, 44)], "k long, bv long"
+    )
+    got = maintain_join_view(
+        join_view(a_old, b_old, "k"), a_old, b_old, delta_a, delta_b, "k"
+    )
+    want = join_view(a_new, b_new, "k")
+    assert _v(got) == _v(want)
+    # the (2,'y',20) view row zeroed out and is GONE, not mult=0
+    assert got.filter(F.col("k") == 2).count() == 0
+    # the both-sides-new (4,'w',44) match exists with mult 2 (dup A row)
+    assert _v(got.filter(F.col("k") == 4)) == {(4, "w", 44, 2)}
+    # idempotent no-op step: empty deltas change nothing
+    empty_a = delta_a.limit(0)
+    empty_b = delta_b.limit(0)
+    again = maintain_join_view(got, a_new, b_new, empty_a, empty_b, "k")
+    assert _v(again) == _v(want)
