@@ -116,3 +116,101 @@ def match_sequence(
         F.col(f"__us{n - 1}").alias("end_us"),
         F.array(*[F.col(f"__us{i}") for i in range(n)]).alias("step_us"),
     )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    *,
+    partition_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    max_gap_us: int | Sequence[int] | None = None,
+) -> DataFrame:
+    """The drop-off report over the same one-shuffle adjacency frame:
+    for every step prefix ``1..n``, how many strict-sequence matches
+    begin somewhere in the stream and how many distinct entities have
+    at least one — the "funnel chart" numbers product analytics reads
+    (step 1 = entities that did the first action at all; conversion
+    ratios are counts the caller divides, kept as exact longs here).
+
+    One window, one event-sized shuffle: every prefix condition is
+    evaluated on the SAME lead frame (a prefix match is the full-match
+    condition truncated at step i), so adding steps widens the
+    projection, never adds shuffles; the per-entity rollup exchange
+    carries map-side-combined partials only. Returns ``(step,
+    n_matches, n_entities)`` with ``step`` 1-based in declaration
+    order."""
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel_report: steps must be non-empty")
+    preds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    if max_gap_us is None:
+        gaps: list[int | None] = [None] * (n - 1)
+    elif isinstance(max_gap_us, int):
+        gaps = [max_gap_us] * (n - 1)
+    else:
+        gaps = list(max_gap_us)
+        if len(gaps) != n - 1:
+            raise ValueError(
+                f"funnel_report: {n} steps need {n - 1} gap bounds, "
+                f"got {len(gaps)}"
+            )
+    w = Window.partitionBy(partition_col).orderBy(time_col, tiebreak_col)
+    base = events.select(
+        partition_col,
+        time_col,
+        tiebreak_col,
+        F.unix_micros(F.col(time_col)).alias("__us0"),
+        *[
+            F.coalesce(p.cast("boolean"), F.lit(False)).alias(f"__p{i}")
+            for i, p in enumerate(preds)
+        ],
+    )
+    led = base.select(
+        partition_col,
+        "__p0",
+        "__us0",
+        *[F.lead(f"__p{i}", i).over(w).alias(f"__q{i}") for i in range(1, n)],
+        *[F.lead("__us0", i).over(w).alias(f"__us{i}") for i in range(1, n)],
+    )
+    cond = F.col("__p0")
+    prefix_cols = []
+    for i in range(n):
+        if i > 0:
+            cond = cond & F.coalesce(F.col(f"__q{i}"), F.lit(False))
+            if gaps[i - 1] is not None:
+                cond = cond & (
+                    F.col(f"__us{i}") - F.col(f"__us{i - 1}")
+                    <= F.lit(int(gaps[i - 1]))
+                )
+        prefix_cols.append(cond.alias(f"__m{i}"))
+    marked = led.select(partition_col, *prefix_cols)
+    # per-entity rollup FIRST (sum + max of each flag), which removes
+    # every count_distinct — the multi-distinct Expand plan would
+    # re-shuffle EVENT-sized data n times. Here event rows cross one
+    # exchange (the window's); the rollup partial-aggregates map-side,
+    # so its exchange carries one row per (entity, task) — entity-
+    # sized. The global agg then reads one row per entity.
+    per_entity = marked.groupBy(partition_col).agg(
+        *[
+            F.sum(F.col(f"__m{i}").cast("long")).alias(f"__nm{i}")
+            for i in range(n)
+        ],
+        *[F.max(F.col(f"__m{i}")).alias(f"__e{i}") for i in range(n)],
+    )
+    agg = per_entity.agg(
+        *[F.sum(f"__nm{i}").alias(f"__nm{i}") for i in range(n)],
+        *[
+            F.sum(F.col(f"__e{i}").cast("long")).alias(f"__ne{i}")
+            for i in range(n)
+        ],
+    )
+    stack = ", ".join(f"{i + 1}, __nm{i}, __ne{i}" for i in range(n))
+    return agg.select(
+        F.expr(f"stack({n}, {stack}) as (step, n_matches, n_entities)")
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+    )

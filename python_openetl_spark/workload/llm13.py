@@ -615,3 +615,110 @@ ORACLE["m22_incremental_join_view"] = """
     FROM a_new a JOIN b_new b USING (o_orderkey)
     GROUP BY ALL
 """
+
+
+def e10_ccnet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet pipeline end-to-end (Wenzek et al. 2020), round-10
+    composite: paragraph-level dedup with document reconstruction
+    (d55) → corpus unigram LM scored over the DEDUPED text (the honest
+    order — scoring before dedup lets boilerplate mass distort the LM)
+    → exact head/middle/tail terciles via global_ntile (d57's device)
+    → keep head+middle → per-language corpus report (docs, tokens).
+    Four stages, one driver row; each keeps its individual scale shape
+    (ids-only dedup decision, vocabulary-sized broadcast LM, banded
+    two-pass NTILE, final tiny agg). A reassembly bug, an LM drift, or
+    a tercile boundary flip each changes the report."""
+    from python_openetl_spark.operators.dedup import paragraph_dedup
+    from python_openetl_spark.operators.ranking import global_ntile
+    from python_openetl_spark.operators.textops import unigram_logprob_score
+
+    docs = t(spark, sf_dir, "documents")
+    dd = (
+        paragraph_dedup(docs, para_tokens=12)
+        .filter(F.col("n_kept") >= 1)
+        .select("doc_id", F.col("text_dedup").alias("text"))
+    )
+    scored = unigram_logprob_score(dd)
+    terc = global_ntile(
+        scored.select("doc_id", "n_tokens", "avg_neglogp"),
+        "avg_neglogp", ["doc_id"], k=3, descending=False, out_col="tercile",
+    )
+    kept = terc.filter(F.col("tercile") <= 2).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select("lang", "n_docs", "n_tokens")
+    )
+
+
+QUERIES["e10_ccnet_quality_corpus"] = e10_ccnet_quality_corpus
+
+_E10_TOKS = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'),"
+    " x -> x <> '')"
+)
+
+ORACLE["e10_ccnet_quality_corpus"] = f"""
+    WITH tk AS (SELECT doc_id, {_E10_TOKS.format(col="text")} AS toks
+                FROM documents),
+    p AS (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(
+               list_slice(toks, u.i * 12 + 1, u.i * 12 + 12), ' ') AS para
+      FROM tk,
+           LATERAL unnest(range(0, CAST(ceil(len(toks) / 12.0) AS BIGINT)))
+             AS u(i)
+      WHERE len(toks) >= 1
+    ),
+    decided AS (
+      SELECT doc_id, idx, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM p
+    ),
+    dedup AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+             COALESCE(
+               string_agg(para, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+               '') AS text_dedup
+      FROM decided GROUP BY doc_id
+    ),
+    dtk AS (
+      SELECT doc_id, {_E10_TOKS.format(col="text_dedup")} AS toks
+      FROM dedup WHERE n_kept >= 1
+    ),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM dtk),
+    freq AS (SELECT tok, COUNT(*) AS n FROM ex GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS total FROM ex),
+    nlps AS (
+      SELECT e.doc_id, round(-ln(f.n::DOUBLE / t.total), 9) AS nlp
+      FROM ex e JOIN freq f USING (tok) CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             round(CAST(SUM(CAST(nlp AS DECIMAL(24,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_neglogp
+      FROM nlps GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(a.n_tokens, 0) AS n_tokens,
+             COALESCE(a.avg_neglogp, 0.0) AS avg_neglogp
+      FROM dtk d LEFT JOIN agg a USING (doc_id)
+    ),
+    terc AS (
+      SELECT doc_id, n_tokens,
+             NTILE(3) OVER (ORDER BY avg_neglogp, doc_id) AS tercile
+      FROM scored
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM terc JOIN documents USING (doc_id)
+    WHERE tercile <= 2
+    GROUP BY lang
+"""

@@ -79,3 +79,71 @@ ORACLE["q81_multi_step_funnel"] = """
       AND us2 - us1 <= 86400000000
       AND us3 - us2 <= 86400000000
 """
+
+
+def q82_funnel_dropoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel DROP-OFF report over q81's 4-step pattern
+    (operators/funnel.py funnel_report): per step prefix, total
+    strict-sequence matches and distinct converting users — the
+    numbers a funnel chart plots. All four prefixes are evaluated on
+    ONE lead frame behind ONE user-partitioned shuffle (a prefix match
+    is the full condition truncated at step i), then a single global
+    aggregate + stack; counts stay exact longs, ratios are the
+    caller's division."""
+    from python_openetl_spark.operators.funnel import funnel_report
+
+    return funnel_report(
+        t(spark, sf_dir, "events"),
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        ],
+        max_gap_us=[172_800_000_000, 86_400_000_000, 86_400_000_000],
+    )
+
+
+QUERIES["q82_funnel_dropoff_report"] = q82_funnel_dropoff_report
+
+ORACLE["q82_funnel_dropoff_report"] = """
+    WITH x AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us,
+             LEAD(event_type, 1) OVER w AS t1,
+             LEAD(epoch_us(ts), 1) OVER w AS us1,
+             LEAD(event_type, 2) OVER w AS t2,
+             LEAD(epoch_us(ts), 2) OVER w AS us2,
+             LEAD(event_type, 3) OVER w AS t3,
+             LEAD(value, 3) OVER w AS v3,
+             LEAD(epoch_us(ts), 3) OVER w AS us3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id,
+             (event_type = 'signup') AS m1,
+             (event_type = 'signup' AND t1 = 'view'
+              AND us1 - us <= 172800000000) AS m2,
+             (event_type = 'signup' AND t1 = 'view'
+              AND us1 - us <= 172800000000
+              AND t2 = 'click' AND us2 - us1 <= 86400000000) AS m3,
+             (event_type = 'signup' AND t1 = 'view'
+              AND us1 - us <= 172800000000
+              AND t2 = 'click' AND us2 - us1 <= 86400000000
+              AND t3 = 'purchase' AND v3 IS NOT NULL
+              AND us3 - us2 <= 86400000000) AS m4
+      FROM x
+    )
+    SELECT 1 AS step, CAST(COUNT(*) FILTER (m1) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT user_id) FILTER (m1) AS BIGINT) AS n_entities
+    FROM m
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) FILTER (m2) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) FILTER (m2) AS BIGINT) FROM m
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) FILTER (m3) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) FILTER (m3) AS BIGINT) FROM m
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) FILTER (m4) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) FILTER (m4) AS BIGINT) FROM m
+"""

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from python_openetl_spark.operators.funnel import match_sequence
+from python_openetl_spark.operators.funnel import funnel_report, match_sequence
 
 US = 1_000_000
 
@@ -129,3 +129,35 @@ def test_one_exchange_and_no_payload_in_window(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_report_counts_and_one_shuffle(spark):
+    """q82's operator: per-prefix match and entity counts over one lead
+    frame; a user matching twice counts twice in n_matches, once in
+    n_entities; steps with zero matches report (0, 0); one exchange."""
+    ev = _events(
+        spark,
+        [
+            # user 1: two full a->b runs, no c close enough
+            (1, 1, 0, "a", 1.0), (2, 1, 1, "b", 1.0),
+            (3, 1, 10, "a", 1.0), (4, 1, 11, "b", 1.0),
+            (5, 1, 100, "c", 1.0),
+            # user 2: a only
+            (6, 2, 0, "a", 1.0),
+        ],
+    )
+    rep = funnel_report(
+        ev,
+        _steps3(),
+        max_gap_us=[5 * US, 5 * US],
+    )
+    rows = {r["step"]: (r["n_matches"], r["n_entities"]) for r in rep.collect()}
+    assert rows == {1: (3, 2), 2: (2, 1), 3: (0, 0)}
+    # event rows cross exactly one exchange (the window's); the
+    # per-entity rollup partial-aggregates map-side, so its exchange
+    # carries entity-sized partials — 2 hash exchanges total, and
+    # crucially NO multi-distinct Expand replan (which would re-shuffle
+    # event-sized data once per step)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Expand" not in plan, plan
