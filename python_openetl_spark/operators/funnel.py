@@ -212,5 +212,6 @@ def funnel_report(
     ).select(
         F.col("step").cast("int").alias("step"),
         F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
-        F.col("n_entities").cast("long").alias("n_entities"),
+        # SUM over an empty frame is NULL; the report's contract is 0
+        F.coalesce("n_entities", F.lit(0)).cast("long").alias("n_entities"),
     )
