@@ -37,7 +37,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -66,6 +71,9 @@ class JsonlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "JsonlReader":
         return JsonlReader(self.options, schema)
+
+    def simpleStreamReader(self, schema: StructType) -> "JsonlStreamReader":
+        return JsonlStreamReader(self.options, schema)
 
 
 class JsonlReader(DataSourceReader):
@@ -113,3 +121,70 @@ class JsonlReader(DataSourceReader):
                 else:
                     obj = json.loads(line)
                     yield tuple(obj.get(k) for k in self.fields)
+
+
+class JsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form of the same source (``readStream.format(
+    "openetl_jsonl")``): offsets are BYTE POSITIONS that always land
+    on line starts, so each micro-batch reads ``batch_bytes``-ish of
+    new data, extended to complete its last line, and the (start, end)
+    offset pair identifies an exactly-reproducible slice —
+    ``readBetweenOffsets`` re-reads it verbatim for recovery, which is
+    the exactly-once contract of the Simple stream reader API. A
+    replayed/static file ends the stream when pos reaches EOF; a file
+    being appended to keeps producing batches.
+    """
+
+    def __init__(self, options, schema: StructType):
+        path = options.get("path")
+        if not path:
+            raise ValueError("openetl_jsonl: the 'path' option is required")
+        self.path = path
+        self.batch_bytes = int(options.get("batch_bytes", 1024 * 1024))
+        if self.batch_bytes <= 0:
+            raise ValueError("openetl_jsonl: batch_bytes must be positive")
+        self.fields = [f.name for f in schema.fields]
+        self.raw = self.fields == ["value"] and "schema" not in options
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _parse(self, line: bytes):
+        line = line.rstrip(b"\r\n")
+        if not line:
+            return None
+        if self.raw:
+            return (line.decode("utf-8"),)
+        obj = json.loads(line)
+        return tuple(obj.get(k) for k in self.fields)
+
+    def _read_lines(self, start_pos: int, stop_rule) -> "tuple[list, int]":
+        rows = []
+        with open(self.path, "rb") as f:
+            f.seek(start_pos)
+            while stop_rule(f.tell()):
+                line = f.readline()
+                if not line:
+                    break
+                row = self._parse(line)
+                if row is not None:
+                    rows.append(row)
+            return rows, f.tell()
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        size = os.path.getsize(self.path)
+        if pos >= size:
+            return iter([]), start
+        target = min(pos + self.batch_bytes, size)
+        rows, newpos = self._read_lines(pos, lambda p: p < target)
+        return iter(rows), {"pos": newpos}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows, _ = self._read_lines(
+            int(start["pos"]), lambda p: p < int(end["pos"])
+        )
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are positions in an immutable file; nothing to ack

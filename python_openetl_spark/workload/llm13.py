@@ -722,3 +722,76 @@ ORACLE["e10_ccnet_quality_corpus"] = f"""
     WHERE tercile <= 2
     GROUP BY lang
 """
+
+
+def s16_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest through the custom Python DataSource
+    (sources/pydatasource.py JsonlStreamReader): the k17 JSONL file
+    replayed as a real micro-batch stream whose offsets are byte
+    positions on line starts — each batch reads ~1/6 of the file
+    (extended to complete its last line), and the (start, end) offset
+    pair is exactly reproducible (``readBetweenOffsets``, the
+    exactly-once recovery contract). The query drains until the
+    committed offset reaches EOF (availableNow snapshots only the
+    FIRST read() of a simple stream reader — measured — so the drain
+    condition is the source's own offset, the honest completion test
+    for a custom source) and the collected rows must equal the batch
+    table exactly: a lost batch, a re-read slice, or a line split
+    across offsets all change the row multiset."""
+    import ast
+    import os
+    import tempfile
+    import time
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception:
+        pass
+    # reuse k17's staged file (stage it if k17 hasn't run yet)
+    k17_python_datasource_scan(spark, sf_dir)  # ensures _K17_STAGED
+    path = _K17_STAGED[sf_dir]
+    size = os.path.getsize(path)
+    stream = (
+        spark.readStream.format("openetl_jsonl")
+        .option("path", path)
+        .option("schema", "doc_id bigint, lang string, text string")
+        .option("batch_bytes", str(max(1024, size // 6)))
+        .load()
+    )
+    name = "poe_s16_ingest"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="poe_s16_ckpt_"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["sources"]:
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    # the progress event reprs the offset dict (single
+                    # quotes, not JSON) — literal_eval handles both
+                    end = ast.literal_eval(end)
+                if end and int(end["pos"]) >= size:
+                    break
+            time.sleep(0.1)
+        else:
+            raise RuntimeError("s16: stream did not reach EOF within 300s")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+QUERIES["s16_stream_python_datasource"] = s16_stream_python_datasource
+
+ORACLE["s16_stream_python_datasource"] = """
+    SELECT doc_id, lang, text FROM documents
+"""

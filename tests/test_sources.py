@@ -266,3 +266,43 @@ def test_jsonl_datasource_split_protocol_exact(spark, tmp_path):
         spark.read.format("openetl_jsonl").option("path", empty).load().count()
         == 0
     )
+
+
+def test_jsonl_stream_reader_offsets_are_reproducible(spark, tmp_path):
+    """s16's source contract, tested without a streaming query: read()
+    walks the file in line-aligned byte offsets covering every row
+    exactly once, and readBetweenOffsets(start, end) reproduces each
+    batch verbatim — the exactly-once recovery path."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from python_openetl_spark.sources.pydatasource import JsonlStreamReader
+
+    p = str(tmp_path / "s.jsonl")
+    rows = [{"i": i, "s": "y" * (i % 11)} for i in range(97)]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r, sort_keys=True) + "\n")
+    schema = StructType.fromDDL("i bigint, s string")
+    rd = JsonlStreamReader(
+        {"path": p, "schema": "i bigint, s string", "batch_bytes": "143"},
+        schema,
+    )
+    off = rd.initialOffset()
+    batches, all_rows = [], []
+    while True:
+        it, nxt = rd.read(off)
+        got = list(it)
+        if nxt == off:
+            assert got == []
+            break
+        assert got, "non-final batch must carry rows"
+        batches.append((off, nxt, got))
+        all_rows.extend(got)
+        off = nxt
+    assert len(batches) >= 3  # really multi-batch at this batch_bytes
+    assert all_rows == [(r["i"], r["s"]) for r in rows]  # exact, in order
+    # recovery: every (start, end) slice replays identically
+    for start, end, got in batches:
+        assert list(rd.readBetweenOffsets(start, end)) == got
