@@ -40,8 +40,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -75,6 +77,9 @@ class JsonlDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "JsonlStreamReader":
         return JsonlStreamReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema, overwrite)
+
 
 class JsonlReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
@@ -89,14 +94,25 @@ class JsonlReader(DataSourceReader):
         self.raw = self.fields == ["value"] and "schema" not in options
 
     def partitions(self):
-        size = os.path.getsize(self.path)
-        if size == 0:
-            return [_ByteRange(self.path, 0, 0)]
+        # a directory scans every *.jsonl part inside (the writer's
+        # output layout); each file splits independently
+        if os.path.isdir(self.path):
+            files = sorted(
+                os.path.join(self.path, n)
+                for n in os.listdir(self.path)
+                if n.endswith(".jsonl")
+            )
+        else:
+            files = [self.path]
+        parts = []
         step = self.target_bytes
-        return [
-            _ByteRange(self.path, start, min(start + step, size))
-            for start in range(0, size, step)
-        ]
+        for f in files:
+            size = os.path.getsize(f)
+            parts.extend(
+                _ByteRange(f, start, min(start + step, size))
+                for start in range(0, size, step)
+            )
+        return parts or [_ByteRange(self.path, 0, 0)]
 
     def read(self, part: _ByteRange):
         if part.start >= part.end:
@@ -188,3 +204,73 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are positions in an immutable file; nothing to ack
+
+
+class _PartFile(WriterCommitMessage):
+    """Commit message: the temp part file a task wrote + its row count."""
+
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlWriter(DataSourceWriter):
+    """Batch write path (``df.write.format("openetl_jsonl")``) with the
+    classic two-phase task-commit protocol a distributed sink needs:
+
+    1. every task streams its partition into a UNIQUELY-NAMED temp part
+       file under ``<dir>/_temporary/`` (task retries and speculative
+       duplicates each get their own file — nothing is overwritten);
+    2. the task's commit message carries the temp path; the DRIVER's
+       ``commit`` renames exactly the messaged files into the
+       destination (one os.replace per part — the atomic unit), so a
+       failed/straggler task's orphan temp file is never published;
+    3. ``abort`` removes the temp directory, leaving the destination
+       untouched — all-or-nothing at the file level.
+
+    Rows serialize as one JSON object per line (key order sorted,
+    ``ensure_ascii=False``), the exact format the batch/stream readers
+    parse — write → read roundtrips bit-identically."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("openetl_jsonl: the 'path' option is required")
+        self.path = path
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                obj = {k: row[k] for k in self.fields}
+                f.write(json.dumps(obj, sort_keys=True, ensure_ascii=False))
+                f.write("\n")
+                n += 1
+        return _PartFile(tmp, n)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        final = [m for m in messages if m is not None]
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for i, m in enumerate(final):
+            os.replace(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+            )
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)

@@ -178,17 +178,18 @@ _MODULES = (
 # That is exactly 50; after a green R10 every one of the 235 queries
 # has driver evidence and nothing predates r6.
 #
-# _WINDOW_R11 should lead with the 11 round-10 post-window additions
+# _WINDOW_R11 should lead with the 12 round-10 post-window additions
 # (q81_multi_step_funnel, q82_funnel_dropoff_report,
 # x23_store_delete_probe, d57_perplexity_buckets,
 # s14_stream_stream_left_join, s15_stream_session_windows,
 # s16_stream_python_datasource,
 # mm08_audio_constellation_near_dup, k17_python_datasource_scan,
+# k18_python_datasource_write_roundtrip,
 # m22_incremental_join_view, e10_ccnet_quality_corpus — all
 # oracle/soak-verified in round 10), then the 35 remaining r6-checked
 # rows in ledger order (d43-d50, e01, e05, k02, k06-k08, m15-m18,
 # q60-q68, s08, u05, u06, x05, x07, x11-x13), then the oldest
-# r7-checked rows. That is exactly 50 when 4 r7 rows fill the tail.
+# r7-checked rows. That is exactly 50 when 3 r7 rows fill the tail.
 _WINDOW_R10 = (
     # never driver-checked (round-9 post-window additions)
     "d55_paragraph_dedup", "d56_epoch_mixture",

@@ -795,3 +795,51 @@ QUERIES["s16_stream_python_datasource"] = s16_stream_python_datasource
 ORACLE["s16_stream_python_datasource"] = """
     SELECT doc_id, lang, text FROM documents
 """
+
+
+def k18_python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE path of the custom Python DataSource
+    (sources/pydatasource.py JsonlWriter): the documents table written
+    through ``df.write.format("openetl_jsonl")`` — every task streams
+    its partition into a uniquely-named temp part, the driver commit
+    publishes exactly the messaged parts with atomic renames (a failed
+    or speculative task's orphan never appears), abort leaves the
+    destination untouched — then read back through the source's own
+    partitioned reader (directory scan, byte-range splits). The full
+    value-hash oracle checks the complete write→commit→read cycle:
+    a dropped part, a double-published temp, or a serialization
+    mismatch between writer and reader all change the row multiset."""
+    import os
+    import tempfile
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    try:
+        spark.dataSource.register(JsonlDataSource)
+    except Exception:
+        pass
+    out = tempfile.mkdtemp(prefix="poe_k18_") + "/docs"
+    os.makedirs(out)
+    (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .repartition(6)
+        .write.format("openetl_jsonl")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    return (
+        spark.read.format("openetl_jsonl")
+        .option("path", out)
+        .option("schema", "doc_id bigint, lang string, text string")
+        .option("target_bytes", "65536")
+        .load()
+    )
+
+
+QUERIES["k18_python_datasource_write_roundtrip"] = k18_python_datasource_write_roundtrip
+
+ORACLE["k18_python_datasource_write_roundtrip"] = """
+    SELECT doc_id, lang, text FROM documents
+"""

@@ -306,3 +306,44 @@ def test_jsonl_stream_reader_offsets_are_reproducible(spark, tmp_path):
     # recovery: every (start, end) slice replays identically
     for start, end, got in batches:
         assert list(rd.readBetweenOffsets(start, end)) == got
+
+
+def test_jsonl_writer_two_phase_commit(spark, tmp_path):
+    """k18's writer contract: temp parts publish only at driver commit
+    (no _temporary leftovers, no orphans), overwrite replaces prior parts,
+    NULL fields serialize as JSON null and read back as NULL, and the
+    reader's directory mode scans all parts."""
+    import json
+    import os
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "doc_id long, txt string"
+    ).repartition(3)
+    df.write.format("openetl_jsonl").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("part-") and n.endswith(".jsonl") for n in names)
+    assert not os.path.isdir(os.path.join(out, "_temporary"))
+    back = (
+        spark.read.format("openetl_jsonl")
+        .option("path", out)
+        .option("schema", "doc_id bigint, txt string")
+        .load()
+    )
+    got = sorted((r["doc_id"], r["txt"]) for r in back.collect())
+    assert got == [(1, "a"), (2, None), (3, "c")]
+    # overwrite drops the previous generation of parts
+    df.limit(1).write.format("openetl_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = (
+        spark.read.format("openetl_jsonl")
+        .option("path", out)
+        .option("schema", "doc_id bigint, txt string")
+        .load()
+    )
+    assert back2.count() == 1
