@@ -37,6 +37,69 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _lead_frame(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    partition_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    max_gap_us: "int | Sequence[int] | None",
+    caller: str,
+):
+    """Shared core of :func:`match_sequence` and :func:`funnel_report`:
+    validate steps/gaps, project the step predicates to booleans BEFORE
+    the one entity-partitioned window, lead the (bool × n, micros)
+    frame, and return ``(led, prefix_conds)`` where ``prefix_conds[i]``
+    is the full match condition truncated after step i — the two
+    public operators differ only in what they do with the conditions,
+    and sharing the frame keeps their semantics in lockstep (q80/q81
+    pin one, q82 the other, against the same oracle frame)."""
+    n = len(steps)
+    if n == 0:
+        raise ValueError(f"{caller}: steps must be non-empty")
+    preds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    if max_gap_us is None:
+        gaps: "list[int | None]" = [None] * (n - 1)
+    elif isinstance(max_gap_us, int):
+        gaps = [max_gap_us] * (n - 1)
+    else:
+        gaps = list(max_gap_us)
+        if len(gaps) != n - 1:
+            raise ValueError(
+                f"{caller}: {n} steps need {n - 1} gap bounds, got {len(gaps)}"
+            )
+    w = Window.partitionBy(partition_col).orderBy(time_col, tiebreak_col)
+    base = events.select(
+        partition_col,
+        time_col,
+        tiebreak_col,
+        F.unix_micros(F.col(time_col)).alias("__us0"),
+        *[
+            F.coalesce(p.cast("boolean"), F.lit(False)).alias(f"__p{i}")
+            for i, p in enumerate(preds)
+        ],
+    )
+    led = base.select(
+        partition_col,
+        "__us0",
+        "__p0",
+        *[F.lead(f"__p{i}", i).over(w).alias(f"__q{i}") for i in range(1, n)],
+        *[F.lead("__us0", i).over(w).alias(f"__us{i}") for i in range(1, n)],
+    )
+    conds = []
+    cond = F.col("__p0")
+    for i in range(n):
+        if i > 0:
+            cond = cond & F.coalesce(F.col(f"__q{i}"), F.lit(False))
+            if gaps[i - 1] is not None:
+                cond = cond & (
+                    F.col(f"__us{i}") - F.col(f"__us{i - 1}")
+                    <= F.lit(int(gaps[i - 1]))
+                )
+        conds.append(cond)
+    return led, conds
+
+
 def match_sequence(
     events: DataFrame,
     steps: Sequence[Column | str],
@@ -44,7 +107,7 @@ def match_sequence(
     partition_col: str = "user_id",
     time_col: str = "ts",
     tiebreak_col: str = "event_id",
-    max_gap_us: int | Sequence[int] | None = None,
+    max_gap_us: "int | Sequence[int] | None" = None,
 ) -> DataFrame:
     """Match a strict (adjacent-event) sequence pattern per entity.
 
@@ -67,53 +130,14 @@ def match_sequence(
     there (see ``q80``'s count + first-match aggregate).
     """
     n = len(steps)
-    if n == 0:
-        raise ValueError("match_sequence: steps must be non-empty")
-    preds = [F.expr(s) if isinstance(s, str) else s for s in steps]
-    if max_gap_us is None:
-        gaps: list[int | None] = [None] * (n - 1)
-    elif isinstance(max_gap_us, int):
-        gaps = [max_gap_us] * (n - 1)
-    else:
-        gaps = list(max_gap_us)
-        if len(gaps) != n - 1:
-            raise ValueError(
-                f"match_sequence: {n} steps need {n - 1} gap bounds, "
-                f"got {len(gaps)}"
-            )
-
-    w = Window.partitionBy(partition_col).orderBy(time_col, tiebreak_col)
-    # step predicates become booleans BEFORE the window: lead() then
-    # carries (bool × n, long) per row instead of the event payload
-    base = events.select(
-        partition_col,
-        time_col,
-        tiebreak_col,
-        F.unix_micros(F.col(time_col)).alias("__us0"),
-        *[
-            F.coalesce(p.cast("boolean"), F.lit(False)).alias(f"__p{i}")
-            for i, p in enumerate(preds)
-        ],
+    led, conds = _lead_frame(
+        events, steps, partition_col, time_col, tiebreak_col, max_gap_us,
+        "match_sequence",
     )
-    led = base.select(
-        partition_col,
-        "__us0",
-        "__p0",
-        *[F.lead(f"__p{i}", i).over(w).alias(f"__q{i}") for i in range(1, n)],
-        *[F.lead("__us0", i).over(w).alias(f"__us{i}") for i in range(1, n)],
-    )
-    cond = F.col("__p0")
-    for i in range(1, n):
-        cond = cond & F.coalesce(F.col(f"__q{i}"), F.lit(False))
-        if gaps[i - 1] is not None:
-            cond = cond & (
-                F.col(f"__us{i}") - F.col(f"__us{i - 1}")
-                <= F.lit(int(gaps[i - 1]))
-            )
-    return led.filter(cond).select(
+    return led.filter(conds[-1]).select(
         partition_col,
         F.col("__us0").alias("start_us"),
-        F.col(f"__us{n - 1}").alias("end_us"),
+        F.col(f"__us{n - 1}" if n > 1 else "__us0").alias("end_us"),
         F.array(*[F.col(f"__us{i}") for i in range(n)]).alias("step_us"),
     )
 
@@ -125,7 +149,7 @@ def funnel_report(
     partition_col: str = "user_id",
     time_col: str = "ts",
     tiebreak_col: str = "event_id",
-    max_gap_us: int | Sequence[int] | None = None,
+    max_gap_us: "int | Sequence[int] | None" = None,
 ) -> DataFrame:
     """The drop-off report over the same one-shuffle adjacency frame:
     for every step prefix ``1..n``, how many strict-sequence matches
@@ -134,58 +158,24 @@ def funnel_report(
     (step 1 = entities that did the first action at all; conversion
     ratios are counts the caller divides, kept as exact longs here).
 
-    One window, one event-sized shuffle: every prefix condition is
-    evaluated on the SAME lead frame (a prefix match is the full-match
-    condition truncated at step i), so adding steps widens the
-    projection, never adds shuffles; the per-entity rollup exchange
-    carries map-side-combined partials only. Returns ``(step,
+    One window, one event-sized shuffle: every prefix condition comes
+    from the SAME :func:`_lead_frame` ``match_sequence`` uses (a
+    prefix match is the full-match condition truncated at step i), so
+    adding steps widens the projection, never adds shuffles; the
+    per-entity rollup exchange carries map-side-combined partials
+    only. A NULL entity's rows count in ``n_matches`` but never in
+    ``n_entities`` (matching SQL ``COUNT(DISTINCT entity)``, which
+    ignores NULL — the q82 oracle's semantics). Returns ``(step,
     n_matches, n_entities)`` with ``step`` 1-based in declaration
     order."""
     n = len(steps)
-    if n == 0:
-        raise ValueError("funnel_report: steps must be non-empty")
-    preds = [F.expr(s) if isinstance(s, str) else s for s in steps]
-    if max_gap_us is None:
-        gaps: list[int | None] = [None] * (n - 1)
-    elif isinstance(max_gap_us, int):
-        gaps = [max_gap_us] * (n - 1)
-    else:
-        gaps = list(max_gap_us)
-        if len(gaps) != n - 1:
-            raise ValueError(
-                f"funnel_report: {n} steps need {n - 1} gap bounds, "
-                f"got {len(gaps)}"
-            )
-    w = Window.partitionBy(partition_col).orderBy(time_col, tiebreak_col)
-    base = events.select(
-        partition_col,
-        time_col,
-        tiebreak_col,
-        F.unix_micros(F.col(time_col)).alias("__us0"),
-        *[
-            F.coalesce(p.cast("boolean"), F.lit(False)).alias(f"__p{i}")
-            for i, p in enumerate(preds)
-        ],
+    led, conds = _lead_frame(
+        events, steps, partition_col, time_col, tiebreak_col, max_gap_us,
+        "funnel_report",
     )
-    led = base.select(
-        partition_col,
-        "__p0",
-        "__us0",
-        *[F.lead(f"__p{i}", i).over(w).alias(f"__q{i}") for i in range(1, n)],
-        *[F.lead("__us0", i).over(w).alias(f"__us{i}") for i in range(1, n)],
+    marked = led.select(
+        partition_col, *[c.alias(f"__m{i}") for i, c in enumerate(conds)]
     )
-    cond = F.col("__p0")
-    prefix_cols = []
-    for i in range(n):
-        if i > 0:
-            cond = cond & F.coalesce(F.col(f"__q{i}"), F.lit(False))
-            if gaps[i - 1] is not None:
-                cond = cond & (
-                    F.col(f"__us{i}") - F.col(f"__us{i - 1}")
-                    <= F.lit(int(gaps[i - 1]))
-                )
-        prefix_cols.append(cond.alias(f"__m{i}"))
-    marked = led.select(partition_col, *prefix_cols)
     # per-entity rollup FIRST (sum + max of each flag), which removes
     # every count_distinct — the multi-distinct Expand plan would
     # re-shuffle EVENT-sized data n times. Here event rows cross one
@@ -202,7 +192,11 @@ def funnel_report(
     agg = per_entity.agg(
         *[F.sum(f"__nm{i}").alias(f"__nm{i}") for i in range(n)],
         *[
-            F.sum(F.col(f"__e{i}").cast("long")).alias(f"__ne{i}")
+            F.sum(
+                (
+                    F.col(f"__e{i}") & F.col(partition_col).isNotNull()
+                ).cast("long")
+            ).alias(f"__ne{i}")
             for i in range(n)
         ],
     )

@@ -339,7 +339,9 @@ def delete_from_ivf_store(
     Design: id-level TOMBSTONES, not a rewrite. Deleting rewrites
     nothing — matching ids append to ``<version>/deleted/`` and every
     read path (:func:`_load_assigned`: probes, range search, store kNN
-    joins, rebuild) anti-joins them out. Cost is delete-sized; a
+    joins, rebuild — and the shared-layout IVFPQ store's probe and
+    rebuild, operators/ivfpq_store.py) anti-joins them out. Cost is
+    delete-sized; a
     predicate delete scans the (partition-pruned, columnar) store once
     to find ids, never touches vectors. Deletes COMPACT at
     :func:`rebuild_ivf_store`: the new version contains neither the

@@ -50,6 +50,7 @@ from python_openetl_spark.functions.vectors import cosine  # noqa: F401 (re-expo
 from python_openetl_spark.operators.ivf_store import _cosine_clamped
 from python_openetl_spark.operators.ivf_store import (
     _ASSIGNED,
+    _load_assigned,
     _CENTROIDS,
     _commit_version,
     _current_version,
@@ -214,7 +215,9 @@ def rebuild_ivfpq_store(
         books = _read_codebooks(spark, cur_dir)
         m = m if m is not None else books.shape[0]
         ksub = ksub if ksub is not None else books.shape[1]
-    held_ids = spark.read.parquet(os.path.join(cur_dir, _ASSIGNED)).select(id_col)
+    # _load_assigned: tombstoned ids (delete_from_ivf_store — the
+    # layout is shared) must not survive a PQ rebuild either
+    held_ids = _load_assigned(spark, cur_dir, id_col).select(id_col)
     current = corpus.select(id_col, vec_col).join(held_ids, id_col, "left_semi")
     _build_pq_into(
         current, _version_dir(root, version + 1), nlist, m, ksub, iters,
@@ -285,7 +288,9 @@ def ivfpq_store_topk(
     shortlist = max(k * rerank_factor, k)
 
     wanted = sorted({c for _, c in pairs})
-    assigned = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED)).filter(
+    # tombstone-aware (the shared _load_assigned loader): deleted ids
+    # are invisible to PQ probes exactly as to the raw-vector store
+    assigned = _load_assigned(spark, idx_dir, id_col).filter(
         F.col("cell").isin(wanted)  # partition-pruned directory scan
     )
 

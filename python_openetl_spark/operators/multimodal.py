@@ -616,6 +616,19 @@ def audio_constellation_fingerprints(
     bin (stable argsort), so fingerprints are bit-deterministic."""
     if frame_samples <= 0 or peaks_per_frame <= 0 or fanout <= 0:
         raise ValueError("frame_samples/peaks_per_frame/fanout must be positive")
+    # packing bounds for (f1 << 20) | (f2 << 8) | dt: f2 is an rfft bin
+    # index (max frame_samples//2), which must fit 12 bits, and dt must
+    # fit 8 — past these the fields overlap and DISTINCT landmarks
+    # silently collide into one hash (false near-dup pairs)
+    if frame_samples // 2 + 1 > (1 << 12):
+        raise ValueError(
+            f"frame_samples={frame_samples}: rfft bin index exceeds the "
+            "12-bit f2 field of the (f1,f2,dt) hash packing (max 8190)"
+        )
+    if fanout > 255:
+        raise ValueError(
+            f"fanout={fanout}: dt exceeds the 8-bit field of the hash packing"
+        )
 
     import numpy as np
 

@@ -148,7 +148,13 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
     ``readBetweenOffsets`` re-reads it verbatim for recovery, which is
     the exactly-once contract of the Simple stream reader API. A
     replayed/static file ends the stream when pos reaches EOF; a file
-    being appended to keeps producing batches.
+    being appended to keeps producing batches. Records become
+    consumable only once NEWLINE-TERMINATED: a partial trailing line
+    (a record mid-write) is left for the next batch — the offset stays
+    at its start — so the streaming form requires the standard
+    append-log discipline of ending every record with ``\n`` (the
+    batch reader, which scans complete static files, has no such
+    requirement).
     """
 
     def __init__(self, options, schema: StructType):
@@ -179,9 +185,19 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
         with open(self.path, "rb") as f:
             f.seek(start_pos)
             while stop_rule(f.tell()):
+                line_start = f.tell()
                 line = f.readline()
                 if not line:
                     break
+                if not line.endswith(b"\n"):
+                    # partial trailing line: a live producer has not
+                    # finished (or newline-terminated) this record yet.
+                    # Leave the offset at the line START so the next
+                    # batch re-reads it whole — a record is consumable
+                    # only once its newline lands (append-log rule;
+                    # parsing the fragment would crash JSON mode and
+                    # permanently split the row in raw mode).
+                    return rows, line_start
                 row = self._parse(line)
                 if row is not None:
                     rows.append(row)
@@ -263,10 +279,19 @@ class JsonlWriter(DataSourceWriter):
             for name in os.listdir(self.path):
                 if name.startswith("part-") and name.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, name))
+        # append mode CONTINUES the part numbering past the existing
+        # generation — starting at 0 would os.replace over previously
+        # COMMITTED parts and silently lose them (single writer at a
+        # time assumed, as everywhere in this repo's publish paths)
+        base = sum(
+            1
+            for name in os.listdir(self.path)
+            if name.startswith("part-") and name.endswith(".jsonl")
+        )
         for i, m in enumerate(final):
             os.replace(
                 m.tmp_path,
-                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                os.path.join(self.path, f"part-{base + i:05d}.jsonl"),
             )
         shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
 

@@ -62,21 +62,25 @@ def x23_store_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
-    p = ivf_params(emb.count())
     import tempfile
 
-    root = _X23_STORES.get(sf_dir)
-    if root is None:
+    memo = _X23_STORES.get(sf_dir)
+    if memo is None:
+        # nlist is memoized WITH the store root: the count() that sizes
+        # it is build-time infrastructure, not per-probe cost
+        nlist = ivf_params(emb.count())["nlist"]
         root = tempfile.mkdtemp(prefix="poe_x23_") + "/ivf"
-        build_ivf_store(emb, root, nlist=p["nlist"])
+        build_ivf_store(emb, root, nlist=nlist)
         delete_from_ivf_store(spark, root, where="vec_id % 10 = 3")
-        _X23_STORES[sf_dir] = root
+        memo = (root, nlist)
+        _X23_STORES[sf_dir] = memo
+    root, nlist = memo
     queries = (
         emb.filter(F.col("vec_id").isin(5, 10, 20))
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .toPandas()
     )
-    return ivf_store_topk(spark, root, queries, k=5, nprobe=p["nlist"])
+    return ivf_store_topk(spark, root, queries, k=5, nprobe=nlist)
 
 
 QUERIES["x23_store_delete_probe"] = x23_store_delete_probe
@@ -247,12 +251,17 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max(F.unix_micros("ts")) + F.lit(4 * 3_600_000_000)).alias("us")
         ).first()["us"]
         sent_ts = F.timestamp_micros(F.lit(int(far)))
-        purchases.limit(1).select(
+        # sentinels are LITERAL 1-row frames (never X.limit(1): a side
+        # with zero real rows — purchases but no clicks — would then
+        # stage an EMPTY sentinel chunk, the global min-watermark would
+        # stay at epoch, and the stream would silently emit a SUBSET)
+        one = spark.range(1)
+        one.select(
             F.lit(-1).cast("long").alias("p_id"),
             F.lit(_S14_SENTINEL_UID).cast("long").alias("user_id"),
             sent_ts.alias("p_ts"),
         ).coalesce(1).write.parquet(p_path + "/chunk=3")
-        clicks.limit(1).select(
+        one.select(
             F.lit(-1).cast("long").alias("c_id"),
             F.lit(_S14_SENTINEL_UID).cast("long").alias("c_user"),
             sent_ts.alias("c_ts"),
@@ -417,7 +426,7 @@ def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         far = ev.agg(
             (F.max(F.unix_micros("ts")) + F.lit(4 * 3_600_000_000)).alias("us")
         ).first()["us"]
-        base.limit(1).select(
+        spark.range(1).select(
             F.lit(_S14_SENTINEL_UID).cast("long").alias("user_id"),
             F.timestamp_micros(F.lit(int(far))).alias("ts"),
             F.lit(0.0).alias("value"),

@@ -13,7 +13,7 @@ US = 1_000_000
 
 
 def _events(spark, rows):
-    # rows: (event_id, user_id, sec, event_type, value)
+    # rows: (event_id, user_id|None, sec, event_type, value)
     return spark.createDataFrame(
         [
             (eid, uid, sec * US, et, v)
@@ -161,3 +161,18 @@ def test_funnel_report_counts_and_one_shuffle(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Expand" not in plan, plan
+
+
+def test_funnel_report_null_entity_semantics(spark):
+    """A NULL user's matching rows count in n_matches but never in
+    n_entities — SQL COUNT(DISTINCT user_id) ignores NULL, and the
+    q82 oracle relies on that agreement."""
+    ev = _events(
+        spark,
+        [(1, 1, 0, "a", 1.0), (2, None, 0, "a", 1.0), (3, None, 5, "a", 1.0)],
+    )
+    rows = {
+        r["step"]: (r["n_matches"], r["n_entities"])
+        for r in funnel_report(ev, [F.col("event_type") == "a"]).collect()
+    }
+    assert rows == {1: (3, 1)}

@@ -13,6 +13,7 @@ from python_openetl_spark.operators.ivfpq_store import (
     append_to_ivfpq_store,
     build_ivfpq_store,
     ivfpq_store_topk,
+    rebuild_ivfpq_store,
 )
 from tests.conftest import SF_DIR
 
@@ -181,3 +182,37 @@ def test_hostile_lifecycle_rebuild_append_vacuum_under_reader(spark, tmp_path):
     removed = vacuum_ivf_store(root, keep_last=1)
     assert removed == [1] and not os.path.exists(pinned)
     check(probe())
+
+
+def test_pq_store_honors_shared_tombstones(spark, tmp_path):
+    """The delete verb's contract extends to the PQ store (round-10
+    review finding): the layout is shared, so delete_from_ivf_store
+    against a PQ root must hide ids from PQ probes AND from the PQ
+    rebuild's held-id set."""
+    import pyspark.sql.functions as F
+
+    from python_openetl_spark.operators.ivf_store import (
+        current_index_dir,
+        delete_from_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "pq_del")
+    build_ivfpq_store(emb, root, nlist=8, m=8, ksub=16)
+    victims = [r["vec_id"] for r in emb.limit(10).collect()]
+    assert delete_from_ivf_store(spark, root, ids=victims) == 10
+    q = (
+        emb.filter(~F.col("vec_id").isin(victims)).limit(3)
+        .select(F.col("vec_id").alias("query_id"), "embedding").toPandas()
+    )
+    res = ivfpq_store_topk(spark, root, q, emb, k=emb.count() - 11, nprobe=8)
+    assert res.filter(F.col("vec_id").isin(victims)).count() == 0
+    # rebuild drops them for good (held_ids goes through _load_assigned)
+    rebuild_ivfpq_store(spark, root, emb)
+    import os
+
+    live = spark.read.parquet(
+        os.path.join(current_index_dir(root), "assigned")
+    )
+    assert live.count() == emb.count() - 10
+    assert live.filter(F.col("vec_id").isin(victims)).count() == 0

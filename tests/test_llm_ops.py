@@ -818,3 +818,20 @@ def test_mm08_planted_pairs_have_margin(spark):
     # superset copy); absolute counts vary with spectral repetitiveness
     assert agg["c"] == 1.0, f"weakest planted containment {agg['c']}"
     assert agg["m"] is not None and agg["m"] >= 2
+
+
+def test_constellation_packing_bounds_validated(spark):
+    """Round-10 review: the (f1,f2,dt) int64 packing silently collides
+    past frame_samples 8190 (f2 overflows its 12-bit field) or fanout
+    255 (dt overflows 8 bits) — both now raise instead."""
+    import pytest as _pytest
+
+    from python_openetl_spark.operators.multimodal import (
+        audio_constellation_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, b"\x00" * 64)], "doc_id long, payload binary")
+    with _pytest.raises(ValueError, match="12-bit"):
+        audio_constellation_fingerprints(df, frame_samples=8192)
+    with _pytest.raises(ValueError, match="8-bit"):
+        audio_constellation_fingerprints(df, fanout=256)

@@ -336,7 +336,17 @@ def test_jsonl_writer_two_phase_commit(spark, tmp_path):
     )
     got = sorted((r["doc_id"], r["txt"]) for r in back.collect())
     assert got == [(1, "a"), (2, None), (3, "c")]
-    # overwrite drops the previous generation of parts
+    # append CONTINUES part numbering — a second write must never
+    # os.replace over the first generation's committed parts
+    df.write.format("openetl_jsonl").option("path", out).mode("append").save()
+    back_app = (
+        spark.read.format("openetl_jsonl")
+        .option("path", out)
+        .option("schema", "doc_id bigint, txt string")
+        .load()
+    )
+    assert back_app.count() == 6  # both generations present
+    # overwrite drops every previous generation of parts
     df.limit(1).write.format("openetl_jsonl").option("path", out).mode(
         "overwrite"
     ).save()
@@ -347,3 +357,34 @@ def test_jsonl_writer_two_phase_commit(spark, tmp_path):
         .load()
     )
     assert back2.count() == 1
+
+
+def test_jsonl_stream_reader_waits_for_partial_trailing_line(spark, tmp_path):
+    """Round-10 review: a record mid-write (no trailing newline yet)
+    must NOT be consumed — the offset stays at its start and the next
+    batch picks it up whole once the newline lands (the append-log
+    rule; parsing the fragment crashed JSON mode before)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from python_openetl_spark.sources.pydatasource import JsonlStreamReader
+
+    p = str(tmp_path / "live.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"i": 1}) + "\n")
+        f.write('{"i": 2')  # partial record, producer mid-write
+    schema = StructType.fromDDL("i bigint")
+    rd = JsonlStreamReader(
+        {"path": p, "schema": "i bigint", "batch_bytes": "4096"}, schema
+    )
+    it, off = rd.read(rd.initialOffset())
+    assert list(it) == [(1,)]
+    # offset parked at the partial line's start
+    assert off["pos"] == len(json.dumps({"i": 1})) + 1
+    # producer finishes the record -> next batch reads it whole
+    with open(p, "a") as f:
+        f.write(', "x": 3}\n')
+    it2, off2 = rd.read(off)
+    assert list(it2) == [(2,)]
+    assert off2["pos"] > off["pos"]
