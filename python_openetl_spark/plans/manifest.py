@@ -129,7 +129,21 @@ def pruned_read(
     manifest staleness in the too-many-files direction).
 
     Returns an empty, correctly-typed frame when no file qualifies.
+
+    ``table_path`` doubles as the reader's ``basePath`` (r10 review):
+    reading leaf files of a HIVE-PARTITIONED table without it makes
+    Spark drop the partition columns from the schema — a prune on a
+    partition column then fails to resolve, and any prune silently
+    returns a narrower schema than the table. Always pass it for
+    partitioned tables; without it, flat layouts behave as before.
     """
+
+    def _reader():
+        r = spark.read
+        if table_path is not None:
+            r = r.option("basePath", table_path)
+        return r
+
     files = prune_files(manifest, column, lo, hi)
     if not files:
         # derive the schema from one manifest-listed file (cheap:
@@ -142,8 +156,8 @@ def pruned_read(
                     "pruned_read: empty manifest and no table_path fallback"
                 )
             return spark.read.parquet(table_path).filter(F.lit(False))
-        return spark.read.parquet(any_file[0]).filter(F.lit(False))
+        return _reader().parquet(any_file[0]).filter(F.lit(False))
     return (
-        spark.read.parquet(*files)
+        _reader().parquet(*files)
         .filter((F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi)))
     )

@@ -55,6 +55,28 @@ def _unescape_part_value(s: str) -> str | None:
     return "".join(out)
 
 
+def write_staging(
+    df: DataFrame, staging: str, partition_by: list[str] | None
+) -> None:
+    """Materialize ``df`` into a staging directory with the 0-row
+    schema-file convention: a zero-row PARTITIONED write emits no data
+    files at all, so a later read couldn't infer the schema — append
+    one empty root-level file carrying the full schema (including the
+    partition columns as regular columns). Shared by
+    ``ParquetTable.overwrite`` and ``plans.txn.publish_all`` (r10
+    review: the convention existed in three drifting copies)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    if partition_by and not any(
+        name.endswith(".parquet")
+        for _dir, _sub, files in os.walk(staging)
+        for name in files
+    ):
+        df.limit(0).write.mode("append").parquet(staging)
+
+
 def _list_partition_dirs(
     root: str, partition_by: list[str]
 ) -> list[tuple[str, list[str | None]]]:
@@ -120,22 +142,9 @@ class ParquetTable:
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         staging = f"{self.path}.staging-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         # Write fully (materializes the plan — safe even when df reads
         # from self.path, since staging != source), then swap.
-        writer.parquet(staging)
-        if partition_by and not any(
-            name.endswith(".parquet")
-            for _dir, _sub, files in os.walk(staging)
-            for name in files
-        ):
-            # a 0-row partitioned write emits no data files at all, so a
-            # later read can't infer the schema; append one empty
-            # root-level file carrying the full schema (incl. the
-            # partition columns as regular columns)
-            df.limit(0).write.mode("append").parquet(staging)
+        write_staging(df, staging, partition_by)
         backup = f"{self.path}.bak-{uuid.uuid4().hex[:8]}"
         if os.path.exists(self.path):
             os.rename(self.path, backup)
@@ -195,7 +204,9 @@ class ParquetTable:
         slots in behind this same method.
         """
         if validate:
-            bad = df.filter(f"NOT ({predicate})").limit(21)
+            # NULL-evaluating rows do NOT satisfy the predicate either
+            # (r10 review: plain NOT(pred) lets them slip through)
+            bad = df.filter(f"NOT ({predicate}) OR ({predicate}) IS NULL").limit(21)
             n_bad = bad.count()
             if n_bad:
                 raise ValueError(
@@ -213,18 +224,50 @@ class ParquetTable:
         ):
             self._overwrite_partitions(df, predicate, partition_by)
             return
-        kept = self.read(spark).filter(f"NOT ({predicate})")
+        # keep rows NOT matching the predicate INCLUDING NULL-evaluating
+        # rows (r10 review: filter("NOT (pred)") drops rows where pred is
+        # NULL — an x=NULL row would be silently deleted by an x>5
+        # overwrite; the dynamic path's directory-meta filter keeps NULL
+        # partitions, so this also keeps the two paths in agreement)
+        kept = self.read(spark).filter(
+            f"NOT ({predicate}) OR ({predicate}) IS NULL"
+        )
         self.overwrite(kept.unionByName(df), partition_by=partition_by)
 
     def _has_partition_layout(self, partition_by: list[str]) -> bool:
-        """True iff the on-disk layout is hive-partitioned by the FIRST
-        partition column (written by an earlier partitioned overwrite)."""
+        """True iff the on-disk layout is hive-partitioned by EXACTLY
+        ``partition_by`` — every data file under the first-level
+        ``col0=`` dirs sits at depth ``len(partition_by)`` with the
+        expected column at each level. Checking only the first column
+        (the pre-r10 behavior) let a deeper/shallower ``partition_by``
+        take the dynamic path against a mismatched layout: the clear
+        step then found no leaves (stale predicate-matching rows
+        survived) and the rename step nested mismatched-depth dirs into
+        the table — Spark's 'Conflicting directory structures' error on
+        the next read. A mismatch now falls through to the full staged
+        rewrite, which atomically REPLACES the whole layout."""
         prefix = f"{partition_by[0]}="
-        return any(
-            name.startswith(prefix)
-            and os.path.isdir(os.path.join(self.path, name))
+        tops = [
+            name
             for name in os.listdir(self.path)
-        )
+            if name.startswith(prefix)
+            and os.path.isdir(os.path.join(self.path, name))
+        ]
+        if not tops:
+            return False
+        want = len(partition_by)
+        for top in tops:
+            for dirpath, _dirs, files in os.walk(os.path.join(self.path, top)):
+                if not any(name.endswith(".parquet") for name in files):
+                    continue
+                rel = os.path.relpath(dirpath, self.path)
+                parts = rel.split(os.sep)
+                if len(parts) != want or any(
+                    not p.startswith(f"{c}=")
+                    for p, c in zip(parts, partition_by)
+                ):
+                    return False
+        return True
 
     def _predicate_is_partition_only(
         self, spark: SparkSession, predicate: str, partition_by: list[str]

@@ -35,7 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
-from python_openetl_spark.plans.pipelines import ParquetTable
+from python_openetl_spark.plans.pipelines import ParquetTable, write_staging
 
 
 @dataclass
@@ -56,18 +56,7 @@ def publish_all(publishes: list[Publish]) -> None:
         # phase 1: materialize everything; no table touched yet
         for p in publishes:
             staging = f"{p.table.path}.txn-{uuid.uuid4().hex[:8]}"
-            writer = p.df.write.mode("overwrite")
-            if p.partition_by:
-                writer = writer.partitionBy(*p.partition_by)
-            writer.parquet(staging)
-            if p.partition_by and not any(
-                name.endswith(".parquet")
-                for _d, _s, files in os.walk(staging)
-                for name in files
-            ):
-                # 0-row partitioned write: keep a schema file (the
-                # ParquetTable.overwrite convention)
-                p.df.limit(0).write.mode("append").parquet(staging)
+            write_staging(p.df, staging, p.partition_by)
             stagings.append((p, staging))
     except Exception:
         # include the in-flight staging (a failed write leaves its dir)

@@ -164,7 +164,10 @@ class VersionedTable:
         only the SOURCE table may reclaim its own files (the Delta
         shallow-clone vacuum rule)."""
         state = self._state()
-        keep = set(sorted((int(v) for v in state["versions"]))[-keep_last:])
+        ordered = sorted(int(v) for v in state["versions"])
+        # lst[-0:] is the WHOLE list: keep_last=0 ("current only") was
+        # a silent no-op before this explicit slice (r10 review)
+        keep = set(ordered[len(ordered) - keep_last :] if keep_last > 0 else [])
         if state["current"] is not None:
             keep.add(state["current"])
         removed = []

@@ -99,10 +99,17 @@ def jdbc_url_from_postgres_url(url: str) -> tuple[str, str | None, str | None]:
         raise ValueError(f"not a postgres URL scheme: {p.scheme!r}")
     host = p.hostname or "127.0.0.1"
     port = p.port or 5432
-    db = (p.path or "/postgres").lstrip("/")
+    # '/' (no db in the URL) must take the documented default too —
+    # p.path is then truthy and lstrip alone would yield an empty db
+    db = p.path.lstrip("/") or "postgres"
     user = urllib.parse.unquote(p.username) if p.username else None
     password = urllib.parse.unquote(p.password) if p.password else None
-    return f"jdbc:postgresql://{host}:{port}/{db}", user, password
+    jdbc_url = f"jdbc:postgresql://{host}:{port}/{db}"
+    if p.query:
+        # carry the query string (sslmode=require etc.) — dropping it
+        # silently downgraded TLS-required connections (r10 review)
+        jdbc_url += f"?{p.query}"
+    return jdbc_url, user, password
 
 
 def postgres_source(

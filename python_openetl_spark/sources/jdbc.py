@@ -245,13 +245,24 @@ def index_layout_hints(indexdefs: list[str], pk: str | None = None) -> dict[str,
     import re
 
     cols: list[str] = []
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     for ddl in indexdefs:
-        m = re.search(r"\(([^)]*)\)", ddl)
+        # greedy to the LAST ')': a first-')' match truncated
+        # expression indexes like lower((email)::text) into garbage
+        # column names that crashed the downstream seed (r10 review)
+        m = re.search(r"\((.*)\)", ddl)
         if not m:
             continue
         for c in m.group(1).split(","):
             name = c.strip().split(" ")[0].strip('"')
-            if name and name != pk and name not in cols:
+            # keep plain identifiers only — an expression index yields
+            # no layout hint rather than an unresolvable pseudo-column
+            if (
+                name
+                and ident.fullmatch(name)
+                and name != pk
+                and name not in cols
+            ):
                 cols.append(name)
     return {"sort_within_partitions": cols}
 

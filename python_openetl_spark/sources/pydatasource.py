@@ -246,7 +246,12 @@ class JsonlWriter(DataSourceWriter):
 
     Rows serialize as one JSON object per line (key order sorted,
     ``ensure_ascii=False``), the exact format the batch/stream readers
-    parse — write → read roundtrips bit-identically."""
+    parse — write → read roundtrips bit-identically for JSON-native
+    types. Non-JSON-native column values (timestamp/date/Decimal —
+    Python ``datetime``/``Decimal`` at this layer) serialize via
+    ``str()`` (ISO-8601 for temporals), readable back as string
+    columns or castable; ``binary`` is not supported by the format
+    (stated) and str()-serializes as a Python repr."""
 
     def __init__(self, options, schema: StructType, overwrite: bool):
         path = options.get("path")
@@ -266,19 +271,44 @@ class JsonlWriter(DataSourceWriter):
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 obj = {k: row[k] for k in self.fields}
-                f.write(json.dumps(obj, sort_keys=True, ensure_ascii=False))
+                # default=str: temporal/Decimal values arrive as Python
+                # objects json can't encode — every task would otherwise
+                # die with TypeError on the first timestamp column
+                f.write(
+                    json.dumps(
+                        obj, sort_keys=True, ensure_ascii=False, default=str
+                    )
+                )
                 f.write("\n")
                 n += 1
         return _PartFile(tmp, n)
 
     def commit(self, messages) -> None:
         import shutil
+        import uuid
 
         final = [m for m in messages if m is not None]
+        backup = None
         if self.overwrite:
-            for name in os.listdir(self.path):
-                if name.startswith("part-") and name.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, name))
+            # overwrite publishes NEW parts first, then retires the old
+            # generation into a backup dir removed only at the end —
+            # deleting before renaming (the pre-r10 behavior) meant a
+            # mid-commit crash lost the previous COMMITTED generation
+            # with nothing to recover (the ParquetTable.overwrite
+            # backup-swap rule, applied at file granularity)
+            backup = os.path.join(self.path, f"_backup-{uuid.uuid4().hex[:8]}")
+            olds = [
+                name
+                for name in os.listdir(self.path)
+                if name.startswith("part-") and name.endswith(".jsonl")
+            ]
+            if olds:
+                os.makedirs(backup, exist_ok=True)
+                for name in olds:
+                    os.replace(
+                        os.path.join(self.path, name),
+                        os.path.join(backup, name),
+                    )
         # append mode CONTINUES the part numbering past the existing
         # generation — starting at 0 would os.replace over previously
         # COMMITTED parts and silently lose them (single writer at a
@@ -288,11 +318,29 @@ class JsonlWriter(DataSourceWriter):
             for name in os.listdir(self.path)
             if name.startswith("part-") and name.endswith(".jsonl")
         )
-        for i, m in enumerate(final):
-            os.replace(
-                m.tmp_path,
-                os.path.join(self.path, f"part-{base + i:05d}.jsonl"),
-            )
+        published = []
+        try:
+            for i, m in enumerate(final):
+                dest = os.path.join(self.path, f"part-{base + i:05d}.jsonl")
+                os.replace(m.tmp_path, dest)
+                published.append(dest)
+        except Exception:
+            # roll back: unpublish this commit's parts, restore the old
+            # generation — the destination returns to its prior state
+            for dest in published:
+                try:
+                    os.remove(dest)
+                except OSError:
+                    pass
+            if backup is not None and os.path.isdir(backup):
+                for name in os.listdir(backup):
+                    os.replace(
+                        os.path.join(backup, name),
+                        os.path.join(self.path, name),
+                    )
+            raise
+        if backup is not None:
+            shutil.rmtree(backup, ignore_errors=True)
         shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
 
     def abort(self, messages) -> None:

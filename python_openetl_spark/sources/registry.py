@@ -60,15 +60,37 @@ def _read_orc(spark: SparkSession, spec: dict) -> DataFrame:
     return spark.read.orc(spec["path"])
 
 
+def _is_missing_datasource_error(e: Exception) -> bool:
+    """True iff the exception is the missing-classpath signature — the
+    ONLY case the format handlers may relabel with a jar hint. Spark
+    surfaces an absent data source as DATA_SOURCE_NOT_FOUND /
+    ClassNotFoundException / 'Failed to find data source'."""
+    msg = str(e)
+    return any(
+        sig in msg
+        for sig in (
+            "DATA_SOURCE_NOT_FOUND",
+            "Failed to find data source",
+            "Failed to find the data source",
+            "ClassNotFoundException",
+        )
+    )
+
+
 def _read_avro(spark: SparkSession, spec: dict) -> DataFrame:
     try:
         return spark.read.format("avro").load(spec["path"])
-    except Exception as e:  # spark-avro module not on the classpath
-        raise SourceError(
-            "Avro source requires the spark-avro module "
-            "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark version>); "
-            f"underlying error: {e}"
-        ) from e
+    except Exception as e:
+        # relabel ONLY the missing-module signature; a path/schema/auth
+        # error must surface as itself, not as a classpath hint
+        # (r10 review: the bare wrap sent operators down the wrong hole)
+        if _is_missing_datasource_error(e):
+            raise SourceError(
+                "Avro source requires the spark-avro module "
+                "(spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark version>); "
+                f"underlying error: {e}"
+            ) from e
+        raise
 
 
 #: Production classpath for the BigQuery handler (Spark 4 = Scala 2.13):
@@ -103,12 +125,14 @@ def _read_bigquery(spark: SparkSession, spec: dict) -> DataFrame:
     reader = spark.read.format("bigquery").options(**options)
     try:
         return reader.load(load_path) if load_path else reader.load()
-    except Exception as e:  # connector jar absent in this environment
-        raise SourceError(
-            "BigQuery source requires the spark-bigquery-connector jar "
-            f"(spark.jars.packages={BIGQUERY_JAR_COORDINATE}); "
-            f"underlying error: {e}"
-        ) from e
+    except Exception as e:
+        if _is_missing_datasource_error(e):  # jar absent (this sandbox)
+            raise SourceError(
+                "BigQuery source requires the spark-bigquery-connector jar "
+                f"(spark.jars.packages={BIGQUERY_JAR_COORDINATE}); "
+                f"underlying error: {e}"
+            ) from e
+        raise  # auth/table/permission errors surface as themselves
 
 
 READERS: dict[str, Callable[[SparkSession, dict], DataFrame]] = {

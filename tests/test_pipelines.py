@@ -352,3 +352,55 @@ def test_k09_plan_contains_dynamic_pruning(spark):
     df = k09_dynamic_partition_pruned_join(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_overwrite_where_null_predicate_rows_survive(spark, tmp_path):
+    """r10 review: rows where the predicate evaluates NULL do not MATCH
+    it, so they must be KEPT by the rewrite (NOT(pred) alone drops
+    them) — and a NULL-evaluating replacement row must fail validate."""
+    import pytest as _pytest
+
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "t"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 3)], "id long, x long"
+        )
+    )
+    repl = spark.createDataFrame([(9, 99)], "id long, x long")
+    t.overwrite_where(repl, "x > 5")
+    got = sorted((r["id"], r["x"]) for r in t.read(spark).collect())
+    # id=1 (x=10) replaced away; id=2 (x NULL) and id=3 (x=3) KEPT
+    assert got == [(2, None), (3, 3), (9, 99)]
+    with _pytest.raises(ValueError, match="violate predicate"):
+        t.overwrite_where(
+            spark.createDataFrame([(8, None)], "id long, x long"), "x > 5"
+        )
+
+
+def test_overwrite_where_layout_mismatch_takes_full_rewrite(spark, tmp_path):
+    """r10 review: a partition_by DEEPER than the on-disk layout must
+    not take the dynamic path (clears nothing, nests mismatched dirs);
+    it now falls through to the atomic full rewrite, which replaces
+    the layout wholesale and still removes predicate-matching rows."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    t = ParquetTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [("F", "eu", 1), ("F", "us", 2), ("O", "eu", 3)],
+        "status string, region string, id long",
+    )
+    t.overwrite(base, partition_by=["status"])
+    repl = spark.createDataFrame(
+        [("F", "ap", 9)], "status string, region string, id long"
+    )
+    t.overwrite_where(repl, "status = 'F'", partition_by=["status", "region"])
+    got = t.read(spark)
+    rows = sorted((r["status"], r["region"], r["id"]) for r in got.collect())
+    # old status=F rows really replaced; O partition intact
+    assert rows == [("F", "ap", 9), ("O", "eu", 3)]
+    # and the table now reads cleanly under the NEW two-level layout
+    assert got.filter(F.col("region") == "ap").count() == 1

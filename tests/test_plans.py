@@ -387,3 +387,26 @@ def test_compact_table_merges_and_noops(spark, tmp_path):
     again = compact_table(spark, path, target_rows_per_file=1000)
     assert not again["rewritten"]
     assert again["files_after"] == again["files_before"] == stats["files_after"]
+
+
+def test_pruned_read_keeps_partition_columns_with_base_path(spark, tmp_path):
+    """r10 review: leaf-file reads of a hive-partitioned table drop the
+    partition columns unless basePath is set — pruned_read now threads
+    table_path through as basePath, so pruning on a PARTITION column
+    works and the schema equals the table's."""
+    from python_openetl_spark.plans.manifest import build_manifest, pruned_read
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-02-01", 2), ("2024-03-01", 3)],
+        "dt string, v long",
+    ).write.partitionBy("dt").parquet(p)
+    man = build_manifest(spark, p, ["dt", "v"])
+    got = pruned_read(spark, man, "dt", "2024-01-15", "2024-02-15", table_path=p)
+    assert set(got.columns) == {"dt", "v"}
+    # hive inference types dt as DATE on the read side; compare as str
+    assert [(str(r["dt"]), r["v"]) for r in got.collect()] == [("2024-02-01", 2)]
+    # data-column prune on the partitioned table keeps dt in the schema
+    got2 = pruned_read(spark, man, "v", 3, 9, table_path=p)
+    assert set(got2.columns) == {"dt", "v"}
+    assert str(got2.first()["dt"]) == "2024-03-01"

@@ -388,3 +388,60 @@ def test_jsonl_stream_reader_waits_for_partial_trailing_line(spark, tmp_path):
     it2, off2 = rd.read(off)
     assert list(it2) == [(2,)]
     assert off2["pos"] > off["pos"]
+
+
+def test_jsonl_writer_serializes_temporal_columns(spark, tmp_path):
+    """r10 review: json.dumps choked on datetime/Decimal values —
+    default=str now serializes them (ISO-8601), so a timestamp column
+    writes instead of failing every task."""
+    import json
+    import os
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "t")
+    os.makedirs(out)
+    df = spark.sql(
+        "SELECT 1 AS id, timestamp'2024-01-02 03:04:05' AS ts,"
+        " CAST(1.5 AS DECIMAL(10,2)) AS d"
+    )
+    df.write.format("openetl_jsonl").option("path", out).mode("append").save()
+    part = [n for n in os.listdir(out) if n.endswith(".jsonl")][0]
+    row = json.loads(open(os.path.join(out, part)).read())
+    assert row["id"] == 1 and row["ts"].startswith("2024-01-02 03:04:05")
+    assert row["d"] == "1.50"
+
+
+def test_postgres_url_keeps_query_and_defaults_empty_db():
+    """r10 review: the query string (sslmode etc.) must survive into
+    the JDBC URL, and a bare '/' path takes the documented 'postgres'
+    default instead of an empty db name."""
+    from python_openetl_spark.sources.connections import (
+        jdbc_url_from_postgres_url,
+    )
+
+    url, user, pw = jdbc_url_from_postgres_url(
+        "postgres://u:p@h:5433/mydb?sslmode=require&connect_timeout=5"
+    )
+    assert url == "jdbc:postgresql://h:5433/mydb?sslmode=require&connect_timeout=5"
+    assert (user, pw) == ("u", "p")
+    url2, _, _ = jdbc_url_from_postgres_url("postgres://h/")
+    assert url2 == "jdbc:postgresql://h:5432/postgres"
+
+
+def test_index_layout_hints_skip_expression_indexes():
+    """r10 review: a functional index like lower((email)::text) used to
+    yield the garbage hint column 'lower((email'; expression indexes
+    now contribute no hint, plain-column indexes still do."""
+    from python_openetl_spark.sources.jdbc import index_layout_hints
+
+    hints = index_layout_hints(
+        [
+            "CREATE INDEX i1 ON t USING btree (lower((email)::text))",
+            "CREATE INDEX i2 ON t USING btree (created_at, status)",
+            "CREATE UNIQUE INDEX pk ON t USING btree (id)",
+        ],
+        pk="id",
+    )
+    assert hints == {"sort_within_partitions": ["created_at", "status"]}

@@ -158,3 +158,17 @@ def test_deep_clone_localizes_borrowed_versions(spark, tmp_path):
 
     with _pytest.raises(Exception):
         shallow.read(spark, version=1).count()
+
+
+def test_vacuum_keep_last_zero_keeps_only_current(spark, tmp_path):
+    """r10 review: keep_last=0 was a silent no-op (lst[-0:] slices the
+    whole list); it now means 'current only'."""
+    from python_openetl_spark.plans.versioned import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(3):
+        t.commit(spark.createDataFrame([(i,)], "id long"))
+    removed = t.vacuum(keep_last=0)
+    assert removed == [1, 2]
+    assert t.versions() == [3]
+    assert t.read(spark).first()["id"] == 2
