@@ -178,18 +178,55 @@ _MODULES = (
 # That is exactly 50; after a green R10 every one of the 235 queries
 # has driver evidence and nothing predates r6.
 #
-# _WINDOW_R11 should lead with the 12 round-10 post-window additions
-# (q81_multi_step_funnel, q82_funnel_dropoff_report,
-# x23_store_delete_probe, d57_perplexity_buckets,
-# s14_stream_stream_left_join, s15_stream_session_windows,
-# s16_stream_python_datasource,
-# mm08_audio_constellation_near_dup, k17_python_datasource_scan,
-# k18_python_datasource_write_roundtrip,
-# m22_incremental_join_view, e10_ccnet_quality_corpus — all
-# oracle/soak-verified in round 10), then the 35 remaining r6-checked
-# rows in ledger order (d43-d50, e01, e05, k02, k06-k08, m15-m18,
-# q60-q68, s08, u05, u06, x05, x07, x11-x13), then the oldest
-# r7-checked rows. That is exactly 50 when 3 r7 rows fill the tail.
+# Round 11's window (_WINDOW_R11), per the rotation rule
+# (never-checked rows lead, oldest evidence fills):
+#   1. the 12 round-10 post-window additions that have never had a
+#      driver row (q81, q82, x23, d57, s14, s15, s16, mm08, k17, k18,
+#      m22, e10 — all oracle/soak-verified in round 10 AND
+#      independently sf0.1-soaked by the round-10 judge; k13 stays
+#      excluded: rows-only by design with an r8 driver row);
+#   2. the 35 remaining r6-checked rows in ledger order (d43-d50,
+#      e01, e05, k02, k06-k08, m15-m18, q60-q68, s08, u05, u06,
+#      x05, x07, x11-x13);
+#   3. the first 3 r7-checked rows in ledger order (d25, d26, d51).
+# That is exactly 50; after a green R11 nothing predates r7.
+#
+# _WINDOW_R12 should lead with any round-11 post-window additions,
+# then the 47 remaining r7-checked rows in ledger order (e06, e07,
+# k09-k12, m01-m12, m19, q02, q12, q24, q27, q28, q37, q47,
+# q50-q53, q69-q73, s01-s06, s09, u07, x08, x14-x16), filling the
+# tail from the oldest r8-checked rows.
+_WINDOW_R11 = (
+    # never driver-checked (round-10 post-window additions)
+    "q81_multi_step_funnel", "q82_funnel_dropoff_report",
+    "x23_store_delete_probe", "d57_perplexity_buckets",
+    "s14_stream_stream_left_join", "s15_stream_session_windows",
+    "s16_stream_python_datasource",
+    "mm08_audio_constellation_near_dup", "k17_python_datasource_scan",
+    "k18_python_datasource_write_roundtrip",
+    "m22_incremental_join_view", "e10_ccnet_quality_corpus",
+    # remaining r6-checked rows in ledger order (35)
+    "d43_corpus_drift_kl", "d44_domain_cap", "d45_pseudonymize",
+    "d46_bpe_merge_train", "d47_quality_canonical_corpus",
+    "d48_cross_doc_repeated_spans", "d49_balanced_shards",
+    "d50_gopher_quality_gate", "e01_prepare_corpus",
+    "e05_dataset_card", "k02_json_roundtrip",
+    "k06_zorder_layout_scan", "k07_hive_partition_pruned_scan",
+    "k08_permissive_csv_ingest", "m15_multi_table_publish",
+    "m16_time_travel", "m17_bucketed_colocated_join",
+    "m18_cdc_rollup_maintenance", "q60_data_quality_report",
+    "q61_conversion_funnel", "q62_cohort_retention",
+    "q63_gap_fill_daily_revenue", "q64_asof_nearest",
+    "q65_quarantine_rows", "q66_customer_value_deciles",
+    "q67_interval_concurrency", "q68_mad_outliers",
+    "s08_watermark_scoped_dedup", "u05_map_in_arrow",
+    "u06_grouped_agg_trimmed_mean", "x05_ivf_topk",
+    "x07_ivf_full_probe", "x11_maxsim_topk", "x12_matryoshka_topk",
+    "x13_quantized_topk",
+    # oldest r7-checked rows in ledger order (3)
+    "d25_kmeans_assign", "d26_semantic_dedup", "d51_lexical_richness",
+)
+#
 _WINDOW_R10 = (
     # never driver-checked (round-9 post-window additions)
     "d55_paragraph_dedup", "d56_epoch_mixture",
@@ -439,9 +476,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R10 if n not in out]
+    missing = [n for n in _WINDOW_R11 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R10}
+    ordered = {n: out[n] for n in _WINDOW_R11}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
