@@ -370,15 +370,16 @@ def delete_from_ivf_store(
         doomed = live.select(id_col).join(
             F.broadcast(id_df.distinct()), id_col, "left_semi"
         )
-    doomed = doomed.persist()
-    try:
-        n = doomed.count()
-        if n:
-            doomed.coalesce(1).write.mode("append").parquet(
-                os.path.join(idx_dir, _DELETED)
-            )
-    finally:
-        doomed.unpersist()
+    # localCheckpoint severs lineage from the deleted/ directory the
+    # append below writes into — a persist()-only plan could be
+    # re-evaluated against that directory mid-append on cache eviction
+    # or executor loss (r11 advice: self-read hazard)
+    doomed = doomed.localCheckpoint(eager=True)
+    n = doomed.count()
+    if n:
+        doomed.coalesce(1).write.mode("append").parquet(
+            os.path.join(idx_dir, _DELETED)
+        )
     return n
 
 

@@ -247,6 +247,12 @@ def index_layout_hints(indexdefs: list[str], pk: str | None = None) -> dict[str,
     cols: list[str] = []
     ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
     for ddl in indexdefs:
+        # partial indexes ('... ON t (col) WHERE (x > 5)'): strip the
+        # trailing WHERE clause FIRST — the greedy paren match below
+        # would otherwise capture 'col) WHERE (x > 5' and the
+        # identifier filter would drop the valid 'col' hint (r11
+        # advice). The WHERE predicate itself is never a layout hint.
+        ddl = re.split(r"(?<=\))\s+WHERE\s", ddl, maxsplit=1, flags=re.I)[0]
         # greedy to the LAST ')': a first-')' match truncated
         # expression indexes like lower((email)::text) into garbage
         # column names that crashed the downstream seed (r10 review)

@@ -312,12 +312,19 @@ class JsonlWriter(DataSourceWriter):
         # append mode CONTINUES the part numbering past the existing
         # generation — starting at 0 would os.replace over previously
         # COMMITTED parts and silently lose them (single writer at a
-        # time assumed, as everywhere in this repo's publish paths)
-        base = sum(
-            1
+        # time assumed, as everywhere in this repo's publish paths).
+        # Base is max(existing)+1, NOT the file count: a non-contiguous
+        # directory (crashed prior commit, manual removal) makes the
+        # count collide with a surviving higher-numbered part and
+        # os.replace would silently overwrite it (r11 advice).
+        existing = [
+            int(name[len("part-") : -len(".jsonl")])
             for name in os.listdir(self.path)
-            if name.startswith("part-") and name.endswith(".jsonl")
-        )
+            if name.startswith("part-")
+            and name.endswith(".jsonl")
+            and name[len("part-") : -len(".jsonl")].isdigit()
+        ]
+        base = max(existing) + 1 if existing else 0
         published = []
         try:
             for i, m in enumerate(final):

@@ -445,3 +445,60 @@ def test_index_layout_hints_skip_expression_indexes():
         pk="id",
     )
     assert hints == {"sort_within_partitions": ["created_at", "status"]}
+
+
+def test_index_layout_hints_partial_index_where_clause():
+    """r11 advice: on a partial index 'ON t (col) WHERE (x > 5)' the
+    greedy paren match captured 'col) WHERE (x > 5' and the identifier
+    filter dropped the valid 'col' hint. The WHERE clause is stripped
+    first; its predicate columns are never hints."""
+    from python_openetl_spark.sources.jdbc import index_layout_hints
+
+    hints = index_layout_hints(
+        [
+            "CREATE INDEX i1 ON t USING btree (status) WHERE (deleted_at IS NULL)",
+            "CREATE INDEX i2 ON t USING btree (region, tier) WHERE (score > 5)",
+            # expression index + WHERE: still no garbage hint
+            "CREATE INDEX i3 ON t USING btree (lower((email)::text)) WHERE (x > 1)",
+        ],
+        pk="id",
+    )
+    assert hints == {"sort_within_partitions": ["status", "region", "tier"]}
+
+
+def test_jsonl_writer_append_skips_gaps_in_part_numbering(spark, tmp_path):
+    """r11 advice: append numbered new parts from the COUNT of existing
+    part files; a non-contiguous directory (crashed prior commit or a
+    manually removed part) made the count collide with a surviving
+    higher-numbered part, which os.replace silently overwrote. Base is
+    now max(existing)+1."""
+    import json
+    import os
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "gappy")
+    os.makedirs(out)
+    # non-contiguous survivors: 00000 and 00002 (00001 lost to a crash)
+    with open(os.path.join(out, "part-00000.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 100, "txt": "keep0"}) + "\n")
+    with open(os.path.join(out, "part-00002.jsonl"), "w") as f:
+        f.write(json.dumps({"doc_id": 102, "txt": "keep2"}) + "\n")
+    df = spark.createDataFrame([(1, "new")], "doc_id long, txt string").coalesce(1)
+    df.write.format("openetl_jsonl").option("path", out).mode("append").save()
+    # the surviving part-00002 must be untouched
+    with open(os.path.join(out, "part-00002.jsonl")) as f:
+        assert json.loads(f.readline())["txt"] == "keep2"
+    names = sorted(
+        n for n in os.listdir(out) if n.startswith("part-") and n.endswith(".jsonl")
+    )
+    assert names == ["part-00000.jsonl", "part-00002.jsonl", "part-00003.jsonl"]
+    back = (
+        spark.read.format("openetl_jsonl")
+        .option("path", out)
+        .option("schema", "doc_id bigint, txt string")
+        .load()
+    )
+    got = sorted((r["doc_id"], r["txt"]) for r in back.collect())
+    assert got == [(1, "new"), (100, "keep0"), (102, "keep2")]
