@@ -100,6 +100,103 @@ def _lead_frame(
     return led, conds
 
 
+def funnel_first_touch(
+    events: DataFrame,
+    steps: Sequence[Column | str],
+    *,
+    partition_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    max_gap_us: "int | Sequence[int] | None" = None,
+) -> DataFrame:
+    """Relaxed ("eventually-after") funnel — the semantics product
+    analytics tools actually ship: per entity, step i counts if it
+    happened ANY TIME strictly after the entity's first-touch time of
+    step i-1 (optionally within a per-transition bound), not as the
+    adjacent next event. First-touch chaining is the standard
+    definition: ``t1`` is the FIRST step-1 event; ``t_i`` is the first
+    step-i event with ``us > t_{i-1}`` (and ``us - t_{i-1} <=
+    max_gap_us[i-1]`` when bounded). A step-2 event that is within the
+    gap of a LATER step-1 event but not of the first one does NOT
+    convert — both this operator and any min-of-first-match SQL
+    formulation agree on that, which is what makes the semantics
+    deterministic.
+
+    Not n self-joins: each ``t_i`` is a RUNNING MIN over the same
+    ``(entity, time, tiebreak)``-sorted frame — ``r_{i-1}(q)`` (the
+    first-touch of step i-1 as of row q) is already a column when step
+    i's qualifying condition is projected, so the whole chain is n
+    stacked Window operators over ONE exchange + ONE sort (Spark only
+    re-sorts when the child ordering changes), carrying micros +
+    booleans, never the payload. The per-entity rollup then
+    partial-aggregates map-side. Same one-shuffle shape at 100 TB as
+    the strict funnel; hot-entity skew lands on AQE like every other
+    entity-partitioned window here.
+
+    Returns one row per entity that entered the funnel (``step_us_1``
+    non-NULL): ``(partition_col, step_us_1 .. step_us_n, depth)`` where
+    ``step_us_i`` is the first-touch micros of step i (NULL after the
+    drop-off point) and ``depth`` is the number of completed steps. A
+    NULL entity forms one group, exactly like SQL GROUP BY; callers
+    that want it gone filter it (q83 does, so its oracle can use plain
+    equi-joins, where NULL keys never match)."""
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel_first_touch: steps must be non-empty")
+    preds = [F.expr(s) if isinstance(s, str) else s for s in steps]
+    if max_gap_us is None:
+        gaps: "list[int | None]" = [None] * (n - 1)
+    elif isinstance(max_gap_us, int):
+        gaps = [max_gap_us] * (n - 1)
+    else:
+        gaps = list(max_gap_us)
+        if len(gaps) != n - 1:
+            raise ValueError(
+                f"funnel_first_touch: {n} steps need {n - 1} gap bounds, "
+                f"got {len(gaps)}"
+            )
+    w_run = (
+        Window.partitionBy(partition_col)
+        .orderBy(time_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = events.select(
+        partition_col,
+        time_col,
+        tiebreak_col,
+        F.unix_micros(F.col(time_col)).alias("__us"),
+        *[
+            F.coalesce(p.cast("boolean"), F.lit(False)).alias(f"__p{i}")
+            for i, p in enumerate(preds)
+        ],
+    )
+    # __f0 is the qualifying time of step 1 (no predecessor); each
+    # __r{i} is that step's running first-touch, consumed by step i+1's
+    # qualifying condition one select later. All the same window spec.
+    cur = cur.withColumn("__f0", F.when(F.col("__p0"), F.col("__us")))
+    for i in range(1, n):
+        cur = cur.withColumn(f"__r{i - 1}", F.min(f"__f{i - 1}").over(w_run))
+        cond = F.col(f"__p{i}") & (F.col("__us") > F.col(f"__r{i - 1}"))
+        if gaps[i - 1] is not None:
+            cond = cond & (
+                F.col("__us") - F.col(f"__r{i - 1}")
+                <= F.lit(int(gaps[i - 1]))
+            )
+        cur = cur.withColumn(f"__f{i}", F.when(cond, F.col("__us")))
+    per_entity = cur.groupBy(partition_col).agg(
+        *[F.min(f"__f{i}").alias(f"step_us_{i + 1}") for i in range(n)]
+    )
+    depth = None
+    for i in range(n):
+        hit = F.col(f"step_us_{i + 1}").isNotNull().cast("int")
+        depth = hit if depth is None else depth + hit
+    return per_entity.filter(F.col("step_us_1").isNotNull()).select(
+        partition_col,
+        *[f"step_us_{i + 1}" for i in range(n)],
+        depth.alias("depth"),
+    )
+
+
 def match_sequence(
     events: DataFrame,
     steps: Sequence[Column | str],
@@ -150,6 +247,7 @@ def funnel_report(
     time_col: str = "ts",
     tiebreak_col: str = "event_id",
     max_gap_us: "int | Sequence[int] | None" = None,
+    mode: str = "strict",
 ) -> DataFrame:
     """The drop-off report over the same one-shuffle adjacency frame:
     for every step prefix ``1..n``, how many strict-sequence matches
@@ -167,7 +265,51 @@ def funnel_report(
     ``n_entities`` (matching SQL ``COUNT(DISTINCT entity)``, which
     ignores NULL — the q82 oracle's semantics). Returns ``(step,
     n_matches, n_entities)`` with ``step`` 1-based in declaration
-    order."""
+    order.
+
+    ``mode="first_touch"`` reports the relaxed
+    :func:`funnel_first_touch` semantics instead (step i any time
+    after step i-1's first touch): each entity converts at most once,
+    so ``n_matches`` counts converting entities including a NULL
+    entity group while ``n_entities`` keeps the COUNT(DISTINCT)
+    NULL-exclusion, mirroring strict mode's columns."""
+    if mode == "first_touch":
+        ft = funnel_first_touch(
+            events,
+            steps,
+            partition_col=partition_col,
+            time_col=time_col,
+            tiebreak_col=tiebreak_col,
+            max_gap_us=max_gap_us,
+        )
+        n = len(steps)
+        agg = ft.agg(
+            *[
+                F.sum(
+                    F.col(f"step_us_{i + 1}").isNotNull().cast("long")
+                ).alias(f"__nm{i}")
+                for i in range(n)
+            ],
+            *[
+                F.sum(
+                    (
+                        F.col(f"step_us_{i + 1}").isNotNull()
+                        & F.col(partition_col).isNotNull()
+                    ).cast("long")
+                ).alias(f"__ne{i}")
+                for i in range(n)
+            ],
+        )
+        stack = ", ".join(f"{i + 1}, __nm{i}, __ne{i}" for i in range(n))
+        return agg.select(
+            F.expr(f"stack({n}, {stack}) as (step, n_matches, n_entities)")
+        ).select(
+            F.col("step").cast("int").alias("step"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("n_entities", F.lit(0)).cast("long").alias("n_entities"),
+        )
+    if mode != "strict":
+        raise ValueError(f"funnel_report: unknown mode {mode!r}")
     n = len(steps)
     led, conds = _lead_frame(
         events, steps, partition_col, time_col, tiebreak_col, max_gap_us,

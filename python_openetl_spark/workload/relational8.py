@@ -13,6 +13,14 @@ the beyond-reference analytics surface (SURVEY.md §2).
 
 Registered after ``llm12`` in ``_MODULES``; round-10 post-window,
 rotates into ``_WINDOW_R11``.
+
+Round-11 additions (post-window, rotate into ``_WINDOW_R12``):
+
+- q83: the same 4-step funnel under RELAXED ("eventually-after")
+  first-touch semantics (r10 verdict #2) — chained running-min windows
+  over one sort-shuffle, per-entity first-touch times + depth.
+- q84: the drop-off report in first-touch mode, NULL entity group
+  kept in to pin the n_matches/n_entities divergence.
 """
 
 from __future__ import annotations
@@ -105,6 +113,144 @@ def q82_funnel_dropoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q82_funnel_dropoff_report"] = q82_funnel_dropoff_report
+
+def q83_first_touch_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q81's 4-step funnel under RELAXED ("eventually-after")
+    semantics — the definition conversion funnels actually use: step i
+    counts if it happened any time strictly after the entity's
+    first-touch of step i-1 (within the same per-transition bounds),
+    not as the adjacent next event (r10 verdict #2). Chained running-
+    min windows over ONE user-partitioned sort-shuffle
+    (operators/funnel.py funnel_first_touch); per-entity output of
+    first-touch micros per step + depth. NULL users are filtered on
+    BOTH engines so the oracle can chain plain equi-joins (NULL keys
+    never match in SQL)."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return funnel_first_touch(
+        ev,
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        ],
+        max_gap_us=[172_800_000_000, 86_400_000_000, 86_400_000_000],
+    )
+
+
+QUERIES["q83_first_touch_funnel"] = q83_first_touch_funnel
+
+ORACLE["q83_first_touch_funnel"] = """
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND us > t1 AND us - t1 <= 172800000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'click' AND us > t2 AND us - t2 <= 86400000000
+      GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(us) AS t4 FROM e JOIN s3 USING (user_id)
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND us > t3 AND us - t3 <= 86400000000
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           t1 AS step_us_1, t2 AS step_us_2, t3 AS step_us_3, t4 AS step_us_4,
+           CAST((t1 IS NOT NULL) AS INT) + CAST((t2 IS NOT NULL) AS INT)
+           + CAST((t3 IS NOT NULL) AS INT) + CAST((t4 IS NOT NULL) AS INT)
+             AS depth
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    LEFT JOIN s4 USING (user_id)
+"""
+
+
+def q84_first_touch_dropoff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-off report under first-touch semantics
+    (funnel_report(mode="first_touch")): per step, converting-entity
+    counts. NULL users stay IN on purpose — they form one group that
+    counts in n_matches but never in n_entities (q82's COUNT(DISTINCT)
+    rule), so the two columns differ and the oracle pins the NULL-group
+    path with IS NOT DISTINCT FROM joins."""
+    from python_openetl_spark.operators.funnel import funnel_report
+
+    return funnel_report(
+        t(spark, sf_dir, "events"),
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        ],
+        max_gap_us=[172_800_000_000, 86_400_000_000, 86_400_000_000],
+        mode="first_touch",
+    )
+
+
+QUERIES["q84_first_touch_dropoff_report"] = q84_first_touch_dropoff_report
+
+ORACLE["q84_first_touch_dropoff_report"] = """
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS user_id, MIN(us) AS t2
+      FROM e JOIN s1 ON e.user_id IS NOT DISTINCT FROM s1.user_id
+      WHERE event_type = 'view' AND us > t1 AND us - t1 <= 172800000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS user_id, MIN(us) AS t3
+      FROM e JOIN s2 ON e.user_id IS NOT DISTINCT FROM s2.user_id
+      WHERE event_type = 'click' AND us > t2 AND us - t2 <= 86400000000
+      GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id AS user_id, MIN(us) AS t4
+      FROM e JOIN s3 ON e.user_id IS NOT DISTINCT FROM s3.user_id
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND us > t3 AND us - t3 <= 86400000000
+      GROUP BY e.user_id
+    ),
+    f AS (
+      SELECT s1.user_id, t1, t2, t3, t4
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id IS NOT DISTINCT FROM s2.user_id
+      LEFT JOIN s3 ON s1.user_id IS NOT DISTINCT FROM s3.user_id
+      LEFT JOIN s4 ON s1.user_id IS NOT DISTINCT FROM s4.user_id
+    )
+    SELECT 1 AS step, CAST(COUNT(*) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_matches,
+           CAST(COUNT(user_id) FILTER (t1 IS NOT NULL) AS BIGINT) AS n_entities
+    FROM f
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) FILTER (t2 IS NOT NULL) AS BIGINT),
+           CAST(COUNT(user_id) FILTER (t2 IS NOT NULL) AS BIGINT) FROM f
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) FILTER (t3 IS NOT NULL) AS BIGINT),
+           CAST(COUNT(user_id) FILTER (t3 IS NOT NULL) AS BIGINT) FROM f
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) FILTER (t4 IS NOT NULL) AS BIGINT),
+           CAST(COUNT(user_id) FILTER (t4 IS NOT NULL) AS BIGINT) FROM f
+"""
+
 
 ORACLE["q82_funnel_dropoff_report"] = """
     WITH x AS (

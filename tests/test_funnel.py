@@ -176,3 +176,122 @@ def test_funnel_report_null_entity_semantics(spark):
         for r in funnel_report(ev, [F.col("event_type") == "a"]).collect()
     }
     assert rows == {1: (3, 1)}
+
+
+def test_first_touch_relaxed_vs_strict(spark):
+    """r10 verdict #2: the relaxed funnel converts on 'step i ANY TIME
+    after step i-1's first touch' — an intervening event (which kills
+    the strict match) does not matter."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ev = _events(
+        spark,
+        [(1, 2, 0, "a", 1.0), (2, 2, 5, "x", 1.0), (3, 2, 10, "b", 1.0), (4, 2, 20, "c", 1.0)],
+    )
+    assert match_sequence(ev, _steps3()).count() == 0
+    r = funnel_first_touch(ev, _steps3()).first()
+    assert (r["step_us_1"], r["step_us_2"], r["step_us_3"], r["depth"]) == (
+        0, 10 * US, 20 * US, 3
+    )
+
+
+def test_first_touch_chains_from_first_match_only(spark):
+    """First-touch means FIRST: a step-2 event within the gap of a
+    LATER step-1 event but not of the first one does NOT convert —
+    the subtlety that makes the semantics deterministic and the
+    min-of-first-match oracle formulation exact."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 0, "a", 1.0),      # first touch of step 1
+            (2, 1, 100, "a", 1.0),    # later step-1 event
+            (3, 1, 105, "b", 1.0),    # within 10s of the LATER a only
+        ],
+    )
+    r = funnel_first_touch(
+        ev, [F.col("event_type") == "a", F.col("event_type") == "b"],
+        max_gap_us=10 * US,
+    ).first()
+    assert r["step_us_1"] == 0 and r["step_us_2"] is None and r["depth"] == 1
+
+
+def test_first_touch_gap_boundary_and_ties(spark):
+    """The gap bound is inclusive (<=); a same-timestamp step-2 event
+    is NOT 'strictly after' step 1 and never converts."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    steps2 = [F.col("event_type") == "a", F.col("event_type") == "b"]
+    at_bound = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 10, "b", 1.0)])
+    r = funnel_first_touch(at_bound, steps2, max_gap_us=10 * US).first()
+    assert r["step_us_2"] == 10 * US and r["depth"] == 2
+    past_bound = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 11, "b", 1.0)])
+    r = funnel_first_touch(past_bound, steps2, max_gap_us=10 * US).first()
+    assert r["step_us_2"] is None and r["depth"] == 1
+    tie = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 0, "b", 1.0)])
+    r = funnel_first_touch(tie, steps2).first()
+    assert r["step_us_2"] is None and r["depth"] == 1
+
+
+def test_first_touch_entities_without_step1_dropped(spark):
+    """Only entities that entered the funnel report rows; a NULL
+    entity forms one group like SQL GROUP BY."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 0, "b", 1.0),          # never did step 1 -> no row
+            (2, None, 0, "a", 1.0),       # NULL group enters funnel
+            (3, None, 5, "b", 1.0),
+        ],
+    )
+    rows = funnel_first_touch(
+        ev, [F.col("event_type") == "a", F.col("event_type") == "b"]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["user_id"] is None
+    assert rows[0]["depth"] == 2
+
+
+def test_first_touch_report_mode_and_errors(spark):
+    """funnel_report(mode='first_touch'): one match per entity, NULL
+    group in n_matches only; unknown modes and wrong gap counts raise."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ev = _events(
+        spark,
+        [
+            (1, 1, 0, "a", 1.0), (2, 1, 5, "b", 1.0),
+            (3, 1, 10, "a", 1.0), (4, 1, 15, "b", 1.0),  # same entity again
+            (5, None, 0, "a", 1.0), (6, None, 5, "b", 1.0),
+            (7, 2, 0, "a", 1.0),
+        ],
+    )
+    steps2 = [F.col("event_type") == "a", F.col("event_type") == "b"]
+    rows = {
+        r["step"]: (r["n_matches"], r["n_entities"])
+        for r in funnel_report(ev, steps2, mode="first_touch").collect()
+    }
+    # entity 1 converts ONCE (first touch), NULL group converts but is
+    # excluded from n_entities, entity 2 stops at step 1
+    assert rows == {1: (3, 2), 2: (2, 1)}
+    with pytest.raises(ValueError, match="mode"):
+        funnel_report(ev, steps2, mode="loose")
+    with pytest.raises(ValueError, match="gap bounds"):
+        funnel_first_touch(ev, steps2, max_gap_us=[1, 2])
+
+
+def test_first_touch_one_exchange_plan(spark):
+    """Scale shape: the chained running-min windows share ONE sort +
+    ONE exchange (same window spec); the per-entity rollup adds one
+    entity-sized exchange; no Expand, no self-joins."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ev = _events(spark, [(i, i % 7, i, "abc"[i % 3], 1.0) for i in range(100)])
+    df = funnel_first_touch(ev, _steps3(), max_gap_us=60 * US)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Expand" not in plan, plan
+    assert plan.count("Sort ") <= 2, plan
+    assert "Join" not in plan, plan
