@@ -295,3 +295,36 @@ def test_first_touch_one_exchange_plan(spark):
     assert "Expand" not in plan, plan
     assert plan.count("Sort ") <= 2, plan
     assert "Join" not in plan, plan
+
+
+def test_strict_gap_exactly_at_boundary_and_all_null_entities(spark):
+    """r10 verdict #4 hostile shapes for q82's operator: a transition
+    gap landing EXACTLY on the bound converts (<=, both engines); a
+    stream whose every entity is NULL reports n_matches > 0 with
+    n_entities == 0 on every step."""
+    steps2 = [F.col("event_type") == "a", F.col("event_type") == "b"]
+    at_bound = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 10, "b", 1.0)])
+    rows = {
+        r["step"]: (r["n_matches"], r["n_entities"])
+        for r in funnel_report(at_bound, steps2, max_gap_us=10 * US).collect()
+    }
+    assert rows == {1: (1, 1), 2: (1, 1)}
+    past = _events(spark, [(1, 1, 0, "a", 1.0), (2, 1, 11, "b", 1.0)])
+    rows = {
+        r["step"]: (r["n_matches"], r["n_entities"])
+        for r in funnel_report(past, steps2, max_gap_us=10 * US).collect()
+    }
+    assert rows == {1: (1, 1), 2: (0, 0)}
+    all_null = _events(
+        spark,
+        [(1, None, 0, "a", 1.0), (2, None, 5, "b", 1.0), (3, None, 50, "a", 1.0)],
+    )
+    for mode in ("strict", "first_touch"):
+        rows = {
+            r["step"]: (r["n_matches"], r["n_entities"])
+            for r in funnel_report(
+                all_null, steps2, max_gap_us=10 * US, mode=mode
+            ).collect()
+        }
+        expected_m1 = 2 if mode == "strict" else 1
+        assert rows == {1: (expected_m1, 0), 2: (1, 0)}, (mode, rows)

@@ -468,3 +468,49 @@ def test_delete_tombstones_all_read_paths(spark, tmp_path):
         delete_from_ivf_store(spark, root)
     with _pytest.raises(ValueError, match="exactly one"):
         delete_from_ivf_store(spark, root, ids=[1], where="vec_id = 1")
+
+
+def test_delete_all_leaves_probeable_empty_store(spark, tmp_path):
+    """r10 verdict #4 hostile shape: delete EVERY id, then probe. All
+    read paths serve empty results (no crash, no ghost rows); rebuild
+    of a fully-tombstoned store raises the empty-corpus error CLEANLY
+    and leaves the current version serving; a post-delete append makes
+    new ids visible again (their ids were never tombstoned)."""
+    from python_openetl_spark.operators.ivf_store import (
+        delete_from_ivf_store,
+        ivf_store_range_search,
+        rebuild_ivf_store,
+    )
+    from python_openetl_spark.operators.knn_join import ivf_store_knn_join
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    root = str(tmp_path / "all_gone")
+    build_ivf_store(emb, root, nlist=4)
+    n = delete_from_ivf_store(spark, root, where="vec_id IS NOT NULL")
+    assert n == emb.count()
+    # a second sweep finds nothing left to delete
+    assert delete_from_ivf_store(spark, root, where="vec_id >= 0") == 0
+
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).toPandas()
+    assert ivf_store_topk(spark, root, q, k=5, nprobe=4).count() == 0
+    assert ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=4).count() == 0
+    qdf = spark.createDataFrame(q)
+    assert ivf_store_knn_join(spark, root, qdf, k=3, nprobe=4).count() == 0
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        rebuild_ivf_store(spark, root)
+    # the failed rebuild left the store intact and still serving
+    assert ivf_store_topk(spark, root, q, k=5, nprobe=4).count() == 0
+
+    # append NEW ids (never tombstoned): visible immediately
+    fresh = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        (F.col("vec_id") >= 60) & (F.col("vec_id") < 70)
+    )
+    append_to_ivf_store(fresh, root)
+    got = ivf_store_topk(spark, root, q, k=5, nprobe=4)
+    assert got.count() > 0
+    assert got.filter(F.col("vec_id") < 60).count() == 0

@@ -53,3 +53,30 @@ def test_maintenance_equals_recompute_under_all_change_kinds(spark):
     empty_b = delta_b.limit(0)
     again = maintain_join_view(got, a_new, b_new, empty_a, empty_b, "k")
     assert _v(again) == _v(want)
+
+
+def test_both_side_deletes_cross_term_adds_back(spark):
+    """r10 verdict #4 hostile shape: deleting the MATCHING rows from
+    both sides in one step. The naive two-term maintenance counts the
+    removal twice ((-1)·1 + 1·(-1) = -2); the ΔA⋈ΔB cross term adds
+    (+1) back, landing the view row at exactly mult 0 — gone, not
+    negative. Duplicates on one side make the arithmetic non-trivial."""
+    a_old = spark.createDataFrame([(1, "x"), (2, "y")], "k long, av string")
+    b_old = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20)], "k long, bv long"
+    )
+    # view starts as {(1,x,10):2, (2,y,20):1}; delete A(1,x) and BOTH
+    # B(1,10) copies in the same step
+    delta_a = spark.createDataFrame([(1, "x", -1)], "k long, av string, mult long")
+    delta_b = spark.createDataFrame([(1, 10, -2)], "k long, bv long, mult long")
+    got = maintain_join_view(
+        join_view(a_old, b_old, "k"), a_old, b_old, delta_a, delta_b, "k"
+    )
+    # terms for (1,x,10): view +2, t1 = -1*2 = -2, t2 = 1*(-2) = -2,
+    # t3 = (-1)*(-2) = +2 -> total 0 -> row vanishes
+    assert got.filter(F.col("k") == 1).count() == 0
+    assert _v(got) == {(2, "y", 20, 1)}
+    # and the result still equals a fresh recompute of the post state
+    a_new = spark.createDataFrame([(2, "y")], "k long, av string")
+    b_new = spark.createDataFrame([(2, 20)], "k long, bv long")
+    assert _v(got) == _v(join_view(a_new, b_new, "k"))

@@ -502,3 +502,133 @@ def test_jsonl_writer_append_skips_gaps_in_part_numbering(spark, tmp_path):
     )
     got = sorted((r["doc_id"], r["txt"]) for r in back.collect())
     assert got == [(1, "new"), (100, "keep0"), (102, "keep2")]
+
+
+def test_jsonl_datasource_crlf_all_boundary_placements(spark, tmp_path):
+    """r10 verdict #4 hostile shape: CRLF-terminated files. The split
+    protocol must stay exact when a byte boundary lands BETWEEN the
+    '\\r' and the '\\n' (readline consumes through the newline either
+    way; '\\r' is stripped with the terminator) — sweep every boundary
+    placement on a small file to prove it."""
+    import json
+    import os
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    p = str(tmp_path / "crlf.jsonl")
+    rows = [{"i": i, "s": "z" * (i % 5)} for i in range(12)]
+    with open(p, "wb") as f:
+        for r in rows:
+            f.write(json.dumps(r, sort_keys=True).encode() + b"\r\n")
+    want = sorted((r["i"], r["s"]) for r in rows)
+    size = os.path.getsize(p)
+    # every boundary placement (incl. mid-CRLF) at the reader level —
+    # no Spark job per placement, same code path the executors run
+    from pyspark.sql.types import StructType
+
+    from python_openetl_spark.sources.pydatasource import JsonlReader
+
+    schema = StructType.fromDDL("i bigint, s string")
+    for tb in range(1, size + 2):
+        rd = JsonlReader(
+            {"path": p, "schema": "i bigint, s string", "target_bytes": str(tb)},
+            schema,
+        )
+        got = sorted(
+            row for part in rd.partitions() for row in rd.read(part)
+        )
+        assert got == want, f"target_bytes={tb}"
+    # and a few placements through the full Spark scan
+    for tb in [size + 1, size // 3, 17]:
+        df = (
+            spark.read.format("openetl_jsonl")
+            .option("path", p)
+            .option("schema", "i bigint, s string")
+            .option("target_bytes", str(tb))
+            .load()
+        )
+        got = sorted((r["i"], r["s"]) for r in df.collect())
+        assert got == want, f"target_bytes={tb}"
+
+
+def test_jsonl_datasource_dir_without_parts_and_default_split(spark, tmp_path):
+    """A directory containing no *.jsonl parts reads as empty (the
+    writer's pre-first-commit layout); a file far smaller than the
+    default 4 MiB split reads whole in one partition."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from python_openetl_spark.sources.pydatasource import (
+        JsonlDataSource,
+        JsonlReader,
+    )
+
+    spark.dataSource.register(JsonlDataSource)
+    d = str(tmp_path / "emptydir")
+    os.makedirs(d)
+    open(os.path.join(d, "notes.txt"), "w").write("not a part\n")
+    df = (
+        spark.read.format("openetl_jsonl")
+        .option("path", d)
+        .option("schema", "i bigint")
+        .load()
+    )
+    assert df.count() == 0
+    p = str(tmp_path / "small.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"i": 1}) + "\n")
+    rd = JsonlReader({"path": p, "schema": "i bigint"}, StructType.fromDDL("i bigint"))
+    assert len(rd.partitions()) == 1  # default target_bytes, one split
+    got = (
+        spark.read.format("openetl_jsonl")
+        .option("path", p)
+        .option("schema", "i bigint")
+        .load()
+        .collect()
+    )
+    assert [r["i"] for r in got] == [1]
+
+
+def test_jsonl_stream_reader_sees_appended_lines(spark, tmp_path):
+    """r10 verdict #4 hostile shape: a producer APPENDING between
+    micro-batches. The stream reader's offset walk must pick up every
+    newline-terminated record written after earlier batches, including
+    CRLF records, without re-reading old ones."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    from python_openetl_spark.sources.pydatasource import JsonlStreamReader
+
+    p = str(tmp_path / "grow.jsonl")
+    with open(p, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"i": i}) + "\n")
+    rd = JsonlStreamReader(
+        {"path": p, "schema": "i bigint", "batch_bytes": "1048576"},
+        StructType.fromDDL("i bigint"),
+    )
+    it, off1 = rd.read(rd.initialOffset())
+    assert [r[0] for r in it] == [0, 1, 2]
+    # EOF: same offset back, no rows
+    it, off_same = rd.read(off1)
+    assert list(it) == [] and off_same == off1
+    # append two complete records (one CRLF) + one partial
+    with open(p, "ab") as f:
+        f.write(json.dumps({"i": 3}).encode() + b"\n")
+        f.write(json.dumps({"i": 4}).encode() + b"\r\n")
+        f.write(b'{"i": 5')  # mid-write, no newline yet
+    it, off2 = rd.read(off1)
+    assert [r[0] for r in it] == [3, 4]
+    # the partial record is not consumed and the offset parks before it
+    it, off3 = rd.read(off2)
+    assert list(it) == [] and off3 == off2
+    with open(p, "ab") as f:
+        f.write(b"}\n")
+    it, off4 = rd.read(off2)
+    assert [r[0] for r in it] == [5]
+    # recovery replay of the grown slice is verbatim
+    assert [r[0] for r in rd.readBetweenOffsets(off1, off2)] == [3, 4]
