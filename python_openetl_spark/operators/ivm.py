@@ -48,6 +48,46 @@ def join_view(a: DataFrame, b: DataFrame, on: "str | Sequence[str]") -> DataFram
     )
 
 
+def cdc_to_counting_delta(
+    cdc: DataFrame,
+    key_cols: "str | Sequence[str]",
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Bridge the engine's two incremental formats (r10 verdict #6):
+    a Debezium-style I/U/D feed — exactly what
+    ``operators.merge.snapshot_diff(include_old=True)`` emits — into
+    the counting-delta shape :func:`maintain_join_view` consumes.
+
+    I → the new row at ``mult +1``; D → the old row at ``mult -1``
+    (``snapshot_diff`` D rows already carry old values in the value
+    columns); U → BOTH: the before-image (``old_<col>``) at −1 and the
+    new row at +1. Snapshots are pk-unique, so every emitted row is
+    ±1 and the result is multiset-exact. Requires the ``old_<col>``
+    before-image columns (``include_old=True``) — without them a U row
+    cannot be retracted and the function raises rather than corrupt
+    the view. Three filters over one delta-sized frame, no shuffle."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    missing = [c for c in value_cols if f"old_{c}" not in cdc.columns]
+    if missing:
+        raise ValueError(
+            "cdc_to_counting_delta: before-image columns missing for "
+            f"{missing} — produce the feed with snapshot_diff(..., "
+            "include_old=True)"
+        )
+    plus = cdc.filter(F.col("change_type").isin("I", "U")).select(
+        *keys, *value_cols, F.lit(1).cast("long").alias(MULT)
+    )
+    minus_u = cdc.filter(F.col("change_type") == "U").select(
+        *keys,
+        *[F.col(f"old_{c}").alias(c) for c in value_cols],
+        F.lit(-1).cast("long").alias(MULT),
+    )
+    minus_d = cdc.filter(F.col("change_type") == "D").select(
+        *keys, *value_cols, F.lit(-1).cast("long").alias(MULT)
+    )
+    return plus.unionByName(minus_u).unionByName(minus_d)
+
+
 def maintain_join_view(
     view: DataFrame,
     a_old: DataFrame,

@@ -22,6 +22,7 @@ from python_openetl_spark.workload import (
     incremental,
     incremental2,
     incremental3,
+    incremental4,
     llm,
     llm10,
     llm2,
@@ -95,6 +96,8 @@ _MODULES = (
     # round-10 post-window additions (rotate into _WINDOW_R11)
     relational8,
     llm13,
+    # round-11 post-window additions (rotate into _WINDOW_R12)
+    incremental4,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

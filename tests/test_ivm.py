@@ -80,3 +80,39 @@ def test_both_side_deletes_cross_term_adds_back(spark):
     a_new = spark.createDataFrame([(2, "y")], "k long, av string")
     b_new = spark.createDataFrame([(2, 20)], "k long, bv long")
     assert _v(got) == _v(join_view(a_new, b_new, "k"))
+
+
+def test_cdc_to_counting_delta_bridges_snapshot_diff(spark):
+    """m23's glue verb: I → +1 new row, D → -1 old row, U → -1
+    before-image AND +1 new row; feeding the converted deltas through
+    maintain_join_view equals a recompute from the post snapshots;
+    missing before-image columns raise instead of corrupting."""
+    import pytest
+
+    from python_openetl_spark.operators.ivm import cdc_to_counting_delta
+    from python_openetl_spark.operators.merge import snapshot_diff
+
+    a_old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, av string"
+    )
+    a_new = spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (4, "w")], "k long, av string"  # U on 2, D 3, I 4
+    )
+    cdc = snapshot_diff(a_old, a_new, "k", include_old=True)
+    delta = cdc_to_counting_delta(cdc, "k", ["av"])
+    got = {(r["k"], r["av"], r["mult"]) for r in delta.collect()}
+    assert got == {(2, "Y", 1), (4, "w", 1), (2, "y", -1), (3, "z", -1)}
+
+    b_old = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, bv long")
+    b_new = spark.createDataFrame([(1, 11), (2, 20), (4, 40)], "k long, bv long")
+    db = cdc_to_counting_delta(
+        snapshot_diff(b_old, b_new, "k", include_old=True), "k", ["bv"]
+    )
+    view = join_view(a_old, b_old, "k")
+    maintained = maintain_join_view(view, a_old, b_old, delta, db, "k")
+    assert _v(maintained) == _v(join_view(a_new, b_new, "k"))
+
+    with pytest.raises(ValueError, match="include_old"):
+        cdc_to_counting_delta(
+            snapshot_diff(a_old, a_new, "k"), "k", ["av"]
+        )
