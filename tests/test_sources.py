@@ -632,3 +632,31 @@ def test_jsonl_stream_reader_sees_appended_lines(spark, tmp_path):
     assert [r[0] for r in it] == [5]
     # recovery replay of the grown slice is verbatim
     assert [r[0] for r in rd.readBetweenOffsets(off1, off2)] == [3, 4]
+
+
+def test_jsonl_writer_commit_lock_single_writer(spark, tmp_path):
+    """r10 verdict #7: the driver commit is a guarded critical section.
+    A held _commit.lock makes a second writer fail LOUDLY (no silent
+    part-number interleaving); a successful commit removes the lock;
+    a failed commit attempt publishes nothing."""
+    import os
+
+    from python_openetl_spark.sources.pydatasource import JsonlDataSource
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "locked")
+    os.makedirs(out)
+    df = spark.createDataFrame([(1, "a")], "doc_id long, txt string").coalesce(1)
+    # simulate a concurrent committer holding the lock
+    with open(os.path.join(out, "_commit.lock"), "w") as f:
+        f.write("pid=other\n")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="single-writer|_commit.lock"):
+        df.write.format("openetl_jsonl").option("path", out).mode("append").save()
+    assert not any(n.endswith(".jsonl") for n in os.listdir(out)), "nothing published"
+    # release the lock: the write proceeds and cleans up after itself
+    os.remove(os.path.join(out, "_commit.lock"))
+    df.write.format("openetl_jsonl").option("path", out).mode("append").save()
+    names = os.listdir(out)
+    assert "part-00000.jsonl" in names and "_commit.lock" not in names
