@@ -103,6 +103,21 @@ def doctor(spark: SparkSession | None = None) -> list[Capability]:
         "format('org.apache.spark.sql.avro.AvroFileFormat'); elsewhere "
         "activate with spark.jars.packages=org.apache.spark:spark-avro",
     )
+    from python_openetl_spark.plans.delta_sink import (
+        DELTA_PACKAGE_COORDINATE,
+        delta_available,
+    )
+
+    rows.append(
+        Capability(
+            "delta_lake_sink",
+            delta_available(spark),
+            "transactional MERGE INTO / delete propagation for "
+            "upsert_sync(table_format='delta') (plans/delta_sink.py); "
+            "activate with pip install delta-spark + spark.jars.packages="
+            f"{DELTA_PACKAGE_COORDINATE} + the Delta session extensions",
+        )
+    )
     rows.append(
         Capability(
             "transform_with_state",

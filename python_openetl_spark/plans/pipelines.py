@@ -424,6 +424,7 @@ def upsert_sync(
     anchor=None,
     data_interval_hours: int = 1,
     propagate: bool = True,
+    table_format: str = "parquet",
 ) -> SyncMetrics:
     """Incremental maintenance (C2, /root/reference/pyopenetl/operations.py:515-609):
     delta read (R5) → MERGE upsert (R8) → delete propagation (R9) →
@@ -432,7 +433,34 @@ def upsert_sync(
 
     ``anchor`` fixes the reference's NOW() for reproducibility; pass
     None to use the current wall clock.
+
+    ``table_format="delta"`` routes through Delta Lake's transactional
+    ``MERGE INTO`` / ``whenNotMatchedBySourceDelete``
+    (plans/delta_sink.py) — the concurrency-safe answer the staged-swap
+    parquet path cannot give; import-gated, raising with the production
+    coordinate when delta-spark is absent (r10 verdict #5). ``dest``
+    must be a path string on that route.
     """
+    if table_format == "delta":
+        from python_openetl_spark.plans.delta_sink import upsert_sync_delta
+
+        if isinstance(dest, ParquetTable):
+            raise ValueError(
+                "upsert_sync(table_format='delta'): pass the destination "
+                "path, not a ParquetTable"
+            )
+        return upsert_sync_delta(
+            spark,
+            source,
+            dest,
+            pk=pk,
+            ts_col=ts_col,
+            anchor=anchor,
+            data_interval_hours=data_interval_hours,
+            propagate=propagate,
+        )
+    if table_format != "parquet":
+        raise ValueError(f"upsert_sync: unknown table_format {table_format!r}")
     t0 = time.time()
     table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
     target = table.read(spark)
