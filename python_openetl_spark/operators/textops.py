@@ -89,6 +89,77 @@ def unigram_logprob_score(
     )
 
 
+def dsir_importance_score(
+    df: DataFrame,
+    target_pred,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") under unigram features:
+    per document, the mean log importance ratio
+    ``ln p_target(tok) − ln p_source(tok)`` — positive when the doc
+    looks more like the target slice than the corpus at large. The
+    selection step (resample/top-k by weight) is the caller's; d58
+    pairs this with ``ranking.global_ntile`` for an exact, fully
+    distributed top-quartile cut.
+
+    ``target_pred`` is a boolean Column marking target-domain rows
+    (e.g. ``F.col("lang") == "en"``). The target LM is add-1 smoothed
+    over the SOURCE vocabulary (``(n_t + 1) / (total_t + V)``) so
+    tokens unseen in the target stay finite; the source LM needs no
+    smoothing (every scored token exists in the corpus by definition).
+
+    Cross-engine determinism: per-token log ratio rounded to 9
+    decimals, per-doc sum as exact DECIMAL (order-independent), mean
+    rounded to 6 — the d17/d32 device. Zero-token documents emit no
+    row (no evidence to weigh).
+
+    Scale shape: ONE explode feeds one groupBy that computes BOTH
+    frequency tables (count + conditional count — not two passes); the
+    token-frequency join is vocabulary-sized (AQE broadcasts it), the
+    totals row is a 1-row broadcast, and the per-doc rollup partial-
+    aggregates map-side. Same cost as d32's single-LM score."""
+    ex = df.select(
+        id_col,
+        F.coalesce(target_pred.cast("boolean"), F.lit(False)).alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    freq = ex.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("__ns"),
+        F.sum(F.col("__tgt").cast("long")).alias("__nt"),
+    )
+    tot = freq.agg(
+        F.sum("__ns").alias("__ts"),
+        F.sum("__nt").alias("__tt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    scored = (
+        ex.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__lr",
+            F.round(
+                F.log(
+                    (F.col("__nt") + 1).cast("double")
+                    / (F.col("__tt") + F.col("__v"))
+                )
+                - F.log(F.col("__ns").cast("double") / F.col("__ts")),
+                9,
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("__lr").cast("decimal(24,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dsir_score"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     *,

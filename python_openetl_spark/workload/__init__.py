@@ -36,6 +36,7 @@ from python_openetl_spark.workload import (
     llm11,
     llm12,
     llm13,
+    llm14,
     relational,
     relational2,
     relational3,
@@ -98,6 +99,7 @@ _MODULES = (
     llm13,
     # round-11 post-window additions (rotate into _WINDOW_R12)
     incremental4,
+    llm14,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

@@ -835,3 +835,44 @@ def test_constellation_packing_bounds_validated(spark):
         audio_constellation_fingerprints(df, frame_samples=8192)
     with _pytest.raises(ValueError, match="8-bit"):
         audio_constellation_fingerprints(df, fanout=256)
+
+
+def test_dsir_importance_score_semantics(spark):
+    """d58's operator (DSIR, Xie et al. 2023): documents made of
+    target-typical tokens score HIGHER than corpus-typical ones; the
+    add-1 smoothed target LM keeps target-unseen tokens finite (and
+    negative); zero-token documents emit no row; NULL predicate rows
+    count as non-target."""
+    from python_openetl_spark.operators.textops import dsir_importance_score
+
+    rows = [
+        # target docs dominated by 'alpha beta'
+        (1, "alpha beta alpha beta alpha", "en"),
+        (2, "alpha beta beta alpha", "en"),
+        # non-target docs dominated by 'gamma delta'
+        (3, "gamma delta gamma delta", "de"),
+        (4, "gamma delta delta gamma gamma", "de"),
+        # mixed doc, non-target lang; and a doc whose tokens the target
+        # never saw
+        (5, "alpha gamma", "fr"),
+        (6, "epsilon epsilon epsilon", None),
+        (7, "", "en"),          # zero tokens -> no row
+        (8, None, "en"),        # NULL text -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dsir_score"])
+        for r in dsir_importance_score(df, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # target-typical docs score above corpus-typical ones
+    assert got[1][1] > got[3][1] and got[2][1] > got[4][1]
+    # target-unseen tokens: finite (smoothing floor), negative, and
+    # below every target-typical doc
+    import math
+
+    assert math.isfinite(got[6][1]) and got[6][1] < 0
+    assert got[6][1] < got[2][1]
+    # the mixed doc sits between the extremes
+    assert got[3][1] < got[5][1] < got[1][1]
+    assert got[1][0] == 5 and got[6][0] == 3
