@@ -293,3 +293,92 @@ ORACLE["q82_funnel_dropoff_report"] = """
     SELECT 4, CAST(COUNT(*) FILTER (m4) AS BIGINT),
            CAST(COUNT(DISTINCT user_id) FILTER (m4) AS BIGINT) FROM m
 """
+
+
+def q85_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-transition conversion-latency report over the first-touch
+    funnel: for each step 2..4, how many (non-NULL) users reached it
+    and the average + median first-touch gap from the previous step —
+    the "how long does conversion take" numbers next to q84's "how
+    many convert". Exactness: gaps are integer micros; the average is
+    an exact DECIMAL sum / count (order-independent), the median is
+    the standard linear-interpolated percentile, identical halves on
+    both engines. One stack over q83's per-entity frame, then a tiny
+    4-group aggregate."""
+    from python_openetl_spark.operators.funnel import funnel_first_touch
+
+    ft = funnel_first_touch(
+        t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()),
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull(),
+        ],
+        max_gap_us=[172_800_000_000, 86_400_000_000, 86_400_000_000],
+    )
+    gaps = ft.select(
+        F.expr(
+            "stack(3, 2, step_us_2 - step_us_1, 3, step_us_3 - step_us_2, "
+            "4, step_us_4 - step_us_3) as (step, gap_us)"
+        )
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy(F.col("step").cast("int").alias("step")).agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(
+            F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_gap_us"),
+        F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+    )
+
+
+QUERIES["q85_funnel_time_to_convert"] = q85_funnel_time_to_convert
+
+ORACLE["q85_funnel_time_to_convert"] = """
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id, MIN(us) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+      WHERE event_type = 'view' AND us > t1 AND us - t1 <= 172800000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+      WHERE event_type = 'click' AND us > t2 AND us - t2 <= 86400000000
+      GROUP BY e.user_id
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(us) AS t4 FROM e JOIN s3 USING (user_id)
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+        AND us > t3 AND us - t3 <= 86400000000
+      GROUP BY e.user_id
+    ),
+    f AS (
+      SELECT s1.user_id, t1, t2, t3, t4
+      FROM s1
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      LEFT JOIN s4 USING (user_id)
+    ),
+    g AS (
+      SELECT 2 AS step, t2 - t1 AS gap_us FROM f WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT 3, t3 - t2 FROM f WHERE t3 IS NOT NULL
+      UNION ALL
+      SELECT 4, t4 - t3 FROM f WHERE t4 IS NOT NULL
+    )
+    SELECT CAST(step AS INT) AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(CAST(SUM(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_gap_us,
+           median(gap_us) AS median_gap_us
+    FROM g GROUP BY step
+"""
