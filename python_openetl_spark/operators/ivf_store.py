@@ -30,9 +30,13 @@ and splits the lifecycle the way the incremental-dedup family does
   commits it with one atomic pointer replace; in-flight readers keep
   scanning the version they resolved at query start.
 - :func:`delete_from_ivf_store` — FAISS ``remove_ids`` parity as
-  id-level tombstones (the deletion-vector device): delete-sized
-  cost, all read paths anti-join the tombstones, compaction happens
-  at the next rebuild.
+  GENERATION-scoped id tombstones (the deletion-vector device):
+  delete-sized cost, all read paths anti-join the tombstones,
+  compaction happens at the next rebuild. A later append of the same
+  id is a new write generation and escapes the tombstone.
+- :func:`update_ivf_store` — re-embed/metadata UPDATE as
+  tombstone-then-append (delete-sized + batch-sized cost, corpus
+  never re-read); visible immediately, compacts at rebuild.
 - :func:`vacuum_ivf_store` — the explicit deletion point: prunes
   superseded version directories once no reader can still hold them.
 
@@ -76,23 +80,70 @@ _CENTROIDS = "centroids.parquet"
 _ASSIGNED = "assigned"
 _DELETED = "deleted"
 _POINTER = "_current.json"
+#: per-row write-generation column on assigned rows (build/rebuild = 0,
+#: each append bumps the version's counter) — what makes tombstones
+#: GENERATION-scoped instead of id-forever (r11: the update verb)
+_SEQ = "__seq"
+_SEQ_FILE = "_seq.json"
+
+
+def _read_seq(idx_dir: str) -> int:
+    try:
+        with open(os.path.join(idx_dir, _SEQ_FILE)) as f:
+            return int(json.load(f)["seq"])
+    except FileNotFoundError:
+        return 0
+
+
+def _bump_seq(idx_dir: str) -> int:
+    """Advance the version's write-generation counter (single-writer,
+    like every publish path here); os.replace keeps readers untorn."""
+    n = _read_seq(idx_dir) + 1
+    tmp = os.path.join(idx_dir, f"{_SEQ_FILE}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"seq": n}, f)
+    os.replace(tmp, os.path.join(idx_dir, _SEQ_FILE))
+    return n
 
 
 def _load_assigned(
     spark: SparkSession, idx_dir: str, id_col: str = "vec_id"
 ) -> DataFrame:
     """The ONE place store contents are read: the cell-partitioned
-    ``assigned`` scan minus the version's id-level tombstones (see
+    ``assigned`` scan minus the version's tombstones (see
     :func:`delete_from_ivf_store`). Every probe/rebuild/join path goes
     through here so delete semantics cannot drift between verbs. The
     tombstone set is broadcast — its size is bounded by rebuild
-    cadence, the deletion-vector contract."""
+    cadence, the deletion-vector contract.
+
+    Tombstones are GENERATION-scoped (r11): a tombstone ``(id, seq)``
+    hides rows of that id written at or before generation ``seq``; a
+    LATER append of the same id (``__seq > seq``) is live — which is
+    what makes :func:`update_ivf_store` a delete+append and makes
+    re-appending a deleted id resurrect it immediately. Rows/tombstones
+    without the seq column (legacy layout) behave as generation 0 /
+    kill-all respectively."""
     df = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED))
+    row_seq = F.col(_SEQ) if _SEQ in df.columns else F.lit(0)
     ddir = os.path.join(idx_dir, _DELETED)
     if os.path.isdir(ddir):
-        tomb = spark.read.parquet(ddir).select(id_col).distinct()
-        df = df.join(F.broadcast(tomb), id_col, "left_anti")
-    return df
+        tomb = spark.read.parquet(ddir)
+        if "seq" in tomb.columns:
+            tomb = tomb.groupBy(id_col).agg(F.max("seq").alias("__tomb_seq"))
+        else:  # legacy id-only tombstones: hide every generation
+            tomb = (
+                tomb.select(id_col)
+                .distinct()
+                .withColumn("__tomb_seq", F.lit(2**62))
+            )
+        df = (
+            df.join(F.broadcast(tomb), id_col, "left")
+            .filter(
+                F.col("__tomb_seq").isNull() | (row_seq > F.col("__tomb_seq"))
+            )
+            .drop("__tomb_seq")
+        )
+    return df.drop(_SEQ)
 
 
 def _version_dir(root: str, version: int) -> str:
@@ -165,7 +216,7 @@ def store_attr_cols(
     cols = spark.read.parquet(
         os.path.join(current_index_dir(root), _ASSIGNED)
     ).columns
-    return tuple(c for c in cols if c not in (id_col, vec_col, "cell"))
+    return tuple(c for c in cols if c not in (id_col, vec_col, "cell", _SEQ))
 
 
 def _read_centroids(spark: SparkSession, root: str) -> tuple[np.ndarray, np.ndarray]:
@@ -242,7 +293,7 @@ def _build_into(
         schema=f"{id_col} long, {vec_col} array<float>"
         + _attr_schema(corpus, attr_cols)
         + ", cell int",
-    )
+    ).withColumn(_SEQ, F.lit(0))  # build rows are generation 0
     # repartition by cell BEFORE the partitioned write: otherwise every
     # task writes a sliver into every cell directory (tasks x nlist
     # small files — the small-files explosion that drowns later scans)
@@ -276,7 +327,7 @@ def append_to_ivf_store(
     attr_types = {
         f.name: f.dataType
         for f in store_schema.fields
-        if f.name not in (id_col, vec_col, "cell")
+        if f.name not in (id_col, vec_col, "cell", _SEQ)
     }
     attrs = tuple(attr_types)
     missing = [a for a in attrs if a not in batch.columns]
@@ -317,7 +368,7 @@ def append_to_ivf_store(
         schema=f"{id_col} long, {vec_col} array<float>"
         + _attr_schema(conformed, attrs)
         + ", cell int",
-    )
+    ).withColumn(_SEQ, F.lit(_bump_seq(idx_dir)))  # new write generation
     assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(idx_dir, _ASSIGNED)
     )
@@ -350,13 +401,13 @@ def delete_from_ivf_store(
     probe overhead (one broadcast anti-join on the id), reclaimed at
     the scheduled rebuild.
 
-    Contract notes (stated, because they surprise): tombstones apply
-    by ID within the live version lineage — appending a vector that
-    reuses a deleted id stays invisible until a rebuild clears the
-    tombstones (rebuild first, then append, to resurrect an id).
-    Exactly one of ``ids`` / ``where`` must be given. Deleting ids not
-    in the store is a no-op that returns 0, not an error (the FAISS
-    semantic)."""
+    Contract notes (stated, because they surprise): tombstones are
+    GENERATION-scoped (r11) — ``(id, seq)`` hides the id's rows written
+    at or before write-generation ``seq``, so a LATER append of the
+    same id resurrects it immediately (and :func:`update_ivf_store` is
+    exactly tombstone-then-append). Exactly one of ``ids`` / ``where``
+    must be given. Deleting ids not in the store is a no-op that
+    returns 0, not an error (the FAISS semantic)."""
     if (ids is None) == (where is None):
         raise ValueError("delete_from_ivf_store: pass exactly one of ids/where")
     idx_dir = current_index_dir(root)
@@ -370,16 +421,63 @@ def delete_from_ivf_store(
         doomed = live.select(id_col).join(
             F.broadcast(id_df.distinct()), id_col, "left_semi"
         )
+    return _tombstone(spark, idx_dir, doomed, id_col)
+
+
+def _tombstone(
+    spark: SparkSession, idx_dir: str, doomed_ids: DataFrame, id_col: str
+) -> int:
+    """Write generation-scoped tombstones for the given LIVE ids
+    (callers pre-intersect with the live set) at the version's current
+    write generation; rows appended at a later generation escape."""
     # localCheckpoint severs lineage from the deleted/ directory the
     # append below writes into — a persist()-only plan could be
     # re-evaluated against that directory mid-append on cache eviction
     # or executor loss (r11 advice: self-read hazard)
-    doomed = doomed.localCheckpoint(eager=True)
+    doomed = doomed_ids.localCheckpoint(eager=True)
     n = doomed.count()
     if n:
-        doomed.coalesce(1).write.mode("append").parquet(
-            os.path.join(idx_dir, _DELETED)
+        doomed.withColumn("seq", F.lit(_read_seq(idx_dir))).coalesce(
+            1
+        ).write.mode("append").parquet(os.path.join(idx_dir, _DELETED))
+    return n
+
+
+def update_ivf_store(
+    batch: DataFrame,
+    root: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """UPDATE (re-embed / metadata change) — the verb that completes
+    the store's CRUD (r11; FAISS has no update, Delta calls this MERGE):
+    tombstone the CURRENT generation of the batch's ids, then append
+    the batch as a NEW write generation. The appended rows carry
+    ``__seq`` greater than the tombstone's, so the update is visible
+    immediately on every read path — no rebuild required; the
+    superseded rows compact away at the next rebuild like any delete.
+
+    Ids in the batch that are not live simply insert (upsert
+    semantics). The batch must be pk-unique on ``id_col`` (two rows for
+    one id in a single batch would both land in the same generation —
+    raises). Returns the number of previously-live rows superseded.
+    Cost: one tombstone write (delete-sized) + one append
+    (batch-sized); the corpus is never re-read."""
+    spark = batch.sparkSession
+    idx_dir = current_index_dir(root)
+    ids = batch.select(id_col).distinct()
+    if ids.count() != batch.count():
+        raise ValueError(
+            f"update_ivf_store: batch must be unique on {id_col}"
         )
+    live_doomed = (
+        _load_assigned(spark, idx_dir, id_col)
+        .select(id_col)
+        .join(F.broadcast(ids), id_col, "left_semi")
+    )
+    n = _tombstone(spark, idx_dir, live_doomed, id_col)
+    append_to_ivf_store(batch, root, id_col=id_col, vec_col=vec_col)
     return n
 
 

@@ -50,6 +50,8 @@ from python_openetl_spark.functions.vectors import cosine  # noqa: F401 (re-expo
 from python_openetl_spark.operators.ivf_store import _cosine_clamped
 from python_openetl_spark.operators.ivf_store import (
     _ASSIGNED,
+    _SEQ,
+    _bump_seq,
     _load_assigned,
     _CENTROIDS,
     _commit_version,
@@ -176,7 +178,7 @@ def _build_pq_into(
     encoded = corpus.select(id_col, vec_col).mapInPandas(
         _encode_assign_fn(cnorm, books, id_col, vec_col),
         schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
-    )
+    ).withColumn(_SEQ, F.lit(0))  # build rows are generation 0
     # repartition by cell before the partitioned write (ivf_store rule:
     # otherwise tasks x nlist sliver files drown later probe scans)
     encoded.repartition("cell").write.partitionBy("cell").parquet(
@@ -242,7 +244,7 @@ def append_to_ivfpq_store(
     encoded = batch.select(id_col, vec_col).mapInPandas(
         _encode_assign_fn(cnorm, books, id_col, vec_col),
         schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
-    )
+    ).withColumn(_SEQ, F.lit(_bump_seq(idx_dir)))  # new write generation
     encoded.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(idx_dir, _ASSIGNED)
     )

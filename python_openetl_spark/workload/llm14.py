@@ -85,3 +85,80 @@ ORACLE["d58_dsir_importance_select"] = f"""
            NTILE(4) OVER (ORDER BY dsir_score DESC, doc_id) = 1 AS selected
     FROM agg
 """
+
+
+_X24_STORES: dict = {}
+
+
+def x24_store_update_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k probe of a store that UPDATED a tenth of its vectors
+    (``vec_id % 10 = 4`` re-embedded to the NEGATED original —
+    deterministic and norm-preserving): ``update_ivf_store`` is
+    tombstone-then-append with generation-scoped tombstones, so the
+    new embeddings must rank immediately (no rebuild) exactly where
+    brute force over the post-update corpus places them, and the
+    superseded generation must neither rank nor displace. nprobe =
+    nlist (the x07/x23 exactness device) makes the SQL brute force a
+    full value-hash oracle for update semantics on the read path;
+    upsert/compaction/pk-uniqueness are pinned in
+    tests/test_ivf_store.py."""
+    from python_openetl_spark.operators.ivf_store import (
+        build_ivf_store,
+        ivf_store_topk,
+        update_ivf_store,
+    )
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
+    import tempfile
+
+    memo = _X24_STORES.get(sf_dir)
+    if memo is None:
+        # nlist memoized WITH the store root (x23 rule: the sizing
+        # count() is build-time infrastructure, not per-probe cost)
+        nlist = ivf_params(emb.count())["nlist"]
+        root = tempfile.mkdtemp(prefix="poe_x24_") + "/ivf"
+        build_ivf_store(emb, root, nlist=nlist)
+        batch = emb.filter(F.col("vec_id") % 10 == 4).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        update_ivf_store(batch, root)
+        memo = (root, nlist)
+        _X24_STORES[sf_dir] = memo
+    root, nlist = memo
+    queries = (
+        emb.filter(F.col("vec_id").isin(5, 10, 20))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    return ivf_store_topk(spark, root, queries, k=5, nprobe=nlist)
+
+
+QUERIES["x24_store_update_probe"] = x24_store_update_probe
+
+ORACLE["x24_store_update_probe"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (5, 10, 20)),
+    c AS (SELECT vec_id,
+                 CASE WHEN vec_id % 10 = 4
+                      THEN list_transform(embedding::DOUBLE[], x -> -x)
+                      ELSE embedding::DOUBLE[] END AS v
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos_sim
+      FROM c, q WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""

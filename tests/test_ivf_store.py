@@ -406,9 +406,10 @@ def test_delete_tombstones_all_read_paths(spark, tmp_path):
     """x23's operator contract: delete_from_ivf_store (id list or SQL
     predicate) hides rows from topk, range search, AND the store kNN
     join (every path goes through _load_assigned); deletes compact at
-    rebuild (new version has no tombstones, vectors really gone);
-    deleting a missing id is a 0 no-op; a re-appended deleted id stays
-    invisible until rebuild (the documented contract)."""
+    rebuild (new version has no tombstones, tombstoned generations
+    really gone); deleting a missing id is a 0 no-op; a re-appended
+    deleted id is a NEW write generation and resurrects immediately
+    (the r11 generation-scoped tombstone contract)."""
     from python_openetl_spark.operators.ivf_store import (
         current_index_dir,
         delete_from_ivf_store,
@@ -444,10 +445,15 @@ def test_delete_tombstones_all_read_paths(spark, tmp_path):
     kj = ivf_store_knn_join(spark, root, qdf, k=n_total - 21, nprobe=8)
     assert kj.filter(F.col("vec_id").isin(victims)).count() == 0
 
-    # re-append one victim: still invisible (id-level tombstone)
+    # re-append one victim: a NEW write generation, visible at once
+    # (generation-scoped tombstones — the r11 update-verb contract)
     append_to_ivf_store(emb.filter(F.col("vec_id") == victims[0]), root)
     rs2 = ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=8)
-    assert rs2.filter(F.col("vec_id") == victims[0]).count() == 0
+    assert rs2.filter(F.col("vec_id") == victims[0]).count() == 3
+    # ...and a re-delete kills the resurrected generation too
+    assert delete_from_ivf_store(spark, root, ids=[victims[0]]) == 1
+    rs2b = ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=8)
+    assert rs2b.filter(F.col("vec_id") == victims[0]).count() == 0
 
     # rebuild compacts: tombstones gone, rows really gone, store serves
     rebuild_ivf_store(spark, root)
@@ -514,3 +520,82 @@ def test_delete_all_leaves_probeable_empty_store(spark, tmp_path):
     got = ivf_store_topk(spark, root, q, k=5, nprobe=4)
     assert got.count() > 0
     assert got.filter(F.col("vec_id") < 60).count() == 0
+
+
+def test_update_ivf_store_reembed_visible_immediately(spark, tmp_path):
+    """x24's operator contract: update = tombstone current generation +
+    append new generation. Updated vectors serve IMMEDIATELY (no
+    rebuild): the updated id's old embedding can no longer rank, the
+    new one ranks under exact (nprobe=nlist) probes as brute force
+    would place it; non-live ids upsert; a pk-duplicate batch raises;
+    rebuild compacts the superseded generation away."""
+    from python_openetl_spark.operators.ivf_store import (
+        ivf_store_range_search,
+        rebuild_ivf_store,
+        update_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 80
+    )
+    root = str(tmp_path / "upd_store")
+    build_ivf_store(emb, root, nlist=4)
+    n = emb.count()
+
+    # replace vec 3's embedding with (a scaled copy of) vec 7's, and
+    # upsert a brand-new id 1000 with vec 9's embedding
+    import pandas as pd
+
+    src = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(
+        F.col("vec_id").isin(3, 7, 9)).collect()}
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [3, 1000],
+             "embedding": [[2.0 * x for x in src[7]], src[9]],
+             "label": [1, 2]}
+        )
+    )
+    assert update_ivf_store(batch, root) == 1  # only id 3 was live
+
+    q = (
+        emb.filter(F.col("vec_id") == 7)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    topk = ivf_store_topk(spark, root, q, k=3, nprobe=4).toPandas()
+    # id 3 now IS vec 7's direction: cosine 1.0, rank 1
+    assert int(topk.iloc[0]["vec_id"]) == 3
+    assert abs(float(topk.iloc[0]["cos_sim"]) - 1.0) < 1e-6
+    # the upserted id 1000 is findable as itself
+    q9 = (
+        emb.filter(F.col("vec_id") == 9)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .toPandas()
+    )
+    t9 = ivf_store_topk(spark, root, q9, k=1, nprobe=4).toPandas()
+    assert int(t9.iloc[0]["vec_id"]) == 1000
+
+    # store row count: n live ids + the upsert (old gen of 3 hidden)
+    rs = ivf_store_range_search(spark, root, q, radius=-1.1, nprobe=4)
+    assert rs.count() == n + 1 - 1  # all live minus query self-match
+
+    with pytest.raises(ValueError, match="unique"):
+        update_ivf_store(
+            spark.createDataFrame(
+                pd.DataFrame({"vec_id": [5, 5],
+                              "embedding": [src[9], src[9]],
+                              "label": [0, 0]})
+            ),
+            root,
+        )
+
+    # rebuild compacts: one physical row per live id, update persists
+    rebuild_ivf_store(spark, root)
+    import os
+    from python_openetl_spark.operators.ivf_store import current_index_dir
+
+    live = spark.read.parquet(os.path.join(current_index_dir(root), "assigned"))
+    assert live.count() == n + 1
+    assert live.filter(F.col("vec_id") == 3).count() == 1
+    topk2 = ivf_store_topk(spark, root, q, k=3, nprobe=4).toPandas()
+    assert int(topk2.iloc[0]["vec_id"]) == 3

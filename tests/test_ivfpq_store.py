@@ -44,7 +44,8 @@ def test_store_holds_codes_not_vectors(spark, store):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     stored = spark.read.parquet(current_index_dir(store) + "/assigned")
     assert stored.count() == emb.count()
-    assert set(stored.columns) == {"vec_id", "codes", "vnorm", "cell"}
+    # __seq is the r11 write-generation stamp (tombstone scoping)
+    assert set(stored.columns) == {"vec_id", "codes", "vnorm", "cell", "__seq"}
     assert stored.schema["codes"].dataType.simpleString() == "array<tinyint>"
 
 
