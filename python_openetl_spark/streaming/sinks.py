@@ -500,3 +500,53 @@ class IvfAppendSink:
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id}, f)
         os.replace(tmp, self._marker_path)
+
+
+class JoinViewSink:
+    """``writeStream.foreachBatch(JoinViewSink(path, b_static, on))`` —
+    streaming incremental JOIN-view maintenance: a materialized
+    ``A ⋈ B`` view (counting form, operators/ivm.py) advanced by every
+    micro-batch of counting deltas of A (data columns + ``mult`` ±k,
+    e.g. a CDC feed through ``ivm.cdc_to_counting_delta``). With B
+    static, the Gupta-Mumick maintenance is ``view + ΔA ⋈ B`` — the
+    ``A_old ⋈ ΔB`` and ``ΔA ⋈ ΔB`` terms vanish — so each batch costs
+    one delta-sized join plus a count merge; accumulated A is NEVER
+    re-joined. The streaming answer the reference's sliding-window
+    re-query approximates (operations.py:515-609).
+
+    Exactly-once: the idempotence token ``jv-{batch_id}`` rides in the
+    VersionedTable pointer commit itself (the VersionedCdcSink
+    pattern — no crash window between data and marker), so at-least-
+    once micro-batch replays no-op; downstream gets time travel and
+    the per-version CDC feed of the VIEW for free."""
+
+    def __init__(self, path: str, b_static: DataFrame, on):
+        self.path = path
+        self.b = b_static
+        self.on = on
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from python_openetl_spark.operators.ivm import (
+            MULT,
+            join_view,
+            maintain_join_view,
+        )
+        from python_openetl_spark.plans.versioned import VersionedTable
+
+        table = VersionedTable(self.path)
+        txn = f"jv-{batch_id}"
+        if table.has_txn(txn):
+            return  # replayed micro-batch: token already committed
+        spark = batch_df.sparkSession
+        a_empty = batch_df.drop(MULT).limit(0)
+        db_empty = self.b.limit(0).withColumn(MULT, F.lit(0).cast("long"))
+        if table.current_version() is not None:
+            view = table.read(spark)
+        else:
+            view = join_view(a_empty, self.b, self.on)  # empty, view shape
+        new = maintain_join_view(
+            view, a_empty, self.b, batch_df, db_empty, self.on
+        )
+        table.commit(new, txn=txn)

@@ -162,3 +162,66 @@ ORACLE["x24_store_update_probe"] = """
       FROM scored
     ) WHERE rank <= 5
 """
+
+
+def s17_stream_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental JOIN-view maintenance — the batch twin of
+    streaming/sinks.py JoinViewSink (the real replayed-stream run is
+    tests/test_streaming.py): three micro-batches of counting deltas
+    of orders (inserts of keys %3=0, then inserts of %3=1 PLUS
+    deletes of the %3=0,%5=0 rows, then inserts of %3=2) maintain an
+    orders⋈lineitem view against the STATIC lineitem projection, one
+    immutable version per batch; then batch 1 REPLAYS — foreachBatch
+    is at-least-once — and must no-op because its idempotence token
+    rode in the version-pointer commit. The oracle recomputes the view
+    from the net post-stream orders set, so a double-applied replay
+    (doubled mults), a missed delete, or a lost zero-count row each
+    breaks the hash. Per batch the cost is one delta-sized join + a
+    count merge; accumulated A is never re-joined."""
+    import tempfile
+
+    from python_openetl_spark.plans.versioned import VersionedTable
+    from python_openetl_spark.streaming.sinks import JoinViewSink
+
+    a = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    b = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_returnflag"
+    )
+    one = F.lit(1).cast("long")
+    b0 = a.filter(F.col("o_orderkey") % 3 == 0).withColumn("mult", one)
+    b1 = (
+        a.filter(F.col("o_orderkey") % 3 == 1)
+        .withColumn("mult", one)
+        .unionByName(
+            a.filter(
+                (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 5 == 0)
+            ).withColumn("mult", -one)
+        )
+    )
+    b2 = a.filter(F.col("o_orderkey") % 3 == 2).withColumn("mult", one)
+    path = tempfile.mkdtemp(prefix="poe_s17_") + "/jview"
+    sink = JoinViewSink(path, b, "o_orderkey")
+    sink(b0, batch_id=0)
+    sink(b1, batch_id=1)
+    sink(b2, batch_id=2)
+    sink(b1, batch_id=1)  # at-least-once replay: must not re-apply
+    return VersionedTable(path).read(spark).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "l_returnflag", "mult"
+    )
+
+
+QUERIES["s17_stream_join_view"] = s17_stream_join_view
+
+ORACLE["s17_stream_join_view"] = """
+    WITH a_net AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 5 = 0)
+    ),
+    b AS (SELECT l_orderkey AS o_orderkey, l_returnflag FROM lineitem)
+    SELECT a.o_orderkey, o_custkey, o_orderpriority, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS mult
+    FROM a_net a JOIN b USING (o_orderkey)
+    GROUP BY ALL
+"""

@@ -969,3 +969,53 @@ def test_stream_stream_join_recovers_from_checkpoint(spark, tmp_path):
     # the restart genuinely crossed the boundary: some matches were
     # emitted in run 1, and run 2 added cross-chunk matches
     assert 0 < n_partial < len(w)
+
+
+def test_join_view_sink_from_real_stream(spark, tmp_path):
+    """s17's sink under a REAL replayed stream: counting deltas of
+    orders-like rows (inserts then deletes) arrive in micro-batches;
+    the maintained A⋈B view must equal the batch recompute from the
+    net A regardless of how the chunking splits inserts and deletes
+    (counting algebra is order-free: a delete landing before its
+    insert nets to zero either way), with one committed version per
+    non-empty micro-batch."""
+    from python_openetl_spark.operators.ivm import join_view
+    from python_openetl_spark.plans.versioned import VersionedTable
+    from python_openetl_spark.streaming.sinks import JoinViewSink
+
+    a = spark.createDataFrame(
+        [(k, f"u{k % 5}") for k in range(40)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k, f"b{k % 3}") for k in range(0, 40, 2)] * 2, "k long, bv string"
+    )  # duplicate B rows -> view mults of 2
+    one = F.lit(1).cast("long")
+    deltas = (
+        a.withColumn("mult", one)
+        .withColumn("seq", F.col("k"))
+        .unionByName(  # later: delete every 4th key
+            a.filter(F.col("k") % 4 == 0)
+            .withColumn("mult", -one)
+            .withColumn("seq", F.col("k") + 100)
+        )
+    )
+    path = stage_replay_dir(
+        deltas, str(tmp_path / "replay_jv"), chunks=4, order_col="seq"
+    )
+    stream = read_file_stream(spark, path, deltas.schema).drop("seq")
+    vpath = str(tmp_path / "jview_stream")
+    q = (
+        stream.writeStream.foreachBatch(JoinViewSink(vpath, b, "k"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_jv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not terminate"
+    table = VersionedTable(vpath)
+    assert len(table.versions()) >= 1
+    got = {tuple(r) for r in table.read(spark).collect()}
+    a_net = a.filter(F.col("k") % 4 != 0)
+    want = {tuple(r) for r in join_view(a_net, b, "k").collect()}
+    assert got == want
+    # mult>1 rows really exist (duplicate B rows)
+    assert any(r[-1] == 2 for r in got)
