@@ -28,6 +28,7 @@ not a test-side fudge.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -223,6 +224,33 @@ def u07_apply_in_arrow_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def u08_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form pandas_udf (Series → Series per Arrow batch behind
+    ONE generator call per task): the tier for kernels with expensive
+    per-executor initialization — a tokenizer, codec, or model loads
+    ONCE before the loop instead of per batch, which at 100 TB is the
+    difference between amortized and quadratic setup cost (round-11
+    UDF-surface completion). The "model" here is a deterministic
+    price table (init counted via a closure cell to prove single-init
+    per task); the math (value * tier multiplier, rounded) is
+    SQL-mirrorable."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def tiered(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init happens ONCE per task, not per Arrow batch
+        table = {0: 1.0, 1: 1.05, 2: 1.1, 3: 1.2}
+        for s in batches:
+            yield ((s % 4).map(table) * s).round(6)
+
+    ev = t(spark, sf_dir, "events").select("event_id", "value")
+    return ev.select(
+        "event_id",
+        tiered(F.col("event_id").cast("double")).alias("tiered_id_cost"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+
+
 QUERIES = {
     "u01_pandas_udf_norm": u01_pandas_udf_norm,
     "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
@@ -231,6 +259,7 @@ QUERIES = {
     "u05_map_in_arrow": u05_map_in_arrow,
     "u06_grouped_agg_trimmed_mean": u06_grouped_agg_trimmed_mean,
     "u07_apply_in_arrow_range": u07_apply_in_arrow_range,
+    "u08_iterator_pandas_udf": u08_iterator_pandas_udf,
 }
 
 ORACLE = {
@@ -296,5 +325,16 @@ ORACLE = {
         FROM r
         WHERE rn > n // 20 AND rn <= n - n // 20
         GROUP BY 1
+    """,
+    # the tier table is {0:1.0, 1:1.05, 2:1.1, 3:1.2} on event_id % 4;
+    # double multiply is a single fp op (no accumulation), rounded 6
+    "u08_iterator_pandas_udf": """
+        SELECT event_id,
+               ROUND(CASE event_id % 4
+                     WHEN 0 THEN 1.0 WHEN 1 THEN 1.05
+                     WHEN 2 THEN 1.1 ELSE 1.2
+                     END * event_id::DOUBLE, 6) AS tiered_id_cost,
+               ROUND(value, 6) AS value
+        FROM events
     """,
 }
