@@ -19,7 +19,7 @@ from the same keys (e.g. one salt per experiment).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import token_hash60
@@ -207,4 +207,87 @@ def balanced_shards(
         F.col(id_col),
         F.col("__sz").alias(size_col),
         ((F.col("__rn") - 1) % n_shards).cast("int").alias("shard_id"),
+    )
+
+
+def es_sample_key(key: Column, weight: Column, *, salt: str = "") -> Column:
+    """Efraimidis–Spirakis weighted-sampling key: ``ln(u) / w`` with
+    ``u`` a deterministic uniform in (0, 1] derived from the row key.
+
+    Taking the top-k rows by this key DESC is exactly weighted random
+    sampling *without replacement* with inclusion probability
+    proportional to ``w`` (Efraimidis & Spirakis 2006: the classic
+    formulation keeps the k largest ``u^(1/w)``; ``ln(u)/w`` is a
+    monotone transform of it, numerically safer for tiny weights).
+    Determinism comes from the same portable 60-bit md5 scheme as
+    ``hash_sample``: ``u = (hash60(salt:key) + 1) / 2^60`` — so the
+    sample is reproducible under any partitioning, any engine, and
+    stable per-row as unrelated rows are added (a row's key never
+    changes; only the top-k cutoff moves).
+
+    The key is rounded to 9 decimals so cross-engine float agreement is
+    at the same tolerance the rest of the workload uses; callers must
+    break ties on the row key. Rows with NULL or non-positive weight
+    have no defined inclusion probability — the sampler drops them.
+    """
+    u = (token_hash60(F.concat(F.lit(f"es{salt}:"), key.cast("string"))) + 1) / F.lit(
+        float(2**60)
+    )
+    return F.round(F.log(u) / weight.cast("double"), 9)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    strata_col: str | None = None,
+    salt: str = "",
+    candidate_buckets: int = 64,
+    out_col: str = "sample_rank",
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement: keep the ``k`` rows
+    (per stratum, if ``strata_col`` is given) with the largest
+    Efraimidis–Spirakis keys. Appends ``es_key`` and 1-based
+    ``out_col`` rank columns.
+
+    This is the sampling verb quality-weighted corpus selection needs
+    ("draw a 10M-doc epoch where P(doc) ∝ quality·length") that
+    ``hash_sample`` (Bernoulli, unweighted) cannot express.
+
+    Scale shape: a single-stratum window would drag every row of a
+    stratum through one task. Instead the classic two-phase top-k: rows
+    are first hashed into ``candidate_buckets`` sub-buckets and ranked
+    with a window partitioned by (stratum, bucket) — fully parallel,
+    partitions bounded by N/(strata·buckets) — keeping at most ``k``
+    per sub-bucket (any row outside its sub-bucket top-k is provably
+    outside the stratum top-k). The final window ranks only the
+    surviving ≤ buckets·k rows per stratum: bounded state, no skew.
+    Rows with NULL or non-positive weight are dropped (no defined
+    inclusion probability — see ``es_sample_key``).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored = df.filter(F.col(weight_col).cast("double") > 0).withColumn(
+        "es_key", es_sample_key(F.col(key_col), F.col(weight_col), salt=salt)
+    )
+    bucket = (
+        token_hash60(F.concat(F.lit("esb:"), F.col(key_col).cast("string")))
+        % candidate_buckets
+    )
+    strata = [strata_col] if strata_col else []
+    order = [F.col("es_key").desc(), F.col(key_col).asc()]
+    w1 = Window.partitionBy(*strata, bucket).orderBy(*order)
+    survivors = (
+        scored.withColumn("__lr", F.row_number().over(w1))
+        .filter(F.col("__lr") <= k)
+        .drop("__lr")
+    )
+    # final pass: ≤ candidate_buckets·k rows per stratum (a bounded,
+    # broadcast-sized set even when strata_col is None)
+    w2 = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        survivors.withColumn(out_col, F.row_number().over(w2).cast("int"))
+        .filter(F.col(out_col) <= k)
     )

@@ -196,16 +196,18 @@ _MODULES = (
 #   3. the first 3 r7-checked rows in ledger order (d25, d26, d51).
 # That is exactly 50; after a green R11 nothing predates r7.
 #
-# _WINDOW_R12 should lead with the 8 round-11 post-window additions
+# _WINDOW_R12 should lead with the round-11 post-window additions
 # (q83_first_touch_funnel, q84_first_touch_dropoff_report,
-# q85_funnel_time_to_convert, m23_cdc_into_join_view,
-# d58_dsir_importance_select, x24_store_update_probe,
-# s17_stream_join_view, u08_iterator_pandas_udf — all
-# oracle-checked at sf0.001/0.01 and sf0.1-soaked in round 11),
-# then 42 of the 47 remaining r7-checked rows in ledger order (e06,
-# e07, k09-k12, m01-m12, m19, q02, q12, q24, q27, q28, q37, q47,
-# q50-q53, q69-q73, s01-s06, s09, u07, x08, x14-x16 — the last 5
-# in ledger order spill to _WINDOW_R13). That is exactly 50.
+# q85_funnel_time_to_convert, q86_important_parts,
+# m23_cdc_into_join_view, d58_dsir_importance_select,
+# d59_weighted_sample, k19_bloom_pruned_scan,
+# x24_store_update_probe, s17_stream_join_view,
+# u08_iterator_pandas_udf — all oracle-checked at sf0.001/0.01 and
+# sf0.1-soaked in round 11), then fill to 50 with the remaining
+# r7-checked rows in ledger order (e06, e07, k09-k12, m01-m12, m19,
+# q02, q12, q24, q27, q28, q37, q47, q50-q53, q69-q73, s01-s06,
+# s09, u07, x08, x14-x16 — whatever doesn't fit spills in ledger
+# order to _WINDOW_R13).
 _WINDOW_R11 = (
     # never driver-checked (round-10 post-window additions)
     "q81_multi_step_funnel", "q82_funnel_dropoff_report",

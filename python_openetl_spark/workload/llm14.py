@@ -6,6 +6,16 @@
   via ``ranking.global_ntile``. The data-selection verb between d32's
   single-LM scoring and d37's curriculum mixture: "keep what looks
   like the target domain".
+- d59: exact weighted sampling WITHOUT replacement
+  (Efraimidis–Spirakis keys from the portable md5 uniform,
+  ``operators/sampling.weighted_sample`` two-phase bucketed top-k) —
+  the P(doc) ∝ weight epoch-draw verb d10's Bernoulli hash sample
+  cannot express.
+- k19: Bloom-filter file skipping (``plans/manifest.py``) — per-file
+  membership bits answering point lookups on a column the layout is
+  NOT sorted by, where k05's min/max stats prune nothing; Delta's
+  bloomFilterIndex / Iceberg bloom column metrics restated over the
+  same manifest table.
 
 Reference parity: tmccall8829/python-openetl has no corpus-selection
 surface (row-level ETL only); this extends the LLM-data north-star
@@ -224,4 +234,79 @@ ORACLE["s17_stream_join_view"] = """
            CAST(COUNT(*) AS BIGINT) AS mult
     FROM a_net a JOIN b USING (o_orderkey)
     GROUP BY ALL
+"""
+
+
+def d59_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted epoch draw: exact Efraimidis–Spirakis weighted
+    sampling WITHOUT replacement, 25 documents per language with
+    P(doc) ∝ n_chars — the quality/length-proportional selection verb
+    between d10's Bernoulli hash sample and d22's mixture resample.
+    Deterministic under any partitioning (portable md5-derived uniform,
+    same 60-bit scheme as d10's oracle) and computed with the two-phase
+    bucketed top-k so no stratum ever serializes through one task."""
+    from python_openetl_spark.operators.sampling import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(
+        d, "doc_id", "n_chars", 25, strata_col="lang"
+    ).select("doc_id", "lang", "n_chars", "es_key", "sample_rank")
+
+
+QUERIES["d59_weighted_sample"] = d59_weighted_sample
+
+ORACLE["d59_weighted_sample"] = """
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                       + 1) / 1152921504606846976.0)
+                   / n_chars::DOUBLE, 9) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key, sample_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY es_key DESC, doc_id) AS INT) AS sample_rank
+      FROM s
+    ) WHERE sample_rank <= 25
+"""
+
+
+def k19_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup file skipping through the Bloom manifest
+    (plans/manifest.py): publish orders hash-clustered by customer into
+    16 files — a layout whose per-file min/max o_custkey ranges all
+    overlap, so k05's range stats would prune NOTHING — then answer
+    three single-customer lookups reading only the files each
+    customer's Bloom bits admit. tests/test_plans.py pins that the
+    pruning actually skips files (~1/16 of files per probe) and that
+    false negatives are impossible; this row proves end-to-end value
+    equality with an unpruned scan."""
+    import tempfile
+
+    from python_openetl_spark.plans.manifest import (
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    src = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = ParquetTable(tempfile.mkdtemp(prefix="poe_k19_") + "/orders")
+    table.overwrite(src.repartition(16, "o_custkey"))
+    man = build_bloom_manifest(spark, table.path, "o_custkey")
+    out = None
+    for ck in (1, 7, 42):
+        hit = bloom_pruned_read(
+            spark, man, "o_custkey", ck, table_path=table.path
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+QUERIES["k19_bloom_pruned_scan"] = k19_bloom_pruned_scan
+
+ORACLE["k19_bloom_pruned_scan"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_custkey IN (1, 7, 42)
 """

@@ -21,6 +21,9 @@ Round-11 additions (post-window, rotate into ``_WINDOW_R12``):
   over one sort-shuffle, per-entity first-touch times + depth.
 - q84: the drop-off report in first-touch mode, NULL entity group
   kept in to pin the n_matches/n_entities divergence.
+- q86: TPC-H Q11 shape (global scalar-subquery threshold in HAVING)
+  adapted to the partsupp-less fixture schema — the one classic TPC-H
+  pattern the q-family hadn't pinned.
 """
 
 from __future__ import annotations
@@ -381,4 +384,61 @@ ORACLE["q85_funnel_time_to_convert"] = """
                  / COUNT(*), 6) AS avg_gap_us,
            median(gap_us) AS median_gap_us
     FROM g GROUP BY step
+"""
+
+
+def q86_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape adapted to the fixture's partsupp-less schema
+    (value from shipped line items instead of stock): the revenue
+    share of each part supplied from one nation, keeping only parts
+    whose share of the national total exceeds a threshold — the global
+    scalar-subquery-in-HAVING pattern. Spark plan: the per-part
+    aggregate crossJoins the broadcast 1-row national total (one
+    shuffle for the groupBy; the threshold is applied map-side after
+    it, never a second pass over lineitem)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .select("l_partkey", val.cast("decimal(24,6)").alias("__v"))
+    )
+    per_part = base.groupBy("l_partkey").agg(
+        F.sum("__v").cast("double").alias("part_value")
+    )
+    total = base.agg(
+        (F.sum("__v") * F.lit(0.001)).cast("double").alias("__cut")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__cut"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 6).alias("part_value"),
+        )
+    )
+
+
+QUERIES["q86_important_parts"] = q86_important_parts
+
+ORACLE["q86_important_parts"] = """
+    WITH base AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    )
+    SELECT l_partkey, round(CAST(SUM(v) AS DOUBLE), 6) AS part_value
+    FROM base
+    GROUP BY l_partkey
+    HAVING CAST(SUM(v) AS DOUBLE)
+           > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM base)
 """

@@ -876,3 +876,80 @@ def test_dsir_importance_score_semantics(spark):
     # the mixed doc sits between the extremes
     assert got[3][1] < got[5][1] < got[1][1]
     assert got[1][0] == 5 and got[6][0] == 3
+
+
+# ------------------------------------------------------- weighted sampling --
+
+
+def test_weighted_sample_statistics_and_determinism(spark):
+    """Efraimidis–Spirakis sampling: exact k per stratum, deterministic
+    under repartitioning, higher-weight rows oversampled roughly in
+    proportion (sanity band, not a sharp statistical test), and the
+    kept set equals a brute-force single-window computation."""
+    from pyspark.sql import Window
+
+    from python_openetl_spark.operators.sampling import es_sample_key, weighted_sample
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "n_chars")
+    got = weighted_sample(docs, "doc_id", "n_chars", 10, strata_col="lang")
+    per = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in per.values()) and len(per) == 5
+    # rank is 1..k per stratum
+    ranks = got.groupBy("lang").agg(
+        F.min("sample_rank").alias("lo"), F.max("sample_rank").alias("hi")
+    ).collect()
+    assert all(r["lo"] == 1 and r["hi"] == 10 for r in ranks)
+    # determinism under a hostile partitioning
+    again = weighted_sample(
+        docs.repartition(13), "doc_id", "n_chars", 10, strata_col="lang"
+    )
+    assert got.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    # equals the brute-force single-window top-k (the thing the
+    # two-phase bucketing is an optimization of)
+    brute = (
+        docs.filter(F.col("n_chars") > 0)
+        .withColumn("es", es_sample_key(F.col("doc_id"), F.col("n_chars")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("es"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+    assert got.select("doc_id").exceptAll(brute.select("doc_id")).count() == 0
+    assert brute.select("doc_id").exceptAll(got.select("doc_id")).count() == 0
+
+
+def test_weighted_sample_weight_proportionality(spark):
+    """With weights 1 vs 100 on an even key split, the heavy half must
+    dominate the sample (inclusion ∝ weight; a uniform sampler would
+    split ~50/50)."""
+    from python_openetl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = weighted_sample(df, "id", "w", 200)
+    heavy = got.filter(F.col("id") % 2 == 0).count()
+    assert heavy > 170  # E[heavy] ≈ 198; uniform would give ~100
+
+
+def test_weighted_sample_hostile_shapes(spark):
+    """NULL/zero/negative weights are dropped (no defined inclusion
+    probability); k larger than a stratum returns the whole stratum
+    with contiguous ranks; k < 1 rejected; empty input yields empty."""
+    from python_openetl_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 5.0, "a"), (2, None, "a"), (3, 0.0, "a"), (4, -2.0, "a"),
+            (5, 1.0, "b"), (6, 2.0, "b")]
+    df = spark.createDataFrame(rows, "id long, w double, g string")
+    got = weighted_sample(df, "id", "w", 10, strata_col="g").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append(r["sample_rank"])
+    assert sorted(by_g["a"]) == [1]  # NULL/0/negative dropped
+    assert sorted(by_g["b"]) == [1, 2]
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "id", "w", 0)
+    empty = weighted_sample(df.filter(F.lit(False)), "id", "w", 3)
+    assert empty.count() == 0

@@ -410,3 +410,80 @@ def test_pruned_read_keeps_partition_columns_with_base_path(spark, tmp_path):
     got2 = pruned_read(spark, man, "v", 3, 9, table_path=p)
     assert set(got2.columns) == {"dt", "v"}
     assert str(got2.first()["dt"]) == "2024-03-01"
+
+
+def test_bloom_manifest_prunes_files_no_false_negatives(spark, tmp_path):
+    """Bloom manifest over a hash-clustered layout (overlapping min/max
+    ranges — range stats would prune nothing): every present key's
+    pruned read equals the full-scan filter, probes skip most files,
+    an absent key reads zero rows, and a mixed-geometry manifest is
+    rejected."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.io import load_table
+    from python_openetl_spark.plans.manifest import (
+        bloom_prune_files,
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+    from python_openetl_spark.plans.pipelines import ParquetTable
+
+    src = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    table = ParquetTable(str(tmp_path / "bloom_tbl"))
+    table.overwrite(src.repartition(8, "o_custkey"))
+    man = build_bloom_manifest(spark, table.path, "o_custkey").persist()
+    n_files = man.count()
+    assert n_files == 8
+    keys = [r["o_custkey"] for r in src.select("o_custkey").distinct().limit(5).collect()]
+    total_picked = 0
+    for ck in keys:
+        picked = bloom_prune_files(man, "o_custkey", ck)
+        assert len(picked) >= 1  # no false negatives
+        total_picked += len(picked)
+        got = bloom_pruned_read(spark, man, "o_custkey", ck, table_path=table.path)
+        want = table.read(spark).filter(F.col("o_custkey") == ck)
+        assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # with 8 files and 3 hashes the average probe must skip files
+    assert total_picked < len(keys) * n_files
+    # absent key: zero rows, typed schema (bloom may false-positive a
+    # file, the exact filter still yields nothing)
+    miss = bloom_pruned_read(spark, man, "o_custkey", -999, table_path=table.path)
+    assert miss.count() == 0
+    assert set(miss.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
+    # mixed geometry rejected
+    import pytest as _pytest
+
+    mixed = man.unionByName(
+        man.limit(1).withColumn("bloom_bits", F.lit(64))
+    )
+    with _pytest.raises(ValueError, match="geometries"):
+        bloom_prune_files(mixed, "o_custkey", keys[0])
+    man.unpersist()
+
+
+def test_bloom_manifest_string_keys_and_all_null_file(spark, tmp_path):
+    """String keys hash identically driver-side and Spark-side; a file
+    whose key column is all NULL sets no bits and never matches."""
+    from pyspark.sql import functions as F
+
+    from python_openetl_spark.plans.manifest import (
+        bloom_prune_files,
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    rows = [("alpha", 1), ("beta", 2), ("gamma", 3)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    null_part = spark.createDataFrame([(None, 99)], "k string, v int")
+    p = str(tmp_path / "bloom_str")
+    df.coalesce(1).write.parquet(p)
+    null_part.coalesce(1).write.mode("append").parquet(p)
+    man = build_bloom_manifest(spark, p, "k").persist()
+    assert man.count() == 2
+    picked = bloom_prune_files(man, "k", "beta")
+    assert len(picked) == 1  # the all-NULL file cannot match
+    got = bloom_pruned_read(spark, man, "k", "beta", table_path=p)
+    assert [tuple(r) for r in got.collect()] == [("beta", 2)]
+    man.unpersist()
