@@ -238,3 +238,67 @@ def canonicalize_corpus(
             .select(F.col("id").alias(id_col))
         )
     return df.join(losers, id_col, "left_anti")
+
+
+def triangle_counts(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle counts ``(id, triangles)`` over the undirected
+    graph of ``pairs`` — the cluster-cohesion diagnostic for a near-dup
+    pair graph (a node's triangles ≈ how mutually-confirmed its
+    duplicate neighborhood is; band-collision false positives sit in
+    triangle-free tendrils, true dup clusters are triangle-dense).
+    Every node incident to an edge gets a row; nodes in no triangle
+    report 0. Self-loops and duplicate/reversed edges are dropped.
+
+    Algorithm (Suri & Vassilvitskii's degree-ordered scheme — the
+    "curse of the last reducer" fix): orient every edge from the
+    lexicographically smaller (degree, id) endpoint to the larger, so
+    each triangle has exactly ONE node with out-edges to the other two.
+    Wedges are generated only at that node (sum of C(out_deg, 2), and
+    degree-ordering bounds out-degree by O(sqrt(m)) — a celebrity node
+    of degree 10^6 generates no wedge explosion because its edges all
+    point AWAY from followers toward it), then closed with one equi-join
+    against the oriented edge set. Every shuffle row is ids+degrees —
+    fixed width, never payloads; nothing is ever collected.
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    e = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
+    wedges = o1.join(o2, "src").filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closer = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closer, ["v", "w"]).select(
+        F.col("src").alias("u"), "v", "w"
+    )
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("id")
+        .join(per_node, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"))
+    )

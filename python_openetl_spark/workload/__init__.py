@@ -200,9 +200,11 @@ _MODULES = (
 # (q83_first_touch_funnel, q84_first_touch_dropoff_report,
 # q85_funnel_time_to_convert, q86_important_parts,
 # m23_cdc_into_join_view, d58_dsir_importance_select,
-# d59_weighted_sample, k19_bloom_pruned_scan,
+# d59_weighted_sample, d60_source_overlap_sketch,
+# d61_dup_graph_triangles, k19_bloom_pruned_scan,
 # x24_store_update_probe, s17_stream_join_view,
-# u08_iterator_pandas_udf — all oracle-checked at sf0.001/0.01 and
+# u08_iterator_pandas_udf, u09_arrow_python_udf — all
+# oracle-checked at sf0.001/0.01 and
 # sf0.1-soaked in round 11), then fill to 50 with the remaining
 # r7-checked rows in ledger order (e06, e07, k09-k12, m01-m12, m19,
 # q02, q12, q24, q27, q28, q37, q47, q50-q53, q69-q73, s01-s06,

@@ -11,6 +11,13 @@
   ``operators/sampling.weighted_sample`` two-phase bucketed top-k) —
   the P(doc) ∝ weight epoch-draw verb d10's Bernoulli hash sample
   cannot express.
+- d60: pairwise source-overlap estimation via mergeable HLL sketches
+  (q58 invariant-oracle pattern: exact anchors + tolerance boolean) —
+  the "which crawls duplicate each other" diagnostic, one ~4 KB sketch
+  per source instead of O(S²) distinct-union passes.
+- d61: per-document triangle counts over the near-dup pair graph
+  (``operators/cluster.triangle_counts``, degree-ordered orientation)
+  — cluster-cohesion diagnostics ahead of canonicalization.
 - k19: Bloom-filter file skipping (``plans/manifest.py``) — per-file
   membership bits answering point lookups on a column the layout is
   NOT sorted by, where k05's min/max stats prune nothing; Delta's
@@ -310,3 +317,155 @@ ORACLE["k19_bloom_pruned_scan"] = """
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders WHERE o_custkey IN (1, 7, 42)
 """
+
+
+def d60_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources via mergeable HLL
+    sketches — the "which crawls duplicate each other" diagnostic that
+    decides dedup ORDER at 100 TB. Exact pairwise distinct-union needs
+    a shuffle per source pair (O(S²) passes, or one pass carrying every
+    (source, shingle) pair through a self-join); the sketch version
+    builds ONE ~4 KB HLL per source map-side and takes pairwise unions
+    driver-cheap — S² sketch merges, zero additional data movement.
+
+    Driver contract (q58/x05 invariant-oracle pattern): exact per-source
+    and pairwise-overlap distinct counts anchor the row; the HLL union
+    estimate must land within max(5%, 2/exact) of the exact union, so a
+    broken sketch build/merge flips ``union_ok`` while legitimate
+    estimator noise cannot. The exact branch is the audit anchor only —
+    at scale you ship just the sketch branch."""
+    from python_openetl_spark.functions.text import text_shingles
+
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(text_shingles("text", 3)).alias("sh"))
+    )
+    per_src = sh.groupBy("source").agg(
+        F.hll_sketch_agg("sh").alias("sk"),
+        F.count_distinct("sh").alias("exact_n"),
+    )
+    a = per_src.select(
+        F.col("source").alias("src_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("exact_n").alias("exact_a"),
+    )
+    b = per_src.select(
+        F.col("source").alias("src_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("exact_n").alias("exact_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    dist = sh.distinct()
+    ov = (
+        dist.withColumnRenamed("source", "src_a")
+        .join(
+            dist.withColumnRenamed("source", "src_b").withColumnRenamed("sh", "sh2"),
+            (F.col("sh") == F.col("sh2")) & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    est = pairs.select(
+        "src_a",
+        "src_b",
+        "exact_a",
+        "exact_b",
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("__est"),
+    )
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_overlap")
+    ).cast("double")
+    return (
+        est.join(ov, ["src_a", "src_b"], "left")
+        .withColumn("exact_overlap", F.coalesce("exact_overlap", F.lit(0)))
+        .select(
+            "src_a",
+            "src_b",
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            F.when(exact_union == 0, F.col("__est") == 0)
+            .otherwise(
+                F.abs(F.col("__est") - exact_union) / exact_union
+                <= F.greatest(F.lit(0.05), F.lit(2.0) / exact_union)
+            )
+            .alias("union_ok"),
+        )
+    )
+
+
+QUERIES["d60_source_overlap_sketch"] = d60_source_overlap_sketch
+
+ORACLE["d60_source_overlap_sketch"] = f"""
+    WITH tk AS (SELECT source, {_TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                    ELSE [] END) AS sh
+      FROM tk
+    ),
+    per AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    ov AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS exact_overlap
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT pa.source AS src_a, pb.source AS src_b,
+           pa.n AS exact_a, pb.n AS exact_b,
+           COALESCE(ov.exact_overlap, 0) AS exact_overlap,
+           TRUE AS union_ok
+    FROM per pa
+    JOIN per pb ON pa.source < pb.source
+    LEFT JOIN ov ON ov.src_a = pa.source AND ov.src_b = pb.source
+"""
+
+
+def d61_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the d07 near-dup pair graph
+    (``operators/cluster.triangle_counts``, Suri–Vassilvitskii
+    degree-ordered orientation): the cluster-cohesion diagnostic that
+    separates mutually-confirmed dup clusters (triangle-dense) from
+    band-collision tendrils (triangle-free) before d13 canonicalizes.
+    The DuckDB oracle counts the same triangles by id-ordered three-way
+    self-join — a different canonicalization that must agree exactly,
+    so an orientation bug (double- or zero-counted triangle) breaks the
+    hash."""
+    from python_openetl_spark.operators.cluster import triangle_counts
+    from python_openetl_spark.workload.llm import _jaccard_pairs
+
+    return triangle_counts(_jaccard_pairs(spark, sf_dir))
+
+
+QUERIES["d61_dup_graph_triangles"] = d61_dup_graph_triangles
+
+
+def _d61_oracle() -> str:
+    from python_openetl_spark.workload.llm import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    e AS (
+      SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b
+    ),
+    nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+    tri AS (
+      SELECT ab.a AS u, ab.b AS v, bc.b AS w
+      FROM e ab JOIN e bc ON ab.b = bc.a
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    pn AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        SELECT u AS id FROM tri UNION ALL
+        SELECT v FROM tri UNION ALL
+        SELECT w FROM tri
+      ) GROUP BY id
+    )
+    SELECT nodes.id, COALESCE(pn.triangles, 0) AS triangles
+    FROM nodes LEFT JOIN pn USING (id)
+"""
+
+
+ORACLE["d61_dup_graph_triangles"] = _d61_oracle()

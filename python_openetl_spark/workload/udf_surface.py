@@ -14,6 +14,9 @@ oracle-checkable query:
   executor — fine for bounded-cardinality keys, NOT for power-law keys).
 - u03: **row-at-a-time Python UDF** — the slow path, kept for parity
   and documented as such; serialization per row, never in a hot loop.
+- u09: **Arrow-optimized row UDF** (Spark 4 ``useArrow=True``) —
+  u03 semantics over Arrow transport; the drop-in upgrade when the
+  kernel is branchy per-row logic that cannot vectorize.
 - u04: **Python UDTF** (Spark 4 table function) — one input row →
   many output rows from Python, the lateral-join extension point for
   tokenizers/parsers that genuinely need Python; composes with SQL
@@ -251,6 +254,34 @@ def u08_iterator_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def u09_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row UDF (Spark 4 ``useArrow=True``): the SAME
+    per-row Python semantics as u03's slow tier, but batched over Arrow
+    instead of pickled row-by-row — the drop-in upgrade for existing
+    row UDFs that can't be vectorized (branchy string/dict logic). The
+    kernel classifies events into a tri-state label from two columns
+    with NULL guards — exactly the shape that stays a row UDF in real
+    codebases. Per-row Python remains the LAST tier (u01/u08 when the
+    math vectorizes); this row pins that the Arrow transport changes
+    serialization only, never values."""
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType(), useArrow=True)
+    def classify(event_type, value):
+        if event_type is None:
+            return None
+        if value is None:
+            return f"{event_type}/none"
+        return f"{event_type}/{'hi' if value >= 50.0 else 'lo'}"
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.select(
+        "event_id",
+        classify(F.col("event_type"), F.col("value")).alias("label"),
+    )
+
+
 QUERIES = {
     "u01_pandas_udf_norm": u01_pandas_udf_norm,
     "u02_apply_in_pandas_zscore": u02_apply_in_pandas_zscore,
@@ -260,9 +291,18 @@ QUERIES = {
     "u06_grouped_agg_trimmed_mean": u06_grouped_agg_trimmed_mean,
     "u07_apply_in_arrow_range": u07_apply_in_arrow_range,
     "u08_iterator_pandas_udf": u08_iterator_pandas_udf,
+    "u09_arrow_python_udf": u09_arrow_python_udf,
 }
 
 ORACLE = {
+    "u09_arrow_python_udf": """
+        SELECT event_id,
+               CASE WHEN event_type IS NULL THEN NULL
+                    WHEN value IS NULL THEN event_type || '/none'
+                    WHEN value >= 50.0 THEN event_type || '/hi'
+                    ELSE event_type || '/lo' END AS label
+        FROM events
+    """,
     "u07_apply_in_arrow_range": """
         SELECT event_type, COUNT(*) AS n_events,
                MAX(value) - MIN(value) AS value_range

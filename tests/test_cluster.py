@@ -95,3 +95,54 @@ def test_nonconvergence_guard(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError):
         connected_components(pairs, max_iter=0, driver_threshold=0)
+
+
+# --------------------------------------------------------------- triangles --
+
+
+def test_triangle_counts_planted_graph(spark):
+    """4-clique: every node in 3 triangles. Path 10-11-12: zero
+    triangles but nodes still reported. Self-loops, duplicate and
+    reversed edges must not inflate counts."""
+    from python_openetl_spark.operators.cluster import triangle_counts
+
+    edges = (
+        # 4-clique on 1..4
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        # noise: duplicates, reversed, self-loop
+        + [(2, 1), (1, 2), (3, 3)]
+        # triangle-free path
+        + [(10, 11), (11, 12)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 0, 11: 0, 12: 0}
+
+
+def test_triangle_counts_two_triangles_sharing_an_edge(spark):
+    """Bowtie-ish: triangles (1,2,3) and (2,3,4) share edge 2-3 — the
+    shared nodes count twice, the apexes once."""
+    from python_openetl_spark.operators.cluster import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r["id"]: r["triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_empty_and_skew_star(spark):
+    """Empty graph -> empty result; a star (one celebrity hub, no
+    closing edges) -> all zeros — the degree orientation points every
+    edge AT the hub, so the hub generates no wedges (the 'last
+    reducer' fix this algorithm exists for)."""
+    from python_openetl_spark.operators.cluster import triangle_counts
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert triangle_counts(empty).count() == 0
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    got = triangle_counts(star)
+    assert got.count() == 40
+    assert got.filter(F.col("triangles") != 0).count() == 0
