@@ -737,3 +737,61 @@ def audio_constellation_near_dup(
         .filter(F.col("containment") >= F.lit(float(min_containment)))
         .select("doc_a", "doc_b", "n_shared_hashes", "containment")
     )
+
+
+def patch_grid(
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    patch: int = 64,
+) -> DataFrame:
+    """ViT-style patch-grid expansion: one row per (patch_row,
+    patch_col) tile of each decoded image — the 1→N preprocessing step
+    between ``decode_images`` and a vision-encoder batch. Edge tiles
+    are CLIPPED (``ph``/``pw`` < ``patch``), matching the
+    pad-free tiling a loader would feed a resize kernel; consumers that
+    pad instead read the same grid and ignore ``ph``/``pw``.
+
+    Input is the metadata frame (``id_col``, ``width``, ``height``) —
+    decode runs once upstream, and this expansion is PURE JVM
+    (a ``posexplode`` of one computed index sequence; the row/col
+    arithmetic is codegen'd div/mod), so exploding a 100 TB corpus
+    into patches never re-enters Python or reshuffles payload bytes.
+    Rows with NULL dimensions (failed decode) expand to nothing.
+    """
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+    ny = F.ceil(F.col("height") / F.lit(patch)).cast("int")
+    nx = F.ceil(F.col("width") / F.lit(patch)).cast("int")
+    ok = meta.filter(
+        F.col("width").isNotNull() & F.col("height").isNotNull()
+    ).select(
+        id_col,
+        "width",
+        "height",
+        nx.alias("__nx"),
+        F.sequence(F.lit(0), ny * nx - 1).alias("__idx"),
+    )
+    py = (F.col("patch_idx") / F.col("__nx")).cast("int")
+    px = F.col("patch_idx") % F.col("__nx")
+    y0 = py * patch
+    x0 = px * patch
+    return (
+        ok.select(
+            id_col,
+            "width",
+            "height",
+            "__nx",
+            F.explode("__idx").alias("patch_idx"),
+        )
+        .select(
+            id_col,
+            F.col("patch_idx").cast("int").alias("patch_idx"),
+            py.cast("int").alias("py"),
+            px.cast("int").alias("px"),
+            y0.cast("int").alias("y0"),
+            x0.cast("int").alias("x0"),
+            F.least(F.lit(patch), F.col("height") - y0).cast("int").alias("ph"),
+            F.least(F.lit(patch), F.col("width") - x0).cast("int").alias("pw"),
+        )
+    )

@@ -203,7 +203,8 @@ _MODULES = (
 # d59_weighted_sample, d60_source_overlap_sketch,
 # d61_dup_graph_triangles, k19_bloom_pruned_scan,
 # x24_store_update_probe, s17_stream_join_view,
-# u08_iterator_pandas_udf, u09_arrow_python_udf — all
+# u08_iterator_pandas_udf, u09_arrow_python_udf,
+# mm09_patch_grid — all
 # oracle-checked at sf0.001/0.01 and
 # sf0.1-soaked in round 11), then fill to 50 with the remaining
 # r7-checked rows in ledger order (e06, e07, k09-k12, m01-m12, m19,

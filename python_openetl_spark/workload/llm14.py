@@ -18,6 +18,10 @@
 - d61: per-document triangle counts over the near-dup pair graph
   (``operators/cluster.triangle_counts``, degree-ordered orientation)
   — cluster-cohesion diagnostics ahead of canonicalization.
+- mm09: ViT-style patch-grid expansion (``operators/multimodal.py
+  patch_grid``) — decode once in the Arrow kernel, then a pure-JVM
+  posexplode into clipped tiles; the 1→N preprocessing step between
+  decode and a vision-encoder batch.
 - k19: Bloom-filter file skipping (``plans/manifest.py``) — per-file
   membership bits answering point lookups on a column the layout is
   NOT sorted by, where k05's min/max stats prune nothing; Delta's
@@ -469,3 +473,51 @@ def _d61_oracle() -> str:
 
 
 ORACLE["d61_dup_graph_triangles"] = _d61_oracle()
+
+
+def mm09_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-preprocessing patch grid over fake-decoded "images": decode
+    once in the Arrow kernel (content-hash pseudo-dimensions — the
+    documented real-codec seam), then expand every image into clipped
+    64px tiles PURELY JVM-side (one posexplode, codegen'd div/mod).
+    The oracle recomputes the identical sha256-derived dimensions and
+    grid in SQL, so a drifting fake decoder, a transposed row/col, or
+    an unclipped edge tile all break the hash."""
+    from python_openetl_spark.operators import multimodal
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    meta = multimodal.decode_images(d, fake=True)
+    return multimodal.patch_grid(meta, patch=64)
+
+
+QUERIES["mm09_patch_grid"] = mm09_patch_grid
+
+ORACLE["mm09_patch_grid"] = """
+    WITH m AS (
+      SELECT doc_id,
+             64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS width,
+             64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS height
+      FROM documents
+    ),
+    g AS (
+      SELECT *, CAST(ceil(height / 64.0) AS INT) AS ny,
+                CAST(ceil(width / 64.0) AS INT) AS nx
+      FROM m
+    ),
+    ex AS (
+      SELECT doc_id, width, height, nx,
+             unnest(range(0, ny * nx)) AS idx
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(idx AS INT) AS patch_idx,
+           CAST(idx // nx AS INT) AS py,
+           CAST(idx % nx AS INT) AS px,
+           CAST((idx // nx) * 64 AS INT) AS y0,
+           CAST((idx % nx) * 64 AS INT) AS x0,
+           CAST(least(64, height - (idx // nx) * 64) AS INT) AS ph,
+           CAST(least(64, width - (idx % nx) * 64) AS INT) AS pw
+    FROM ex
+"""

@@ -953,3 +953,36 @@ def test_weighted_sample_hostile_shapes(spark):
         weighted_sample(df, "id", "w", 0)
     empty = weighted_sample(df.filter(F.lit(False)), "id", "w", 3)
     assert empty.count() == 0
+
+
+def test_patch_grid_exact_tiling_and_null_dims(spark):
+    """130x65 @ patch 64 -> 2x3 grid with clipped edge tiles; NULL
+    dims expand to nothing; patch < 1 rejected."""
+    from python_openetl_spark.operators.multimodal import patch_grid
+
+    meta = spark.createDataFrame(
+        [(1, 130, 65), (2, None, None), (3, 64, 64)],
+        "doc_id long, width int, height int",
+    )
+    got = patch_grid(meta, patch=64).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3: exactly one full tile
+    assert len(by_doc[3]) == 1
+    t3 = by_doc[3][0]
+    assert (t3["py"], t3["px"], t3["ph"], t3["pw"]) == (0, 0, 64, 64)
+    # doc 2 (failed decode): no rows
+    assert 2 not in by_doc
+    # doc 1: width 130 -> nx=3 (pw 64,64,2), height 65 -> ny=2 (ph 64,1)
+    tiles = {(r["py"], r["px"]): (r["ph"], r["pw"]) for r in by_doc[1]}
+    assert len(tiles) == 6
+    assert tiles[(0, 0)] == (64, 64)
+    assert tiles[(0, 2)] == (64, 2)
+    assert tiles[(1, 0)] == (1, 64)
+    assert tiles[(1, 2)] == (1, 2)
+    # patch_idx is row-major and unique
+    idxs = sorted(r["patch_idx"] for r in by_doc[1])
+    assert idxs == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError, match="patch must be"):
+        patch_grid(meta, patch=0)
