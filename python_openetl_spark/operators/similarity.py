@@ -562,3 +562,150 @@ def filtered_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def ivf_recall_report(
+    corpus: DataFrame,
+    queries_pdf: pd.DataFrame,
+    *,
+    k: int = 10,
+    nlist: int = 16,
+    budgets: "tuple[int, ...]" = (2, 8),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k evaluation of the IVF index against exact search — the
+    operator every production ANN deployment runs before trusting an
+    nprobe budget. Returns one row per query:
+
+    ``(query_id, exact_k, top1_id, recall@<b>... , monotone_ok)``
+
+    where ``recall@b`` is |IVF-top-k at nprobe=b ∩ exact-top-k| / k and
+    ``monotone_ok`` asserts recall is nondecreasing in the budget — a
+    THEOREM for this index (probe lists are prefixes of one centroid
+    ranking, so candidate sets are nested, and anything that displaces
+    an exact-top-k member from a candidate top-k ranks above it
+    globally, hence is itself exact-top-k), so FALSE can only mean an
+    implementation bug, never estimator noise.
+
+    One corpus scan serves every budget (unlike re-probing per budget):
+    the full-probe scoring (= exact search, same ``cosine`` JVM math as
+    ``cosine_topk``) is joined with each candidate's CELL PROBE RANK
+    for its query, and budget b's result is just ``probe_rank < b`` —
+    ranked per (query, budget) in one partitioned window. Same
+    centroid scheme as :func:`ivf_topk` (deterministic xxhash sample;
+    probe order is one argsort slice, which guarantees the nesting).
+    """
+    spark = corpus.sparkSession
+    budgets = tuple(sorted(set(int(b) for b in budgets)))
+    if any(b < 1 for b in budgets) or k < 1:
+        raise ValueError("budgets and k must be >= 1")
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )
+    rec_cols = [f"recall_at_{b}" for b in budgets]
+    schema = (
+        f"{query_id_col} long, exact_k long, top1_id long, "
+        + ", ".join(f"{c} double" for c in rec_cols)
+        + ", monotone_ok boolean"
+    )
+    if queries_pdf.empty or not cent_rows:
+        return spark.createDataFrame([], schema)
+    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
+    qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    order = np.argsort(-(qnorm @ cnorm.T), axis=1)
+    # (query, cell) -> probe rank over ALL cells: one slice of this
+    # ranking IS budget b's probe list, which is what makes the
+    # candidate sets nested and the monotonicity column a theorem
+    pairs = [
+        (int(q), int(c), int(r))
+        for q, row in zip(qids, order)
+        for r, c in enumerate(row)
+    ]
+    probe_df = spark.createDataFrame(
+        pairs, f"{query_id_col} long, cell int, probe_rank int"
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in zip(qids, queries_pdf[vec_col])],
+        f"{query_id_col} long, __qv array<float>",
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            "probe_rank",
+            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
+        )
+    )
+    w_exact = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.when(F.col("rank") == 1, F.col(id_col)).alias("__top1"),
+        )
+    )
+    per_budget = []
+    for b in budgets:
+        wb = Window.partitionBy(query_id_col).orderBy(
+            F.col("cos_sim").desc(), F.col(id_col)
+        )
+        approx = (
+            scored.filter(F.col("probe_rank") < b)
+            .withColumn("rank", F.row_number().over(wb))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col)
+        )
+        hits = (
+            approx.join(exact.select(query_id_col, id_col), [query_id_col, id_col])
+            .groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias(f"__hits_{b}"))
+        )
+        per_budget.append(hits)
+    base = exact.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("exact_k"), F.max("__top1").alias("top1_id")
+    )
+    out = base
+    for b, hits in zip(budgets, per_budget):
+        out = out.join(hits, query_id_col, "left").withColumn(
+            f"recall_at_{b}",
+            F.coalesce(F.col(f"__hits_{b}"), F.lit(0)) / F.col("exact_k"),
+        )
+    mono = F.lit(True)
+    for lo, hi in zip(budgets, budgets[1:]):
+        mono = mono & (F.col(f"recall_at_{lo}") <= F.col(f"recall_at_{hi}"))
+    return out.select(
+        query_id_col, "exact_k", "top1_id", *rec_cols, mono.alias("monotone_ok")
+    )

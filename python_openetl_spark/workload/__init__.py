@@ -202,7 +202,8 @@ _MODULES = (
 # m23_cdc_into_join_view, d58_dsir_importance_select,
 # d59_weighted_sample, d60_source_overlap_sketch,
 # d61_dup_graph_triangles, k19_bloom_pruned_scan,
-# x24_store_update_probe, s17_stream_join_view,
+# x24_store_update_probe, x25_ann_recall_report,
+# s17_stream_join_view,
 # u08_iterator_pandas_udf, u09_arrow_python_udf,
 # mm09_patch_grid — all
 # oracle-checked at sf0.001/0.01 and

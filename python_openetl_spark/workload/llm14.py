@@ -22,6 +22,11 @@
   patch_grid``) — decode once in the Arrow kernel, then a pure-JVM
   posexplode into clipped tiles; the 1→N preprocessing step between
   decode and a vision-encoder batch.
+- x25: IVF recall-curve evaluation
+  (``operators/similarity.ivf_recall_report``) — recall@k at three
+  probe budgets from ONE corpus scan, with theorem-backed invariants
+  (full probe = exact; nested candidates ⇒ monotone curve) as the
+  driver contract.
 - k19: Bloom-filter file skipping (``plans/manifest.py``) — per-file
   membership bits answering point lookups on a column the layout is
   NOT sorted by, where k05's min/max stats prune nothing; Delta's
@@ -520,4 +525,60 @@ ORACLE["mm09_patch_grid"] = """
            CAST(least(64, height - (idx // nx) * 64) AS INT) AS ph,
            CAST(least(64, width - (idx % nx) * 64) AS INT) AS pw
     FROM ex
+"""
+
+
+def x25_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-curve evaluation of the IVF index
+    (``operators/similarity.ivf_recall_report``): every 50th vector
+    queries (as its own planted anchor, id-shifted), recall@10 measured
+    at 1/8, 1/2 and full probe budgets from ONE corpus scan. Driver
+    contract: the full budget probes every cell, so its candidate set
+    IS the exact set — full_recall is exactly 1.0 by construction, not
+    approximately; top1_id must be the planted anchor (cos 1.0); and
+    the recall curve must be monotone in the budget (nested-candidates
+    theorem — see the operator docstring). The sub-budget recalls stay
+    engine-internal diagnostics (estimator-dependent), exactly like
+    q58's HLL estimate."""
+    from python_openetl_spark.operators.similarity import ivf_recall_report
+    from python_openetl_spark.operators.tuning import ivf_params
+
+    emb = t(spark, sf_dir, "embeddings")
+    if not emb.take(1):
+        return spark.createDataFrame(
+            [],
+            "query_id long, exact_k long, top1_id long, full_recall double, "
+            "monotone_ok boolean",
+        )
+    nlist = ivf_params(emb.count())["nlist"]
+    queries = (
+        emb.filter(F.col("vec_id") % 50 == 7)
+        .select((F.col("vec_id") + 3_000_000).alias("query_id"), "embedding")
+        .toPandas()
+    )
+    rep = ivf_recall_report(
+        emb,
+        queries,
+        k=10,
+        nlist=nlist,
+        budgets=(max(1, nlist // 8), max(1, nlist // 2), nlist),
+    )
+    return rep.select(
+        "query_id",
+        "exact_k",
+        "top1_id",
+        F.col(f"recall_at_{nlist}").alias("full_recall"),
+        "monotone_ok",
+    )
+
+
+QUERIES["x25_ann_recall_report"] = x25_ann_recall_report
+
+ORACLE["x25_ann_recall_report"] = """
+    SELECT vec_id + 3000000 AS query_id,
+           CAST(10 AS BIGINT) AS exact_k,
+           vec_id AS top1_id,
+           1.0 AS full_recall,
+           TRUE AS monotone_ok
+    FROM embeddings WHERE vec_id % 50 = 7
 """

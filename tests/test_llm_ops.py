@@ -986,3 +986,36 @@ def test_patch_grid_exact_tiling_and_null_dims(spark):
     assert idxs == [0, 1, 2, 3, 4, 5]
     with pytest.raises(ValueError, match="patch must be"):
         patch_grid(meta, patch=0)
+
+
+def test_ivf_recall_report_invariants_and_edges(spark):
+    """Full-budget recall is exactly 1.0 and top1 is the planted
+    anchor; the curve is monotone; empty queries/corpus degrade to a
+    typed-empty frame; bad params rejected."""
+    import pandas as pd
+
+    from python_openetl_spark.operators.similarity import ivf_recall_report
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") % 100 == 3)
+        .select((F.col("vec_id") + 5_000_000).alias("query_id"), "embedding")
+        .toPandas()
+    )
+    rep = ivf_recall_report(emb, q, k=5, nlist=16, budgets=(1, 4, 16)).toPandas()
+    assert len(rep) == len(q)
+    assert (rep["recall_at_16"] == 1.0).all()
+    assert rep["monotone_ok"].all()
+    assert (rep["top1_id"] == rep["query_id"] - 5_000_000).all()
+    assert (rep["recall_at_1"] <= rep["recall_at_4"]).all()
+    # empty queries
+    empty_q = pd.DataFrame({"query_id": [], "embedding": []})
+    assert ivf_recall_report(emb, empty_q, k=5, nlist=16).count() == 0
+    # empty corpus
+    assert (
+        ivf_recall_report(emb.filter(F.lit(False)), q, k=5, nlist=16).count() == 0
+    )
+    with pytest.raises(ValueError, match=">= 1"):
+        ivf_recall_report(emb, q, k=0, nlist=16)
+    with pytest.raises(ValueError, match=">= 1"):
+        ivf_recall_report(emb, q, k=5, nlist=16, budgets=(0, 4))
