@@ -597,6 +597,16 @@ def ivf_recall_report(
     ranked per (query, budget) in one partitioned window. Same
     centroid scheme as :func:`ivf_topk` (deterministic xxhash sample;
     probe order is one argsort slice, which guarantees the nesting).
+
+    The report is computed EAGERLY (it is an evaluation action, not a
+    pipeline stage): the scored projection — fixed-width
+    ``(query, id, probe_rank, cos)`` rows, |queries|·|corpus| worst
+    case — is persisted MEMORY_AND_DISK so the exact branch and every
+    budget branch reuse the one scan instead of re-running the Python
+    assignment per branch, then released before the |queries|-row
+    result (a local frame) is returned. Size the query sample
+    accordingly — recall evaluation is a sampled offline job, never a
+    per-request path.
     """
     spark = corpus.sparkSession
     budgets = tuple(sorted(set(int(b) for b in budgets)))
@@ -654,6 +664,8 @@ def ivf_recall_report(
         [(int(q), [float(x) for x in v]) for q, v in zip(qids, queries_pdf[vec_col])],
         f"{query_id_col} long, __qv array<float>",
     )
+    from pyspark import StorageLevel
+
     scored = (
         assigned.join(F.broadcast(probe_df), "cell")
         .join(F.broadcast(qdf), query_id_col)
@@ -664,48 +676,54 @@ def ivf_recall_report(
             "probe_rank",
             cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
         )
-    )
-    w_exact = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w_exact))
-        .filter(F.col("rank") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.when(F.col("rank") == 1, F.col(id_col)).alias("__top1"),
-        )
-    )
-    per_budget = []
-    for b in budgets:
-        wb = Window.partitionBy(query_id_col).orderBy(
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        w_exact = Window.partitionBy(query_id_col).orderBy(
             F.col("cos_sim").desc(), F.col(id_col)
         )
-        approx = (
-            scored.filter(F.col("probe_rank") < b)
-            .withColumn("rank", F.row_number().over(wb))
+        exact = (
+            scored.withColumn("rank", F.row_number().over(w_exact))
             .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col)
+            .select(
+                query_id_col,
+                id_col,
+                F.when(F.col("rank") == 1, F.col(id_col)).alias("__top1"),
+            )
         )
-        hits = (
-            approx.join(exact.select(query_id_col, id_col), [query_id_col, id_col])
-            .groupBy(query_id_col)
-            .agg(F.count(F.lit(1)).alias(f"__hits_{b}"))
+        per_budget = []
+        for b in budgets:
+            wb = Window.partitionBy(query_id_col).orderBy(
+                F.col("cos_sim").desc(), F.col(id_col)
+            )
+            approx = (
+                scored.filter(F.col("probe_rank") < b)
+                .withColumn("rank", F.row_number().over(wb))
+                .filter(F.col("rank") <= k)
+                .select(query_id_col, id_col)
+            )
+            hits = (
+                approx.join(
+                    exact.select(query_id_col, id_col), [query_id_col, id_col]
+                )
+                .groupBy(query_id_col)
+                .agg(F.count(F.lit(1)).alias(f"__hits_{b}"))
+            )
+            per_budget.append(hits)
+        base = exact.groupBy(query_id_col).agg(
+            F.count(F.lit(1)).alias("exact_k"), F.max("__top1").alias("top1_id")
         )
-        per_budget.append(hits)
-    base = exact.groupBy(query_id_col).agg(
-        F.count(F.lit(1)).alias("exact_k"), F.max("__top1").alias("top1_id")
-    )
-    out = base
-    for b, hits in zip(budgets, per_budget):
-        out = out.join(hits, query_id_col, "left").withColumn(
-            f"recall_at_{b}",
-            F.coalesce(F.col(f"__hits_{b}"), F.lit(0)) / F.col("exact_k"),
-        )
-    mono = F.lit(True)
-    for lo, hi in zip(budgets, budgets[1:]):
-        mono = mono & (F.col(f"recall_at_{lo}") <= F.col(f"recall_at_{hi}"))
-    return out.select(
-        query_id_col, "exact_k", "top1_id", *rec_cols, mono.alias("monotone_ok")
-    )
+        out = base
+        for b, hits in zip(budgets, per_budget):
+            out = out.join(hits, query_id_col, "left").withColumn(
+                f"recall_at_{b}",
+                F.coalesce(F.col(f"__hits_{b}"), F.lit(0)) / F.col("exact_k"),
+            )
+        mono = F.lit(True)
+        for lo, hi in zip(budgets, budgets[1:]):
+            mono = mono & (F.col(f"recall_at_{lo}") <= F.col(f"recall_at_{hi}"))
+        rows = out.select(
+            query_id_col, "exact_k", "top1_id", *rec_cols, mono.alias("monotone_ok")
+        ).collect()
+    finally:
+        scored.unpersist()
+    return spark.createDataFrame(rows, schema)

@@ -409,11 +409,15 @@ def q86_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
         .select("l_partkey", val.cast("decimal(24,6)").alias("__v"))
     )
-    per_part = base.groupBy("l_partkey").agg(
-        F.sum("__v").cast("double").alias("part_value")
+    per_part = base.groupBy("l_partkey").agg(F.sum("__v").alias("__dec"))
+    # grand total = sum of the per-part DECIMAL sums (exact, order-free):
+    # ONE pass over lineitem feeds both the threshold and the groups
+    # (the naive form re-scans the join for the scalar subquery)
+    total = per_part.agg(
+        (F.sum("__dec") * F.lit(0.001)).cast("double").alias("__cut")
     )
-    total = base.agg(
-        (F.sum("__v") * F.lit(0.001)).cast("double").alias("__cut")
+    per_part = per_part.select(
+        "l_partkey", F.col("__dec").cast("double").alias("part_value")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
