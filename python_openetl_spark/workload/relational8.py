@@ -411,8 +411,9 @@ def q86_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = base.groupBy("l_partkey").agg(F.sum("__v").alias("__dec"))
     # grand total = sum of the per-part DECIMAL sums (exact, order-free):
-    # ONE pass over lineitem feeds both the threshold and the groups
-    # (the naive form re-scans the join for the scalar subquery)
+    # the threshold branch shares the grouped exchange with the groups
+    # (AQE ReusedExchange — plan-pinned), so lineitem is physically
+    # scanned once, not re-joined for the scalar subquery
     total = per_part.agg(
         (F.sum("__dec") * F.lit(0.001)).cast("double").alias("__cut")
     )

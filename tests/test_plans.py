@@ -487,3 +487,53 @@ def test_bloom_manifest_string_keys_and_all_null_file(spark, tmp_path):
     got = bloom_pruned_read(spark, man, "k", "beta", table_path=p)
     assert [tuple(r) for r in got.collect()] == [("beta", 2)]
     man.unpersist()
+
+
+def test_weighted_sample_windows_are_partitioned(spark):
+    """Neither top-k phase may run a partitionless window (the global
+    sort trap); both rank within hash partitions."""
+    from python_openetl_spark.workload.llm14 import d59_weighted_sample
+
+    plan = _plan(d59_weighted_sample(spark, SF_DIR))
+    assert "No Partition Defined" not in plan, plan
+    assert plan.count("Window [") == 2, plan  # exactly the two phases
+
+
+def test_triangle_counts_no_cartesian_and_equi_joins_only(spark):
+    """Wedge generation and closure must be equi-joins (SortMerge or
+    Hash), never a cartesian/nested-loop product."""
+    from python_openetl_spark.workload.llm14 import d61_dup_graph_triangles
+
+    plan = _plan(d61_dup_graph_triangles(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_patch_grid_explodes_jvm_side_after_single_decode(spark):
+    """Exactly one Python boundary (the decode kernel); the 1->N tile
+    explosion is a JVM Generate above it, so patch rows never cross
+    back into Python."""
+    from python_openetl_spark.workload.llm14 import mm09_patch_grid
+
+    plan = _plan(mm09_patch_grid(spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Generate explode" in plan, plan
+    # the Generate sits ABOVE the python node in the tree (parents print
+    # before children): explode must come later in the string than never
+    # -- i.e. appear, and no second python eval above it
+    assert plan.index("Generate explode") < plan.index("MapInPandas"), plan
+
+
+def test_q86_threshold_is_broadcast_and_reuses_the_group_exchange(spark):
+    """The global threshold joins as a broadcast single row, and in the
+    FINAL adaptive plan the threshold's per-part aggregate reuses the
+    grouped exchange (ReusedExchange) — lineitem is physically scanned
+    once, not re-joined for the scalar subquery."""
+    from python_openetl_spark.workload.relational8 import q86_important_parts
+
+    df = q86_important_parts(spark, SF_DIR)
+    df.collect()  # AQE finalizes (and reuses) exchanges at execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
