@@ -123,13 +123,27 @@ def _load_assigned(
     re-appending a deleted id resurrect it immediately. Rows/tombstones
     without the seq column (legacy layout) behave as generation 0 /
     kill-all respectively."""
-    df = spark.read.parquet(os.path.join(idx_dir, _ASSIGNED))
-    row_seq = F.col(_SEQ) if _SEQ in df.columns else F.lit(0)
+    # mergeSchema on BOTH reads: a directory mixing legacy files with
+    # seq-stamped files (a pre-r11 store written to after upgrade) must
+    # read legacy rows as seq-NULL regardless of which file Spark would
+    # have inferred the schema from; the NULLs then coalesce to the
+    # legacy semantics (generation 0 / kill-all) instead of the outcome
+    # depending on file listing order.
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(idx_dir, _ASSIGNED)
+    )
+    row_seq = (
+        F.coalesce(F.col(_SEQ), F.lit(0)) if _SEQ in df.columns else F.lit(0)
+    )
     ddir = os.path.join(idx_dir, _DELETED)
     if os.path.isdir(ddir):
-        tomb = spark.read.parquet(ddir)
+        tomb = spark.read.option("mergeSchema", "true").parquet(ddir)
         if "seq" in tomb.columns:
-            tomb = tomb.groupBy(id_col).agg(F.max("seq").alias("__tomb_seq"))
+            # legacy (seq-NULL) tombstones in a mixed dir keep their
+            # kill-all meaning rather than silently becoming MAX-losers
+            tomb = tomb.groupBy(id_col).agg(
+                F.max(F.coalesce(F.col("seq"), F.lit(2**62))).alias("__tomb_seq")
+            )
         else:  # legacy id-only tombstones: hide every generation
             tomb = (
                 tomb.select(id_col)
@@ -466,11 +480,22 @@ def update_ivf_store(
     (batch-sized); the corpus is never re-read."""
     spark = batch.sparkSession
     idx_dir = current_index_dir(root)
-    ids = batch.select(id_col).distinct()
-    if ids.count() != batch.count():
+    # ONE job for the pk-uniqueness check (count + distinct-count in a
+    # single aggregate) instead of two full passes over a batch whose
+    # upstream may be an expensive re-embedding pipeline. The batch is
+    # still evaluated once more by the append below — same determinism
+    # contract as every multi-pass operator here (global_row_number):
+    # nondeterministic sources must be persisted/checkpointed by the
+    # caller first.
+    counts = batch.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.col(id_col)).alias("__d"),
+    ).first()
+    if counts["__n"] != counts["__d"]:
         raise ValueError(
             f"update_ivf_store: batch must be unique on {id_col}"
         )
+    ids = batch.select(id_col).distinct()
     live_doomed = (
         _load_assigned(spark, idx_dir, id_col)
         .select(id_col)

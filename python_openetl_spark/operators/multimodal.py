@@ -763,8 +763,11 @@ def patch_grid(
         raise ValueError(f"patch must be >= 1, got {patch}")
     ny = F.ceil(F.col("height") / F.lit(patch)).cast("int")
     nx = F.ceil(F.col("width") / F.lit(patch)).cast("int")
+    # degenerate decodes (NULL or zero/negative dimensions) expand to
+    # nothing — without the > 0 guard, sequence(0, -1) emits [0, -1]
+    # and the div/mod coords divide by zero
     ok = meta.filter(
-        F.col("width").isNotNull() & F.col("height").isNotNull()
+        (F.col("width") > 0) & (F.col("height") > 0)
     ).select(
         id_col,
         "width",

@@ -379,6 +379,53 @@ def lsh_cosine_pairs(
     )
 
 
+
+def _coarse_centroids(
+    corpus: DataFrame, nlist: int, id_col: str, vec_col: str, seed: int
+) -> "np.ndarray | None":
+    """Deterministic coarse-quantizer centroids shared by the IVF index
+    (:func:`ivf_topk`) and its evaluator (:func:`ivf_recall_report`) —
+    ONE definition so the report can never drift from the index it
+    audits: the xxhash64-ordered sample, L2-normalized, or None for an
+    empty corpus."""
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )
+    if not cent_rows:
+        return None
+    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
+    return cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+
+def _assign_cells(
+    corpus: DataFrame, cnorm: "np.ndarray", id_col: str, vec_col: str
+) -> DataFrame:
+    """One corpus scan assigning every vector to its nearest centroid
+    (Arrow-batched numpy argmax; the cell id is 4 bytes per row).
+    Shared by index build and recall evaluation — see
+    :func:`_coarse_centroids`."""
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries_pdf: pd.DataFrame,
@@ -409,37 +456,14 @@ def ivf_topk(
     exact search is tunable with nprobe (see tests/test_similarity.py).
     """
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h")
-        .limit(nlist)
-        .collect()
-    )
-    if queries_pdf.empty or not cent_rows:
+    cnorm = _coarse_centroids(corpus, nlist, id_col, vec_col, seed)
+    if queries_pdf.empty or cnorm is None:
         # no queries, or an empty corpus (no centroids to probe):
         # degrade to an empty result instead of a driver-side stack error
         return spark.createDataFrame(
             [], f"{query_id_col} long, {id_col} long, cos_sim double, rank int"
         )
-    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
-                }
-            )
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
-    )
+    assigned = _assign_cells(corpus, cnorm, id_col, vec_col)
 
     qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
     qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
@@ -612,39 +636,16 @@ def ivf_recall_report(
     budgets = tuple(sorted(set(int(b) for b in budgets)))
     if any(b < 1 for b in budgets) or k < 1:
         raise ValueError("budgets and k must be >= 1")
-    cent_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-        .orderBy("__h")
-        .limit(nlist)
-        .collect()
-    )
     rec_cols = [f"recall_at_{b}" for b in budgets]
     schema = (
         f"{query_id_col} long, exact_k long, top1_id long, "
         + ", ".join(f"{c} double" for c in rec_cols)
         + ", monotone_ok boolean"
     )
-    if queries_pdf.empty or not cent_rows:
+    cnorm = _coarse_centroids(corpus, nlist, id_col, vec_col, seed)
+    if queries_pdf.empty or cnorm is None:
         return spark.createDataFrame([], schema)
-    cmat = np.array([r[vec_col] for r in cent_rows], dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
-                }
-            )
-
-    assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
-    )
+    assigned = _assign_cells(corpus, cnorm, id_col, vec_col)
     qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
     qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)

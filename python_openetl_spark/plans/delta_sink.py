@@ -27,6 +27,7 @@ from __future__ import annotations
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Production config (Spark 4 = Scala 2.13). Delta also needs the two
 #: session extensions below — new sessions only; an existing session
@@ -141,10 +142,21 @@ def propagate_deletes_delta(
 
     keys = [pk] if isinstance(pk, str) else list(pk)
     tbl = DeltaTable.forPath(spark, dest_path)
+    # the count must use the SAME null-safe key equality as the MERGE
+    # condition below — a plain anti-join never matches NULL keys, so a
+    # NULL-pk row still present in the source would be counted as
+    # deleted while whenNotMatchedBySourceDelete (<=>) keeps it
+    src_keys = source.select(
+        *[F.col(k).alias(f"__s_{k}") for k in keys]
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__s_{k}"))
+        cond = c if cond is None else (cond & c)
     n = (
         tbl.toDF()
         .select(*keys)
-        .join(source.select(*keys), on=keys, how="left_anti")
+        .join(src_keys, on=cond, how="left_anti")
         .count()
     )
     if n:

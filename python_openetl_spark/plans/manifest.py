@@ -256,6 +256,8 @@ def bloom_prune_files(manifest: DataFrame, column: str, value) -> list[str]:
     file count.
     """
     geo = manifest.select("bloom_bits", "bloom_hashes").distinct().collect()
+    if not geo:
+        return []  # empty manifest (zero-row table): nothing can match
     if len(geo) != 1:
         raise ValueError(
             f"bloom_prune_files: manifest has {len(geo)} distinct geometries"

@@ -599,3 +599,44 @@ def test_update_ivf_store_reembed_visible_immediately(spark, tmp_path):
     assert live.filter(F.col("vec_id") == 3).count() == 1
     topk2 = ivf_store_topk(spark, root, q, k=3, nprobe=4).toPandas()
     assert int(topk2.iloc[0]["vec_id"]) == 3
+
+
+def test_load_assigned_mixed_legacy_and_seq_files(spark, tmp_path):
+    """A pre-r11 store written to after upgrade mixes legacy
+    (seq-less) files with seq-stamped files in BOTH assigned/ and
+    deleted/. The loader must read legacy rows as generation 0 and
+    legacy tombstones as kill-all regardless of which file Spark would
+    infer the schema from (mergeSchema; r11 review finding: without it
+    a deleted vector could silently resurrect or an update could hide
+    live rows depending on file listing order)."""
+    import os
+
+    from python_openetl_spark.operators.ivf_store import _load_assigned
+
+    idx = str(tmp_path / "idx")
+    a_dir, d_dir = os.path.join(idx, "assigned"), os.path.join(idx, "deleted")
+    vec = [0.1, 0.2]
+    # legacy assigned file: ids 1, 2, 3 — no __seq column
+    spark.createDataFrame(
+        [(1, vec, 0), (2, vec, 0), (3, vec, 1)],
+        "vec_id long, embedding array<float>, cell int",
+    ).coalesce(1).write.mode("append").parquet(a_dir)
+    # new assigned file: id 2 re-embedded at generation 1
+    spark.createDataFrame(
+        [(2, vec, 1, 1)],
+        "vec_id long, embedding array<float>, cell int, __seq int",
+    ).coalesce(1).write.mode("append").parquet(a_dir)
+    # legacy tombstone (id-only): id 1 is deleted forever
+    spark.createDataFrame([(1,)], "vec_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(d_dir)
+    # new tombstone: id 2's generation-0 rows superseded
+    spark.createDataFrame([(2, 0)], "vec_id long, seq int").coalesce(
+        1
+    ).write.mode("append").parquet(d_dir)
+    live = _load_assigned(spark, idx)
+    rows = {(r["vec_id"], r["cell"]) for r in live.collect()}
+    # id 1: killed by the legacy kill-all tombstone
+    # id 2: ONLY the generation-1 row survives (legacy row hidden)
+    # id 3: untouched legacy row survives as generation 0
+    assert rows == {(2, 1), (3, 1)}, rows

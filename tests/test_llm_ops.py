@@ -1019,3 +1019,16 @@ def test_ivf_recall_report_invariants_and_edges(spark):
         ivf_recall_report(emb, q, k=0, nlist=16)
     with pytest.raises(ValueError, match=">= 1"):
         ivf_recall_report(emb, q, k=5, nlist=16, budgets=(0, 4))
+
+
+def test_patch_grid_zero_dims_expand_to_nothing(spark):
+    """width=0 / height=0 decodes must not emit the sequence(0,-1)
+    garbage tiles."""
+    from python_openetl_spark.operators.multimodal import patch_grid
+
+    meta = spark.createDataFrame(
+        [(1, 0, 100), (2, 100, 0), (3, -5, 100), (4, 64, 64)],
+        "doc_id long, width int, height int",
+    )
+    got = patch_grid(meta, patch=64).collect()
+    assert [r["doc_id"] for r in got] == [4]

@@ -537,3 +537,24 @@ def test_q86_threshold_is_broadcast_and_reuses_the_group_exchange(spark):
     assert "isFinalPlan=true" in plan, plan
     assert "ReusedExchange" in plan, plan
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
+
+
+def test_bloom_prune_empty_manifest_returns_no_files(spark):
+    """A zero-row table's bloom manifest is empty; pruning must return
+    [] (and bloom_pruned_read its typed-empty fallback), not raise the
+    mixed-geometry error."""
+    from python_openetl_spark.plans.manifest import (
+        bloom_prune_files,
+        bloom_pruned_read,
+        build_bloom_manifest,
+    )
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="poe_bloom_empty_")
+    spark.createDataFrame([], "k long, v int").write.mode("overwrite").parquet(d)
+    man = build_bloom_manifest(spark, d, "k")
+    assert man.count() == 0
+    assert bloom_prune_files(man, "k", 1) == []
+    out = bloom_pruned_read(spark, man, "k", 1, table_path=d)
+    assert out.count() == 0 and set(out.columns) == {"k", "v"}
