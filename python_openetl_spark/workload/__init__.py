@@ -205,7 +205,7 @@ _MODULES = (
 # x24_store_update_probe, x25_ann_recall_report,
 # s17_stream_join_view,
 # u08_iterator_pandas_udf, u09_arrow_python_udf,
-# mm09_patch_grid — all
+# mm09_patch_grid, e11_weighted_epoch_corpus — all
 # oracle-checked at sf0.001/0.01 and
 # sf0.1-soaked in round 11), then fill to 50 with the remaining
 # r7-checked rows in ledger order (e06, e07, k09-k12, m01-m12, m19,

@@ -27,6 +27,8 @@
   probe budgets from ONE corpus scan, with theorem-backed invariants
   (full probe = exact; nested candidates ⇒ monotone curve) as the
   driver contract.
+- e11: epoch-construction composite — planted-recrawl exact dedup →
+  length gate → the d59 weighted draw, every stage SQL-replayed.
 - k19: Bloom-filter file skipping (``plans/manifest.py``) — per-file
   membership bits answering point lookups on a column the layout is
   NOT sorted by, where k05's min/max stats prune nothing; Delta's
@@ -581,4 +583,65 @@ ORACLE["x25_ann_recall_report"] = """
            1.0 AS full_recall,
            TRUE AS monotone_ok
     FROM embeddings WHERE vec_id % 50 = 7
+"""
+
+
+def e11_weighted_epoch_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end epoch construction with hygiene, wiring the round-11
+    sampling verb into the standard pre-draw pipeline: plant identity
+    duplicates (every 7th doc re-ingested under a shifted id — the
+    re-crawl shape), collapse them with exact dedup (min-id keeper, one
+    fingerprint shuffle), gate by length (n_chars ≥ 100), then draw the
+    epoch: 20 docs per language WITHOUT replacement with
+    P(doc) ∝ n_chars (Efraimidis–Spirakis, two-phase bucketed top-k).
+    The oracle replays every stage in SQL, so a dedup that keeps the
+    copy instead of the original, a leaked short doc, or a sampling
+    drift each breaks the hash."""
+    from python_openetl_spark.operators.dedup import exact_dedup_keep
+    from python_openetl_spark.operators.sampling import weighted_sample
+
+    off = 10_000_000
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + off
+        )
+    )
+    kept = exact_dedup_keep(corpus).filter(F.col("n_chars") >= 100)
+    return weighted_sample(
+        kept, "doc_id", "n_chars", 20, strata_col="lang"
+    ).select("doc_id", "lang", "n_chars", "es_key", "sample_rank")
+
+
+QUERIES["e11_weighted_epoch_corpus"] = e11_weighted_epoch_corpus
+
+ORACLE["e11_weighted_epoch_corpus"] = """
+    WITH corpus AS (
+      SELECT doc_id, text, lang, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text, lang, n_chars
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM corpus
+      GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+    ),
+    kept AS (
+      SELECT c.doc_id, c.lang, c.n_chars
+      FROM corpus c JOIN keepers USING (doc_id)
+      WHERE c.n_chars >= 100
+    ),
+    s AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln((('0x' || substr(md5('es:' || doc_id::VARCHAR), 1, 15))::UBIGINT
+                       + 1) / 1152921504606846976.0)
+                   / n_chars::DOUBLE, 9) AS es_key
+      FROM kept WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, n_chars, es_key, sample_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY es_key DESC, doc_id) AS INT) AS sample_rank
+      FROM s
+    ) WHERE sample_rank <= 20
 """
