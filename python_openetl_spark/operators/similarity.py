@@ -401,6 +401,13 @@ def _coarse_centroids(
     return cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
 
 
+def _nearest_cell(matnorm: "np.ndarray", cnorm: "np.ndarray") -> "np.ndarray":
+    """THE cell-assignment rule (argmax cosine against the normalized
+    centroids) — one definition shared by the index build kernel and
+    the recall evaluator's scoring kernel so they cannot drift."""
+    return (matnorm @ cnorm.T).argmax(axis=1).astype(np.int32)
+
+
 def _assign_cells(
     corpus: DataFrame, cnorm: "np.ndarray", id_col: str, vec_col: str
 ) -> DataFrame:
@@ -417,7 +424,7 @@ def _assign_cells(
                 {
                     id_col: pdf[id_col],
                     vec_col: pdf[vec_col],
-                    "cell": (mat @ cnorm.T).argmax(axis=1).astype(np.int32),
+                    "cell": _nearest_cell(mat, cnorm),
                 }
             )
 
@@ -645,7 +652,6 @@ def ivf_recall_report(
     cnorm = _coarse_centroids(corpus, nlist, id_col, vec_col, seed)
     if queries_pdf.empty or cnorm is None:
         return spark.createDataFrame([], schema)
-    assigned = _assign_cells(corpus, cnorm, id_col, vec_col)
     qids = np.asarray(queries_pdf[query_id_col], dtype=np.int64)
     qmat = np.stack(queries_pdf[vec_col].to_numpy()).astype(np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -653,30 +659,44 @@ def ivf_recall_report(
     # (query, cell) -> probe rank over ALL cells: one slice of this
     # ranking IS budget b's probe list, which is what makes the
     # candidate sets nested and the monotonicity column a theorem
-    pairs = [
-        (int(q), int(c), int(r))
-        for q, row in zip(qids, order)
-        for r, c in enumerate(row)
-    ]
-    probe_df = spark.createDataFrame(
-        pairs, f"{query_id_col} long, cell int, probe_rank int"
+    rank_of_cell = np.empty_like(order)
+    np.put_along_axis(
+        rank_of_cell, order, np.broadcast_to(np.arange(order.shape[1]), order.shape), 1
     )
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in zip(qids, queries_pdf[vec_col])],
-        f"{query_id_col} long, __qv array<float>",
-    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE Arrow kernel does cell assignment (shared _nearest_cell
+        # rule) AND the |batch| x |Q| GEMM — the JVM fold expression
+        # this replaces interpreted ~dim ops per (query, candidate)
+        # pair and went super-linear at 10x scale (173 s at sf1); the
+        # GEMM is the same float64 math the exact-knn kernels use.
+        nq = len(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            cells = _nearest_cell(mat, cnorm)
+            sims = mat @ qnorm.T  # (batch, Q)
+            n = len(pdf)
+            ids = np.repeat(pdf[id_col].to_numpy(), nq)
+            qcol = np.tile(qids, n)
+            pr = rank_of_cell[:, cells].T.reshape(-1)  # (batch*Q,) probe rank
+            keep = ids != qcol  # exclude self-matches
+            yield pd.DataFrame(
+                {
+                    query_id_col: qcol[keep],
+                    id_col: ids[keep],
+                    "probe_rank": pr[keep].astype("int32"),
+                    "cos_sim": sims.reshape(-1)[keep],
+                }
+            )
+
     from pyspark import StorageLevel
 
-    scored = (
-        assigned.join(F.broadcast(probe_df), "cell")
-        .join(F.broadcast(qdf), query_id_col)
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .select(
-            query_id_col,
-            id_col,
-            "probe_rank",
-            cosine(F.col(vec_col), F.col("__qv")).alias("cos_sim"),
-        )
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score,
+        schema=f"{query_id_col} long, {id_col} long, probe_rank int, cos_sim double",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         w_exact = Window.partitionBy(query_id_col).orderBy(

