@@ -344,7 +344,9 @@ def d60_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate must land within max(5%, 2/exact) of the exact union, so a
     broken sketch build/merge flips ``union_ok`` while legitimate
     estimator noise cannot. The exact branch is the audit anchor only —
-    at scale you ship just the sketch branch."""
+    at scale you ship just the sketch branch. Sources with zero
+    shingles (every doc under 3 tokens) are OMITTED — no evidence, the
+    d58 zero-token convention, mirrored by the oracle's unnest."""
     from python_openetl_spark.functions.text import text_shingles
 
     sh = (

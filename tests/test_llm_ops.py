@@ -1032,3 +1032,36 @@ def test_patch_grid_zero_dims_expand_to_nothing(spark):
     )
     got = patch_grid(meta, patch=64).collect()
     assert [r["doc_id"] for r in got] == [4]
+
+
+def test_source_overlap_sketch_zero_shingle_sources(spark, tmp_path):
+    """Sources whose documents all have <3 tokens produce zero shingles
+    and are OMITTED from the report (no evidence — same convention as
+    d58's zero-token documents, and what the oracle's unnest does);
+    pairs among shingled sources still appear with exact overlap."""
+    import os
+
+    from python_openetl_spark.workload.llm14 import QUERIES
+
+    d = str(tmp_path / "sfx")
+    os.makedirs(d)
+    rows = [
+        (1, "one two", "en", "srcA", 7),
+        (2, "tiny", "en", "srcA", 4),
+        (3, "alpha beta", "en", "srcB", 10),
+        (4, "the quick brown fox jumps", "en", "srcC", 25),
+        (5, "the quick brown cat sits", "en", "srcD", 25),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in QUERIES["d60_source_overlap_sketch"](spark, d).collect()
+    }
+    # only the two shingled sources pair up; srcA/srcB are omitted
+    assert set(out) == {("srcC", "srcD")}
+    cd = out[("srcC", "srcD")]
+    # each doc has 3 shingles; they share exactly "the quick brown"
+    assert cd["exact_a"] == 3 and cd["exact_b"] == 3 and cd["exact_overlap"] == 1
+    assert cd["union_ok"] is True
