@@ -22,8 +22,12 @@ metadata pointer), built on nothing but a filesystem:
 At 100 TB the pointer file is exactly as cheap as here (commit cost is
 data-size-independent); the real systems add a transaction LOG rather
 than a single pointer to support concurrent writers and incremental
-metadata — single-writer semantics are assumed here, as they are for
-every ParquetTable publish path.
+metadata. Blind ``commit()`` assumes single-writer semantics (as every
+ParquetTable publish path does); ``commit(expected_version=...)`` adds
+the optimistic-concurrency tier — Delta's conflict detection reduced
+to a compare-and-set under an O_EXCL lock file (same local-FS lock
+contract as the JSONL sink): a racer whose snapshot went stale fails
+with ``ConcurrentCommitError`` instead of silently clobbering.
 """
 
 from __future__ import annotations
@@ -34,6 +38,12 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised by ``commit(expected_version=...)`` when another writer
+    committed first — the caller re-reads, re-derives, retries (the
+    Delta conflict-resolution loop)."""
 
 
 class VersionedTable:
@@ -72,6 +82,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         *,
         txn: str | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Write ``df`` as the next version; returns its number.
 
@@ -80,7 +91,55 @@ class VersionedTable:
         pattern): a re-run that offers an already-committed token is a
         no-op returning the existing version — this is what lets a
         replayed streaming micro-batch (foreachBatch at-least-once)
-        commit exactly once (streaming/sinks.py VersionedCdcSink)."""
+        commit exactly once (streaming/sinks.py VersionedCdcSink).
+
+        ``expected_version`` opts into OPTIMISTIC CONCURRENCY: the
+        commit succeeds only if the table is still at that version
+        (what the writer read before deriving ``df``), checked and
+        published under an ``_commit.lock`` O_EXCL critical section;
+        a stale snapshot raises :class:`ConcurrentCommitError` and the
+        caller retries from a fresh read — Delta's conflict loop.
+        Same lock contract as the JSONL sink: real on a local/POSIX
+        filesystem, advisory-only on stores without atomic create
+        (S3); a crashed holder leaves the lock for manual removal
+        (fail-loud, never fail-corrupt). Without ``expected_version``
+        the blind single-writer path is unchanged and takes no lock.
+        """
+        if expected_version is None:
+            return self._commit_unlocked(df, partition_by, txn)
+        import time
+
+        lock = os.path.join(self.path, "_commit.lock")
+        deadline = time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    raise ConcurrentCommitError(
+                        f"commit lock held too long: {lock} (crashed "
+                        "writer? remove the lock file after verifying)"
+                    ) from None
+                time.sleep(0.05)
+        try:
+            current = self._state()["current"] or 0
+            if current != expected_version:
+                raise ConcurrentCommitError(
+                    f"table moved to v{current} while this writer worked "
+                    f"from v{expected_version}; re-read and retry"
+                )
+            return self._commit_unlocked(df, partition_by, txn)
+        finally:
+            os.unlink(lock)
+
+    def _commit_unlocked(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        txn: str | None,
+    ) -> int:
         state = self._state()
         if txn is not None:
             for v, meta in state["versions"].items():

@@ -172,3 +172,62 @@ def test_vacuum_keep_last_zero_keeps_only_current(spark, tmp_path):
     assert removed == [1, 2]
     assert t.versions() == [3]
     assert t.read(spark).first()["id"] == 2
+
+
+# ------------------------------------------------- optimistic concurrency --
+
+
+def test_optimistic_commit_stale_snapshot_rejected(spark, tmp_path):
+    """Writer B derived from v1 but A committed v2 first: B's
+    expected_version=1 commit must raise ConcurrentCommitError and
+    leave the table at A's version; B retries from a fresh read and
+    succeeds. Blind commit stays lock-free and unchanged."""
+    import pytest as _pytest
+
+    from python_openetl_spark.plans.versioned import (
+        ConcurrentCommitError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(str(tmp_path / "occ"))
+    df1 = spark.range(3).toDF("id")
+    v1 = vt.commit(df1)
+    assert v1 == 1
+    # A commits from v1
+    assert vt.commit(spark.range(5).toDF("id"), expected_version=1) == 2
+    # B also derived from v1 — stale now
+    with _pytest.raises(ConcurrentCommitError, match="moved to v2"):
+        vt.commit(spark.range(7).toDF("id"), expected_version=1)
+    assert vt.current_version() == 2
+    # B retries from the fresh version and wins
+    assert vt.commit(spark.range(7).toDF("id"), expected_version=2) == 3
+    assert vt.read(spark).count() == 7
+
+
+def test_optimistic_commit_lock_contention_fails_loud(spark, tmp_path):
+    """A held (crashed) lock makes a CAS commit fail with a clear
+    message instead of corrupting state; removing the lock unblocks."""
+    import os
+
+    import pytest as _pytest
+
+    from python_openetl_spark.plans.versioned import (
+        ConcurrentCommitError,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(str(tmp_path / "occ2"))
+    vt.commit(spark.range(2).toDF("id"))
+    lock = os.path.join(vt.path, "_commit.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    import time
+
+    t0 = time.monotonic()
+    with _pytest.raises(ConcurrentCommitError, match="lock held"):
+        # shrink the wait by monkey-patching time is overkill: the
+        # 10s deadline is the contract; assert it bounds
+        vt.commit(spark.range(2).toDF("id"), expected_version=1)
+    assert time.monotonic() - t0 < 30
+    os.unlink(lock)
+    assert vt.commit(spark.range(2).toDF("id"), expected_version=1) == 2
