@@ -199,6 +199,7 @@ _MODULES = (
 # _WINDOW_R12 should lead with the round-11 post-window additions
 # (q83_first_touch_funnel, q84_first_touch_dropoff_report,
 # q85_funnel_time_to_convert, q86_important_parts,
+# q87_waiting_suppliers,
 # m23_cdc_into_join_view, d58_dsir_importance_select,
 # d59_weighted_sample, d60_source_overlap_sketch,
 # d61_dup_graph_triangles, k19_bloom_pruned_scan,

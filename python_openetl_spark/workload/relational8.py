@@ -24,6 +24,10 @@ Round-11 additions (post-window, rotate into ``_WINDOW_R12``):
 - q86: TPC-H Q11 shape (global scalar-subquery threshold in HAVING)
   adapted to the partsupp-less fixture schema — the one classic TPC-H
   pattern the q-family hadn't pinned.
+- q87: TPC-H Q21 with its faithful sole-blame semantics (per-supplier
+  lateness + "no other supplier also failed"), complementing q35's
+  latest-shipper proxy; one window pass replaces both correlated
+  EXISTS probes.
 """
 
 from __future__ import annotations
@@ -446,4 +450,100 @@ ORACLE["q86_important_parts"] = """
     GROUP BY l_partkey
     HAVING CAST(SUM(v) AS DOUBLE)
            > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM base)
+"""
+
+
+def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 with its FAITHFUL sole-blame semantics, adapted to the
+    fixture's commitdate-less schema: on finished orders, a supplier is
+    *late* when its last shipment left more than 60 days after the
+    order date (the stand-in for ``l_receiptdate > l_commitdate``);
+    count per supplier the multi-supplier orders where it was the ONLY
+    late one. Distinct from q35_waiting_supplier, which pins the
+    latest-shipper PROXY of Q21 (who holds the strictly-latest ship
+    date) — q87 pins the real thing: a per-supplier lateness predicate
+    plus Q21's "no other supplier also failed" NOT EXISTS. The oracle
+    keeps the classic double-correlated EXISTS / NOT EXISTS self-join
+    form, so the two paths really differ; the Spark plan replaces both
+    correlated probes with ONE order-partitioned window over the
+    collapsed (order, supplier) rows:
+
+    - the only lineitem-sized exchange is the (l_orderkey, l_suppkey)
+      groupBy, which gets a map-side partial max — at 100 TB that is
+      the floor for this question, and it is also where the 6-B-row
+      table collapses to ~order-count rows;
+    - the orders join and the count/sum window both key on l_orderkey:
+      when that join is a sort-merge (100 TB — orders is not
+      broadcastable) the window reuses its hash partitioning; at
+      fixture scale AQE broadcasts orders instead, so the plan shows
+      exactly one Exchange per distinct key ((order, supplier) for the
+      partial-agg groupBy, order for the window, name for the final
+      rollup) — verified on the executed plan;
+    - EXISTS(other supplier) becomes ``n_supp >= 2`` and NOT
+      EXISTS(other late supplier) becomes ``n_late == 1`` (self is
+      late), computed in the same window pass;
+    - supplier is the broadcast dim.
+
+    Reference parity: beyond-reference relational surface (the engine's
+    arbitrary-SQL scan `pyopenetl/operations.py:94-115` would push this
+    whole statement to Postgres; here it is a native plan)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("__ms")
+    )
+    j = per.join(o, per["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("__ms") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("__late"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    flagged = j.select(
+        "l_suppkey",
+        "__late",
+        F.count(F.lit(1)).over(w).alias("__n_supp"),
+        F.sum(F.col("__late").cast("int")).over(w).alias("__n_late"),
+    )
+    blamed = flagged.filter(
+        F.col("__late") & (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(supp), blamed["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+QUERIES["q87_waiting_suppliers"] = q87_waiting_suppliers
+
+ORACLE["q87_waiting_suppliers"] = """
+    WITH osl AS (
+      SELECT l_orderkey AS ok, l_suppkey AS sk, max(l_shipdate) AS ms
+      FROM lineitem GROUP BY 1, 2
+    ), j AS (
+      SELECT osl.ok, osl.sk,
+             (osl.ms > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM osl JOIN orders ON ok = o_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM j l1
+    JOIN supplier ON l1.sk = s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM j l2
+                  WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+      AND NOT EXISTS (SELECT 1 FROM j l3
+                      WHERE l3.ok = l1.ok AND l3.sk <> l1.sk AND l3.late)
+    GROUP BY s_name
 """
