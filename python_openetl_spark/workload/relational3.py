@@ -89,20 +89,29 @@ def q59_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6), and the sketch value must land inside the exact
     [0.45, 0.55] quantile envelope — far looser than the sketch's rank
     guarantee at accuracy 10000, so only a broken sketch/merge path can
-    flip it."""
+    flip it. Groups under 20 rows pass trivially (the q28 discreteness
+    gate): the sketch returns an ACTUAL element while the envelope
+    interpolates, and below n=20 an even-sized group with a wide
+    middle gap can contain NO element between the interpolated p45 and
+    p55 (n=6 with middles 18/75: band [32.25, 60.75] is empty) — a
+    data-shape artifact, not a sketch failure. From n≥20 the band is
+    ≥2 rank positions wide, so it always contains the middle elements
+    and the check is sharp at driver scale."""
     li = t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("qa"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
+        F.count(F.lit(1)).alias("__n"),
     )
     return agg.select(
         "l_returnflag",
         F.round("exact_median", 6).alias("exact_median"),
-        ((F.col("qa") >= F.col("lo")) & (F.col("qa") <= F.col("hi"))).alias(
-            "sketch_ok"
-        ),
+        (
+            (F.col("__n") < 20)
+            | ((F.col("qa") >= F.col("lo")) & (F.col("qa") <= F.col("hi")))
+        ).alias("sketch_ok"),
     )
 
 

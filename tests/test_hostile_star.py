@@ -127,6 +127,14 @@ def _star_tables() -> dict[str, pa.Table]:
         # gives try_cast(o_orderstatus) its only non-NULL row
         (30, 4, "1", 12.0, "2000-08-01", "4-NOT SPECIFIED"),
         (33, 5, "F", 0.0, "2000-08-02", "5-LOW"),
+        # q87 sole-blame shapes: order 34 has one supplier shipping at
+        # EXACTLY orderdate+60d (strict > ⇒ NOT late) and another at
+        # +61d (late) — an >= slip on either engine flips n_late from
+        # 1 to 2 and silently un-blames the late supplier; order 35 is
+        # a LATE single-supplier order, which must NOT count (no other
+        # supplier EXISTS)
+        (34, 1, "F", 25.0, "1996-08-01", "3-MEDIUM"),
+        (35, 2, "F", 35.0, "1996-08-01", "4-NOT SPECIFIED"),
     ]
     orders = {
         "o_orderkey": [r[0] for r in o_rows],
@@ -155,6 +163,14 @@ def _star_tables() -> dict[str, pa.Table]:
         (10, 5, 1, 1, 4.0, 8.0, 0.0, 0.06, "A", "F", "2000-03-03"),
         (11, 6, 2, 1, 6.0, 12.0, 0.25, 0.0, "N", "O", "2001-11-04"),   # shipdate max
         (999, 7, 1, 1, 9.0, 18.0, 0.0, 0.0, "R", "F", "1997-07-07"),   # ORPHAN order
+        # q87 order 34: supplier 1 ships EXACTLY +60d (1996-08-01 →
+        # 1996-09-30, boundary ⇒ not late under strict >), supplier 2
+        # ships +61d (late, sole blame)
+        (34, 1, 1, 1, 8.0, 16.0, 0.0, 0.0, "N", "F", "1996-09-30"),
+        (34, 2, 2, 2, 9.0, 18.0, 0.0, 0.0, "N", "F", "1996-10-01"),
+        # q87 order 35: single supplier, very late — EXISTS(other
+        # supplier) fails, must never be counted
+        (35, 3, 3, 1, 2.0, 4.0, 0.0, 0.0, "R", "F", "1996-11-30"),
     ]
     lineitem = {
         "l_orderkey": [r[0] for r in l_rows],
