@@ -196,23 +196,52 @@ _MODULES = (
 #   3. the first 3 r7-checked rows in ledger order (d25, d26, d51).
 # That is exactly 50; after a green R11 nothing predates r7.
 #
-# _WINDOW_R12 should lead with the round-11 post-window additions
-# (q83_first_touch_funnel, q84_first_touch_dropoff_report,
-# q85_funnel_time_to_convert, q86_important_parts,
-# q87_waiting_suppliers,
-# m23_cdc_into_join_view, d58_dsir_importance_select,
-# d59_weighted_sample, d60_source_overlap_sketch,
-# d61_dup_graph_triangles, k19_bloom_pruned_scan,
-# x24_store_update_probe, x25_ann_recall_report,
-# s17_stream_join_view,
-# u08_iterator_pandas_udf, u09_arrow_python_udf,
-# mm09_patch_grid, e11_weighted_epoch_corpus — all
-# oracle-checked at sf0.001/0.01 and
-# sf0.1-soaked in round 11), then fill to 50 with the remaining
-# r7-checked rows in ledger order (e06, e07, k09-k12, m01-m12, m19,
-# q02, q12, q24, q27, q28, q37, q47, q50-q53, q69-q73, s01-s06,
-# s09, u07, x08, x14-x16 — whatever doesn't fit spills in ledger
-# order to _WINDOW_R13).
+# Round 12's window (_WINDOW_R12), per the rotation rule
+# (never-checked rows lead, oldest evidence fills):
+#   1. the 18 round-11 post-window additions that have never had a
+#      driver row (q83-q87, m23, d58-d61, k19, x24, x25, s17, u08,
+#      u09, mm09, e11 — all oracle/soak-verified in round 11 AND
+#      independently sf0.01-soaked by the round-11 judge; k13 stays
+#      excluded: rows-only by design with an r8 driver row);
+#   2. the first 32 r7-checked rows in ledger order (e06, e07,
+#      k09-k12, m01-m12, m19, q02, q12, q24, q27, q28, q37, q47,
+#      q50-q53, q69, q70).
+# That is exactly 50; after a green R12 every query except k13 has
+# driver evidence and only 15 r7-checked rows (q71-q73, s01-s06,
+# s09, u07, x08, x14-x16) plus the round-12 post-window additions
+# remain for _WINDOW_R13's lead.
+#
+# _WINDOW_R13 should lead with any round-12 post-window additions,
+# then the 15 remaining r7-checked rows in ledger order (q71-q73,
+# s01-s06, s09, u07, x08, x14-x16), then fill to 50 with the oldest
+# r8-checked rows in ledger order.
+_WINDOW_R12 = (
+    # never driver-checked (round-11 post-window additions)
+    "q83_first_touch_funnel", "q84_first_touch_dropoff_report",
+    "q85_funnel_time_to_convert", "q86_important_parts",
+    "q87_waiting_suppliers", "m23_cdc_into_join_view",
+    "d58_dsir_importance_select", "d59_weighted_sample",
+    "d60_source_overlap_sketch", "d61_dup_graph_triangles",
+    "k19_bloom_pruned_scan", "x24_store_update_probe",
+    "x25_ann_recall_report", "s17_stream_join_view",
+    "u08_iterator_pandas_udf", "u09_arrow_python_udf", "mm09_patch_grid",
+    "e11_weighted_epoch_corpus",
+    # oldest (r7-checked) rows in ledger order (32)
+    "e06_token_budget_selection", "e07_corpus_version_drift",
+    "k09_dynamic_partition_pruned_join", "k10_tarball_ingest",
+    "k11_remote_csv_seed", "k12_registry_dispatch", "m01_merge_upsert",
+    "m02_delta_dedup_latest", "m03_propagate_deletes",
+    "m04_safe_append_conflicts", "m05_temporal_delta", "m06_scd2_merge",
+    "m07_incremental_rollup", "m08_snapshot_diff", "m09_seed_roundtrip",
+    "m10_upsert_sync_roundtrip", "m11_normalize_timestamps",
+    "m12_apply_cdc", "m19_version_changes", "q02_delta_scan",
+    "q12_daily_rollup", "q24_asof_join", "q27_date_functions",
+    "q28_approx_aggs", "q37_sessionize", "q47_window_frames",
+    "q50_time_range_frame", "q51_asof_forward_tolerance",
+    "q52_salted_skew_join", "q53_salted_distinct_users",
+    "q69_hierarchy_depths", "q70_bag_set_ops",
+)
+#
 _WINDOW_R11 = (
     # never driver-checked (round-10 post-window additions)
     "q81_multi_step_funnel", "q82_funnel_dropoff_report",
@@ -493,9 +522,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R11 if n not in out]
+    missing = [n for n in _WINDOW_R12 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R11}
+    ordered = {n: out[n] for n in _WINDOW_R12}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
