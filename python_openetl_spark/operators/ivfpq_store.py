@@ -56,8 +56,11 @@ from python_openetl_spark.operators.ivf_store import (
     _CENTROIDS,
     _commit_version,
     _current_version,
+    _pin_from_written,
     _read_centroids,
+    _read_store_schemas,
     _version_dir,
+    _write_store_schemas,
     current_index_dir,
 )
 from python_openetl_spark.operators.pq import pq_fit
@@ -184,6 +187,10 @@ def _build_pq_into(
     encoded.repartition("cell").write.partitionBy("cell").parquet(
         os.path.join(idx_dir, _ASSIGNED)
     )
+    # pin the read schemas so probes never pay footer inference (r12,
+    # shared _load_assigned contract with the uncompressed store)
+    a_pin, d_pin = _pin_from_written(encoded.schema, id_col)
+    _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
 
 
 def rebuild_ivfpq_store(
@@ -248,6 +255,14 @@ def append_to_ivfpq_store(
     encoded.repartition("cell").write.mode("append").partitionBy("cell").parquet(
         os.path.join(idx_dir, _ASSIGNED)
     )
+    if "assigned" not in _read_store_schemas(idx_dir):
+        # one-time legacy migration (ivf_store append rule): pin the
+        # union schema mergeSchema would infer, once, post-append
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(idx_dir, _ASSIGNED)
+        ).schema
+        _, d_pin = _pin_from_written(merged, id_col)
+        _write_store_schemas(idx_dir, assigned=merged, deleted=d_pin)
 
 
 def ivfpq_store_topk(
