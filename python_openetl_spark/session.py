@@ -108,6 +108,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Single-node scratch placement: shuffle files, cache spill and
+    # localCheckpoint blocks go to spark.local.dir. On a RAM-rich local
+    # box, default it to tmpfs — virtualized-disk write latency (not
+    # bandwidth) otherwise dominates checkpoint-heavy iterative jobs
+    # (measured on d40_pagerank: disk-backed scratch swung 2.8-22 s per
+    # call under host I/O jitter; tmpfs held 2.3-3.6 s). A real cluster
+    # configures its own local dirs (spark-env/YARN), which win over
+    # this default; so does an explicit SPARK_LOCAL_DIRS.
+    effective_master = master or os.environ.get("SPARK_MASTER", "local")
+    if (
+        effective_master.startswith("local")
+        and not os.environ.get("SPARK_LOCAL_DIRS")
+        and os.path.isdir("/dev/shm")
+    ):
+        scratch = os.path.join("/dev/shm", f"spark-scratch-{os.getuid()}")
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
