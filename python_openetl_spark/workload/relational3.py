@@ -103,7 +103,11 @@ def q59_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("qa"),
         F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
         F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
-        F.count(F.lit(1)).alias("__n"),
+        # non-null count: percentile/percentile_approx ignore NULLs, so
+        # the small-group gate must too (r11 advice — a group with >=20
+        # rows but <20 non-null prices can still have an empty
+        # interpolated [p45,p55] band)
+        F.count("l_extendedprice").alias("__n"),
     )
     return agg.select(
         "l_returnflag",

@@ -32,7 +32,7 @@ Round-11 additions (post-window, rotate into ``_WINDOW_R12``):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.util import t
@@ -485,7 +485,8 @@ def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     - supplier is the broadcast dim.
 
     Reference parity: beyond-reference relational surface (the engine's
-    arbitrary-SQL scan `pyopenetl/operations.py:94-115` would push this
+    arbitrary-SQL scan (`pyopenetl/operations.py` sql_to_dataframe /
+    table_to_dataframe, ~lines 48-66) would push this
     whole statement to Postgres; here it is a native plan)."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -505,8 +506,6 @@ def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__ms") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("__late"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("l_orderkey")
     flagged = j.select(
         "l_suppkey",
