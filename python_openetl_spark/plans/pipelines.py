@@ -392,12 +392,13 @@ class ParquetTable:
 
 def seed(
     df: DataFrame,
-    dest: str | ParquetTable,
+    dest: "str | ParquetTable | VersionedTable",
     *,
     normalize: bool = True,
     partition_by: list[str] | None = None,
     sort_within_partitions: list[str] | None = None,
-) -> ParquetTable:
+    expected_version: int | None = None,
+):
     """Snapshot replication (C1, /root/reference/pyopenetl/operations.py:404-474).
 
     drop → normalize (*_at timestamp coercion) → atomic overwrite. The
@@ -405,11 +406,32 @@ def seed(
     ``partition_by`` → partition pruning, ``sort_within_partitions`` →
     parquet min/max row-group skipping. At 100 TB choose the partition
     column to match the dominant filter (e.g. event date).
+
+    ``dest`` may be a :class:`plans.versioned.VersionedTable` (r12):
+    the snapshot then publishes as a new version via the atomic-pointer
+    commit, and ``expected_version`` opts into the optimistic-
+    concurrency check (a racer's commit in between raises
+    ``ConcurrentCommitError`` instead of silently clobbering).
+    ``expected_version`` on the plain swap path is a ValueError — the
+    ParquetTable protocol has no version to compare against, and
+    silently ignoring the caller's concurrency expectation would be
+    worse than failing.
     """
-    table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
+    from python_openetl_spark.plans.versioned import VersionedTable
+
     out = normalize_timestamps(df) if normalize else df
     if sort_within_partitions:
         out = out.sortWithinPartitions(*sort_within_partitions)
+    if isinstance(dest, VersionedTable):
+        dest.commit(out, partition_by, expected_version=expected_version)
+        return dest
+    if expected_version is not None:
+        raise ValueError(
+            "seed(expected_version=...) requires a VersionedTable "
+            "destination — the ParquetTable swap protocol is blind "
+            "single-writer and cannot check a version"
+        )
+    table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
     table.overwrite(out, partition_by=partition_by)
     return table
 
@@ -417,7 +439,7 @@ def seed(
 def upsert_sync(
     spark: SparkSession,
     source: DataFrame,
-    dest: str | ParquetTable,
+    dest: "str | ParquetTable | VersionedTable",
     *,
     pk: str = "id",
     ts_col: str = "updated_at",
@@ -425,6 +447,7 @@ def upsert_sync(
     data_interval_hours: int = 1,
     propagate: bool = True,
     table_format: str = "parquet",
+    expected_version: int | None = None,
 ) -> SyncMetrics:
     """Incremental maintenance (C2, /root/reference/pyopenetl/operations.py:515-609):
     delta read (R5) → MERGE upsert (R8) → delete propagation (R9) →
@@ -440,6 +463,18 @@ def upsert_sync(
     parquet path cannot give; import-gated, raising with the production
     coordinate when delta-spark is absent (r10 verdict #5). ``dest``
     must be a path string on that route.
+
+    A :class:`plans.versioned.VersionedTable` ``dest`` (r12) makes the
+    verb concurrency-safe END-TO-END on the engine's own format: the
+    merge base is the snapshot this call binds at entry (or the
+    explicit ``expected_version``), and the publish is a
+    ``commit(expected_version=...)`` compare-and-set — a racer that
+    committed in between raises ``ConcurrentCommitError`` and the
+    caller simply re-runs ``upsert_sync`` against the fresh table (the
+    Delta conflict loop; there is no blind-commit mode on this route
+    because merge-then-publish over a stale base silently undoes the
+    racer's rows). ``expected_version`` with a plain ParquetTable dest
+    is a ValueError, matching :func:`seed`.
     """
     if table_format == "delta":
         from python_openetl_spark.plans.delta_sink import upsert_sync_delta
@@ -461,9 +496,28 @@ def upsert_sync(
         )
     if table_format != "parquet":
         raise ValueError(f"upsert_sync: unknown table_format {table_format!r}")
+    from python_openetl_spark.plans.versioned import VersionedTable
+
     t0 = time.time()
-    table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
-    target = table.read(spark)
+    versioned = isinstance(dest, VersionedTable)
+    if versioned:
+        table = dest
+        base_version = (
+            expected_version
+            if expected_version is not None
+            else dest.current_version()
+        )
+        target = dest.read(spark, version=base_version)
+    else:
+        if expected_version is not None:
+            raise ValueError(
+                "upsert_sync(expected_version=...) requires a "
+                "VersionedTable destination — the ParquetTable swap "
+                "protocol is blind single-writer and cannot check a "
+                "version"
+            )
+        table = dest if isinstance(dest, ParquetTable) else ParquetTable(dest)
+        target = table.read(spark)
 
     if anchor is None:
         anchor = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime())
@@ -478,7 +532,14 @@ def upsert_sync(
         rows_deleted = deleted_keys.count()
 
     if n_delta or rows_deleted:
-        table.overwrite(merged)
+        if versioned:
+            # compare-and-set against the merge base: if another writer
+            # committed since this call bound its snapshot, publishing
+            # the stale merge would silently undo that writer's rows —
+            # raise ConcurrentCommitError instead; caller re-runs
+            table.commit(merged, expected_version=base_version)
+        else:
+            table.overwrite(merged)
 
     # rows_added = upserted delta rows, matching the reference's report
     # (rows_added: df.shape[0], /root/reference/pyopenetl/operations.py:601-609)

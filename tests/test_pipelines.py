@@ -404,3 +404,90 @@ def test_overwrite_where_layout_mismatch_takes_full_rewrite(spark, tmp_path):
     assert rows == [("F", "ap", 9), ("O", "eu", 3)]
     # and the table now reads cleanly under the NEW two-level layout
     assert got.filter(F.col("region") == "ap").count() == 1
+
+
+def test_seed_and_upsert_sync_versioned_optimistic_concurrency(spark, tmp_path):
+    """r12 (r11 verdict #6): the C1/C2 verbs are concurrency-safe
+    end-to-end on the engine's own versioned format — seed publishes a
+    version via the atomic pointer, upsert_sync merges against the
+    snapshot it binds at entry and publishes with
+    commit(expected_version=...): a racer's commit in between raises
+    ConcurrentCommitError, and a retry from the fresh table converges
+    without undoing the racer's rows."""
+    from python_openetl_spark.plans.versioned import (
+        ConcurrentCommitError,
+        VersionedTable,
+    )
+
+    src = _events_as_source(spark)
+    vt = VersionedTable(str(tmp_path / "sync_versioned"))
+    seed(src, vt)
+    assert vt.current_version() == 1
+
+    anchor = "2024-02-05 00:00:00"
+    new_row = spark.createDataFrame(
+        [(10_001, 99, "signup", 1.0, "{}", anchor)],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    source2 = src.unionByName(new_row.select(*src.columns))
+
+    # happy path: merge base = snapshot at entry, publish = CAS commit
+    metrics = upsert_sync(
+        spark, source2, vt, pk="event_id", ts_col="updated_at",
+        anchor=anchor, data_interval_hours=24,
+    )
+    assert metrics.rows_added == 1
+    assert vt.current_version() == 2
+    assert vt.read(spark).count() == src.count() + 1
+
+    # stale snapshot: a racer commits AFTER this writer read version 2
+    stale_base = vt.current_version()
+    racer_row = spark.createDataFrame(
+        [(10_002, 98, "click", 2.0, "{}", anchor)],
+        "event_id long, user_id long, event_type string, value double, "
+        "props string, updated_at string",
+    ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+    vt.commit(vt.read(spark).unionByName(racer_row.select(*src.columns)))
+    assert vt.current_version() == 3
+
+    source3 = source2.unionByName(racer_row.select(*src.columns)).unionByName(
+        spark.createDataFrame(
+            [(10_003, 97, "view", 3.0, "{}", anchor)],
+            "event_id long, user_id long, event_type string, value double, "
+            "props string, updated_at string",
+        ).withColumn("updated_at", F.col("updated_at").cast("timestamp"))
+        .select(*src.columns)
+    )
+    with pytest.raises(ConcurrentCommitError):
+        upsert_sync(
+            spark, source3, vt, pk="event_id", ts_col="updated_at",
+            anchor=anchor, data_interval_hours=24,
+            expected_version=stale_base,
+        )
+    assert vt.current_version() == 3  # racer's publish untouched
+
+    # the Delta conflict loop: retry against the fresh table converges
+    metrics = upsert_sync(
+        spark, source3, vt, pk="event_id", ts_col="updated_at",
+        anchor=anchor, data_interval_hours=24,
+    )
+    assert vt.current_version() == 4
+    got = vt.read(spark)
+    assert got.count() == src.count() + 3  # racer's row survived
+    assert got.filter(F.col("event_id").isin(10_001, 10_002, 10_003)).count() == 3
+
+
+def test_expected_version_on_swap_path_raises(spark, tmp_path):
+    """expected_version against a plain ParquetTable dest must fail loud
+    (the swap protocol has no version to compare), never silently drop
+    the caller's concurrency expectation."""
+    src = _events_as_source(spark)
+    dest = seed(src, str(tmp_path / "swap_tbl"))
+    with pytest.raises(ValueError, match="VersionedTable"):
+        seed(src, dest, expected_version=1)
+    with pytest.raises(ValueError, match="VersionedTable"):
+        upsert_sync(
+            spark, src, dest, pk="event_id", ts_col="updated_at",
+            anchor="2024-02-05 00:00:00", expected_version=1,
+        )
