@@ -146,3 +146,29 @@ def test_triangle_counts_empty_and_skew_star(spark):
     got = triangle_counts(star)
     assert got.count() == 40
     assert got.filter(F.col("triangles") != 0).count() == 0
+
+
+def test_triangle_counts_self_loops_and_isolated_clique(spark):
+    """r12 hostile shape (r11 verdict #5): self-loops must be dropped
+    before orientation (a self-loop at a clique node would otherwise
+    forge wedges), and an isolated K4 clique plus a triangle-free
+    tendril must count independently — K4 gives every member exactly
+    C(3,2)=3 triangles, the tendril's nodes all report 0."""
+    from python_openetl_spark.operators.cluster import triangle_counts
+
+    edges = []
+    # isolated 4-clique on 10,11,12,13
+    clique = [10, 11, 12, 13]
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    # self-loops planted on clique AND tendril nodes
+    edges += [(10, 10), (20, 20)]
+    # triangle-free tendril 20-21-22-23
+    edges += [(20, 21), (21, 22), (22, 23)]
+    # duplicate + reversed noise
+    edges += [(11, 10), (12, 13), (12, 13)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {
+        10: 3, 11: 3, 12: 3, 13: 3,
+        20: 0, 21: 0, 22: 0, 23: 0,
+    }, got

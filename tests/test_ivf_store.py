@@ -756,3 +756,57 @@ def test_bump_seq_crashed_holder_fails_loudly(spark, tmp_path):
             ivf._bump_seq(idx)
     finally:
         ivf.time.monotonic = orig
+
+
+def test_update_delete_update_generation_interleaving(spark, tmp_path):
+    """r12 hostile shape (r11 verdict #5): update -> delete -> update of
+    the SAME id walks three write generations; after each step exactly
+    the intended embedding (or nothing) must be live on the probe path.
+    A tombstone that isn't generation-scoped would either resurrect the
+    deleted vector too early or hide the re-appended one."""
+    from python_openetl_spark.operators.ivf_store import (
+        _load_assigned,
+        delete_from_ivf_store,
+        ivf_store_topk,
+        update_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 50
+    )
+    root = str(tmp_path / "store")
+    build_ivf_store(emb, root, nlist=4)
+    target = emb.filter(F.col("vec_id") == 7)
+
+    def probe_top1():
+        q = target.select(
+            F.lit(900_007).cast("long").alias("query_id"), "embedding"
+        ).toPandas()
+        rows = ivf_store_topk(spark, root, q, k=1, nprobe=4).collect()
+        return rows[0]["vec_id"] if rows else None
+
+    def live_7():
+        return (
+            _load_assigned(spark, current_index_dir(root))
+            .filter(F.col("vec_id") == 7)
+            .count()
+        )
+
+    # update 1: negate id 7 — the original generation must be hidden
+    neg = target.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    assert update_ivf_store(neg, root) == 1
+    assert live_7() == 1
+    assert probe_top1() != 7  # query = ORIGINAL embedding; live copy is negated
+
+    # delete: id 7 fully gone, at the post-update generation
+    assert delete_from_ivf_store(spark, root, ids=[7]) == 1
+    assert live_7() == 0
+    assert probe_top1() != 7
+
+    # update 2 (upsert path: id not live): original embedding returns,
+    # in a generation NEWER than the delete's tombstone
+    assert update_ivf_store(target, root) == 0  # nothing live to supersede
+    assert live_7() == 1
+    assert probe_top1() == 7  # cos 1.0 with its own query again

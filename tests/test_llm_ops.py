@@ -1065,3 +1065,129 @@ def test_source_overlap_sketch_zero_shingle_sources(spark, tmp_path):
     # each doc has 3 shingles; they share exactly "the quick brown"
     assert cd["exact_a"] == 3 and cd["exact_b"] == 3 and cd["exact_overlap"] == 1
     assert cd["union_ok"] is True
+
+
+def test_weighted_sample_hostile_weights_and_k(spark):
+    """r12 hostile shapes (r11 verdict #5): zero/NULL/negative weights
+    are dropped (no defined inclusion probability), equal weights still
+    draw exactly k with a gapless 1..k rank, near-overflow weights stay
+    finite, and k > corpus returns every eligible row rather than
+    erroring or padding."""
+    from python_openetl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0) for i in range(10)]
+    rows += [(100, 0.0), (101, None), (102, -5.0)]  # ineligible
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    # equal weights: exactly k survivors, ranks 1..k, all eligible
+    got = weighted_sample(df, "doc_id", "w", 4).collect()
+    assert sorted(r["sample_rank"] for r in got) == [1, 2, 3, 4]
+    assert all(r["doc_id"] < 100 for r in got)
+
+    # k > corpus: all 10 eligible rows, nothing invented
+    got = weighted_sample(df, "doc_id", "w", 50).collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(10))
+    assert sorted(r["sample_rank"] for r in got) == list(range(1, 11))
+
+    # huge weights: ln(u)/w underflows toward 0 but stays FINITE, and
+    # the draw still returns k distinct rows
+    import math
+
+    huge = spark.createDataFrame(
+        [(i, 1e308) for i in range(6)], "doc_id long, w double"
+    )
+    got = weighted_sample(huge, "doc_id", "w", 3).collect()
+    assert len(got) == 3
+    assert all(math.isfinite(r["es_key"]) for r in got)
+
+    # all-ineligible corpus: empty result with the contract columns
+    none = weighted_sample(
+        df.filter(F.col("doc_id") >= 100), "doc_id", "w", 3
+    )
+    assert none.count() == 0
+    assert {"es_key", "sample_rank"} <= set(none.columns)
+
+
+def test_dsir_hostile_empty_target_and_single_token_vocab(spark):
+    """DSIR with an EMPTY target slice must stay finite (add-1
+    smoothing over the source vocabulary is the only target mass:
+    every token's ratio is ln(1/V) - ln(n_s/T)), and a single-token
+    vocabulary gives every document the identical score (no
+    discriminating evidence) — ln(((n_t+1)/(T_t+1)) / 1) since
+    n_s/T_s = 1."""
+    import math
+
+    from python_openetl_spark.operators.textops import dsir_importance_score
+
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en"), (2, "aa aa", "de"), (3, "bb", "de")],
+        "doc_id long, text string, lang string",
+    )
+    # empty target: lang == 'xx' marks nothing
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_score(df, F.col("lang") == "xx").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert all(math.isfinite(v) for v in got.values())
+    # hand-check doc 3: one token 'bb', n_s=2, T_s=5, n_t=0, T_t=0, V=2
+    exp3 = round(round(math.log((0 + 1) / (0 + 2)) - math.log(2 / 5), 9), 6)
+    assert got[3] == pytest.approx(exp3, abs=1e-9)
+
+    # single-token vocabulary: every doc scores identically
+    mono = spark.createDataFrame(
+        [(1, "tok tok", "en"), (2, "tok", "de"), (3, "tok tok tok", "de")],
+        "doc_id long, text string, lang string",
+    )
+    scores = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_score(mono, F.col("lang") == "en").collect()
+    }
+    assert len(set(scores.values())) == 1
+    assert all(math.isfinite(v) for v in scores.values())
+
+
+def test_ivf_recall_report_store_smaller_than_probe_budget(spark):
+    """r12 hostile shape: a corpus SMALLER than k, indexed under fewer
+    cells than the smallest probe budget — budgets past nlist clamp to
+    a full probe (recall 1.0 at every budget, exact_k = the whole
+    corpus since k exceeds it — the id-shifted query excludes nothing,
+    monotone trivially true), never an error or a padded result."""
+    from python_openetl_spark.operators.similarity import ivf_recall_report
+
+    vecs = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = (
+        emb.filter(F.col("vec_id") == 1)
+        .select((F.col("vec_id") + 100).alias("query_id"), "embedding")
+        .toPandas()
+    )
+    rep = ivf_recall_report(
+        emb, q, k=10, nlist=2, budgets=(8, 16)
+    ).toPandas()
+    assert len(rep) == 1
+    row = rep.iloc[0]
+    assert row["exact_k"] == 4          # whole corpus: k > |corpus|
+    assert row["top1_id"] == 1          # planted anchor, cos 1.0
+    assert row["recall_at_8"] == 1.0 and row["recall_at_16"] == 1.0
+    assert bool(row["monotone_ok"])
+
+
+def test_weighted_epoch_all_docs_fail_length_gate(spark):
+    """e11's composite shape when the hygiene gate rejects EVERYTHING:
+    the epoch draw over an empty kept-set is an empty frame with the
+    contract columns — the pipeline degrades to zero rows, it does not
+    throw or emit ranks."""
+    from python_openetl_spark.operators.dedup import exact_dedup_keep
+    from python_openetl_spark.operators.sampling import weighted_sample
+
+    d = spark.createDataFrame(
+        [(1, "short", "en", 5), (2, "tiny", "de", 4)],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    kept = exact_dedup_keep(d).filter(F.col("n_chars") >= 100)
+    out = weighted_sample(kept, "doc_id", "n_chars", 20, strata_col="lang")
+    assert out.count() == 0
+    assert {"doc_id", "lang", "n_chars", "es_key", "sample_rank"} <= set(out.columns)
