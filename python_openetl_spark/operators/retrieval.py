@@ -255,3 +255,137 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def feature_rerank(
+    shortlist: DataFrame,
+    lexical: DataFrame,
+    dense: DataFrame,
+    dl: DataFrame,
+    *,
+    w_lex: float = 0.5,
+    w_cos: float = 0.3,
+    w_len: float = 0.2,
+    topk: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    lex_score_col: str = "score",
+    cos_col: str = "cos_sim",
+) -> DataFrame:
+    """Feature-scored reranking of a retrieval shortlist — the third
+    stage of the standard retrieval pipeline (tower top-k → rank fusion
+    → rerank), the deterministic stand-in for a cross-encoder tier:
+    where a learned reranker scores (query, doc) pairs with a model,
+    this scores them with an explicit feature blend so the result is
+    reproducible and SQL-oracle-checkable end to end.
+
+    ``rerank_score = w_lex·lex_n + w_cos·cos_n + w_len·len_prior`` with
+
+    - ``lex_n``: the candidate's BM25 score min-max normalized PER
+      QUERY over the shortlist's scored members ((s−min)/(max−min);
+      1.0 when the query's scored candidates all tie; 0.0 when the
+      candidate reached the shortlist without a lexical score — a
+      dense-tower-only hit has no lexical evidence);
+    - ``cos_n``: cosine rescaled to [0,1] via (c+1)/2; 0.0 when the
+      candidate carries no dense score (lexical-only hit);
+    - ``len_prior``: ``1 / (1 + |ln(dl / avgdl)|)`` — favors documents
+      near the corpus mean length, the classic verbosity/fragment
+      penalty (0.0 for empty documents, where the ratio is undefined).
+
+    Each term is one IEEE expression rounded to 9 decimals and summed
+    as exact DECIMAL(20,9) (the engine-wide order-independence
+    contract); final ranking ties break on doc id.
+
+    Scale shape: the shortlist is per-query bounded (queries × fused
+    top-k rows), so every feature join is broadcast-sized; ``dl``
+    (``doc_lengths``: one column-pruned corpus scan) is semi-pruned to
+    the shortlist's ids via a broadcast BEFORE its join, and the corpus
+    average enters as one map-side-combined 1-row aggregate collected
+    to the driver and re-entered as a literal (kept in-plan it would be
+    re-scanned at every reference — the linkrank rule) — the corpus is
+    never shuffled, and the rerank itself touches only
+    O(queries × topk) rows. Reference parity: the reference has no
+    retrieval surface; this completes the north-star pipeline x10's
+    fusion starts (r11 verdict item 7).
+    """
+    on = ["query_id", "doc_id"]
+    cand = shortlist.select(
+        F.col(query_id_col).alias("query_id"), F.col(id_col).alias("doc_id")
+    )
+    lex = lexical.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(lex_score_col).alias("__lex"),
+    )
+    den = dense.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(cos_col).alias("__cos"),
+    )
+    dl = dl.select(F.col(id_col).alias("doc_id"), F.col("dl"))
+    # corpus scalars to the driver once (the linkrank rule: a 1-row
+    # aggregate kept in-plan is re-scanned at every reference; the
+    # integer sums round-trip a Python int exactly and the division
+    # below is the same IEEE op either way)
+    srow = dl.agg(
+        F.sum("dl").alias("__sum_dl"), F.count(F.lit(1)).alias("__n_docs")
+    ).first()
+    sum_dl = F.lit(float(srow["__sum_dl"] or 0))
+    n_docs = F.lit(float(srow["__n_docs"] or 1))
+    dl_short = dl.join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id", "left_semi"
+    )
+    feats = (
+        cand.join(lex, on, "left")
+        .join(den, on, "left")
+        .join(F.broadcast(dl_short), "doc_id", "left")
+    )
+    w = Window.partitionBy("query_id")
+    smin, smax = F.min("__lex").over(w), F.max("__lex").over(w)
+    lex_n = F.when(F.col("__lex").isNull(), F.lit(0.0)).otherwise(
+        F.when(smax == smin, F.lit(1.0)).otherwise(
+            F.round((F.col("__lex") - smin) / (smax - smin), 9)
+        )
+    )
+    cos_n = F.when(F.col("__cos").isNull(), F.lit(0.0)).otherwise(
+        F.round((F.col("__cos") + F.lit(1.0)) / F.lit(2.0), 9)
+    )
+    avgdl = sum_dl / n_docs
+    len_prior = F.when(
+        F.coalesce(F.col("dl"), F.lit(0)) <= 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.abs(F.round(F.log(F.col("dl").cast("double") / avgdl), 9))
+            ),
+            9,
+        )
+    )
+
+    def _dec(term):
+        return F.round(term, 9).cast("decimal(20,9)")
+
+    scored = feats.select(
+        "query_id",
+        "doc_id",
+        (
+            _dec(F.lit(w_lex) * lex_n)
+            + _dec(F.lit(w_cos) * cos_n)
+            + _dec(F.lit(w_len) * len_prior)
+        ).alias("score_dec"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_dec").cast("double").alias("rerank_score"),
+            "rank",
+        )
+    )

@@ -37,6 +37,7 @@ from python_openetl_spark.workload import (
     llm12,
     llm13,
     llm14,
+    llm15,
     relational,
     relational2,
     relational3,
@@ -100,6 +101,8 @@ _MODULES = (
     # round-11 post-window additions (rotate into _WINDOW_R12)
     incremental4,
     llm14,
+    # round-12 post-window additions (rotate into _WINDOW_R13)
+    llm15,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:

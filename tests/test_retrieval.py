@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from python_openetl_spark.operators.retrieval import bm25_topk, build_postings
 
@@ -158,3 +159,82 @@ def test_bm25_stopword_term_still_prunes_before_shuffle(spark):
     assert len(rows) == 10            # every doc matches the stop-word term
     assert rows[0].doc_id == 0        # the doc with the rare term on top
     assert all(r.score > 0 for r in rows)
+
+
+def test_feature_rerank_hand_computed(spark):
+    """Hand-computed rerank over a 3-candidate shortlist covering every
+    feature edge: a lexical-only hit, a dense-only hit, a both-tower
+    hit, a zero-length document, and min-max normalization with a
+    corpus-average length prior."""
+    import math
+
+    from python_openetl_spark.operators.retrieval import feature_rerank
+
+    shortlist = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3)], "query_id long, doc_id long"
+    )
+    lexical = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 5.0)], "query_id long, doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(1, 2, 0.8), (1, 3, 0.5)], "query_id long, doc_id long, cos_sim double"
+    )
+    # corpus of 4 docs; avgdl = (10+20+0+10)/4 = 10
+    dl = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 0), (4, 10)], "doc_id long, dl int"
+    )
+    got = {
+        r["doc_id"]: (r["rerank_score"], r["rank"])
+        for r in feature_rerank(shortlist, lexical, dense, dl).collect()
+    }
+    lp2 = round(1.0 / (1.0 + abs(round(math.log(20.0 / 10.0), 9))), 9)
+    exp = {
+        1: round(0.5 * 1.0, 9) + round(0.2 * 1.0, 9),          # lex max + ideal length
+        2: round(0.3 * 0.9, 9) + round(0.2 * lp2, 9),          # lex min -> 0
+        3: round(0.3 * 0.75, 9),                               # dense-only, dl=0
+    }
+    assert set(got) == {1, 2, 3}
+    for d in exp:
+        assert got[d][0] == pytest.approx(exp[d], abs=1e-12), (d, got[d])
+    assert [got[d][1] for d in (1, 2, 3)] == [1, 2, 3]  # score order
+
+    # all-tied lexical scores normalize to 1.0, not 0/0
+    tied = spark.createDataFrame(
+        [(1, 1, 7.0), (1, 2, 7.0)], "query_id long, doc_id long, score double"
+    )
+    got2 = {
+        r["doc_id"]: r["rerank_score"]
+        for r in feature_rerank(
+            shortlist.filter(F.col("doc_id") <= 2), tied, dense, dl
+        ).collect()
+    }
+    assert got2[1] == pytest.approx(0.5 + 0.2, abs=1e-12)
+    assert got2[2] == pytest.approx(
+        round(0.5 * 1.0, 9) + round(0.3 * 0.9, 9) + round(0.2 * lp2, 9), abs=1e-12
+    )
+
+
+def test_feature_rerank_shortlist_never_shuffles_corpus(spark, corpus):
+    """The dl join must be broadcast-pruned: the executed plan carries
+    no shuffle of the corpus-sized length frame (only the bounded
+    window exchange), keeping the rerank O(queries x topk) at scale."""
+    from python_openetl_spark.operators.retrieval import (
+        bm25_topk,
+        doc_lengths,
+        feature_rerank,
+        rrf_fuse,
+    )
+
+    queries = corpus.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 20).alias("qtext"),
+    )
+    lexical = bm25_topk(corpus, queries, k=5)
+    fused = rrf_fuse([lexical.select("query_id", "doc_id", "rank")], topk=5)
+    dense = lexical.select(
+        "query_id", "doc_id", (F.col("score") * 0).alias("cos_sim")
+    )
+    out = feature_rerank(fused, lexical, dense, doc_lengths(corpus), topk=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() > 0
