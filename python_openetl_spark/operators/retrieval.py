@@ -389,3 +389,94 @@ def feature_rerank(
             "rank",
         )
     )
+
+
+def retrieval_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    *,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranking-quality report — the evaluation verb that closes the
+    retrieval loop (tower top-k → fusion → rerank → EVALUATE): per
+    query with at least one relevant document, the three standard
+    graded-relevance metrics at cutoff ``k``:
+
+    - ``mrr`` — 1/rank of the first relevant hit in the top-k (0 if
+      none);
+    - ``ndcg`` — DCG@k / IDCG@k with gain ``rel / log2(rank + 1)``
+      (Järvelin & Kekäläinen 2002), the ideal ordering being ``qrels``
+      sorted by relevance desc, doc id asc, cut to k;
+    - ``recall`` — |relevant ∩ top-k| / |relevant|.
+
+    ``qrels`` is the graded relevance table ``(query_id, doc_id,
+    rel)`` with integer gains (0 allowed, ignored); queries whose
+    qrels are all zero emit no row (every metric is 0/0 there).
+
+    Determinism: gains are integers; each DCG/IDCG term is one IEEE
+    ``rel / log2(rank+1)`` rounded to 9 decimals and summed as exact
+    DECIMAL(20,9) (log2's last ulp is the only cross-engine risk — the
+    same treatment ln() gets everywhere in this engine); mrr is one
+    exact division; ndcg/recall are single divisions rounded to 9.
+
+    Scale shape: both inputs are (query, doc)-keyed and per-query
+    bounded (rankings are top-k by construction; qrels are judgment
+    sets); two hash aggregates and one per-query join — nothing
+    corpus-sized is touched, no window spans more than a judgment
+    set. Reference parity: the reference has no retrieval surface;
+    this is BASELINE.json north-star extension surface.
+    """
+    q, d = "query_id", "doc_id"
+    rk = ranking.select(
+        F.col(query_id_col).alias(q),
+        F.col(id_col).alias(d),
+        F.col(rank_col).alias("__rank"),
+    ).filter(F.col("__rank") <= k)
+    qr = qrels.select(
+        F.col(query_id_col).alias(q),
+        F.col(id_col).alias(d),
+        F.col(rel_col).cast("long").alias("__rel"),
+    )
+
+    def _gain(rel, pos):
+        return F.round(
+            rel.cast("double") / F.log2(pos.cast("double") + F.lit(1.0)), 9
+        ).cast("decimal(20,9)")
+
+    hit = rk.join(qr, [q, d]).filter(F.col("__rel") > 0)
+    got = hit.groupBy(q).agg(
+        F.sum(_gain(F.col("__rel"), F.col("__rank"))).alias("__dcg"),
+        F.round(F.lit(1.0) / F.min("__rank").cast("double"), 9).alias("mrr"),
+        F.count(F.lit(1)).alias("__hits"),
+    )
+    iw = Window.partitionBy(q).orderBy(F.col("__rel").desc(), F.col(d).asc())
+    rel_only = qr.filter(F.col("__rel") > 0)
+    ideal = (
+        rel_only.withColumn("__pos", F.row_number().over(iw))
+        .filter(F.col("__pos") <= k)
+        .groupBy(q)
+        .agg(F.sum(_gain(F.col("__rel"), F.col("__pos"))).alias("__idcg"))
+    )
+    totals = rel_only.groupBy(q).agg(F.count(F.lit(1)).alias("__n_rel"))
+    return (
+        totals.join(ideal, q)
+        .join(got, q, "left")
+        .select(
+            q,
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("__dcg").cast("double"), F.lit(0.0))
+                / F.col("__idcg").cast("double"),
+                9,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.col("__n_rel").cast("double"),
+                9,
+            ).alias("recall"),
+        )
+    )

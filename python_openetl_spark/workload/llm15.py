@@ -210,3 +210,193 @@ ORACLE["x26_feature_rerank"] = f"""
       FROM rer
     ) WHERE rank <= 5
 """
+
+
+def x27_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the hybrid pipeline
+    (operators/retrieval.py retrieval_eval): x10's RRF-fused top-5 is
+    scored against a corpus-derived judgment set — for each query, its
+    source document is relevance 3 and every other document sharing the
+    query doc's (source, lang) is relevance 1 (the topical-cluster
+    proxy; both engines derive it from the same two columns). Per query:
+    MRR@5, nDCG@5 and recall@5, every gain decimal-rounded so the whole
+    tower->fusion->evaluation chain value-hash-matches DuckDB."""
+    from python_openetl_spark.operators import similarity
+    from python_openetl_spark.operators.retrieval import (
+        bm25_topk,
+        retrieval_eval,
+        rrf_fuse,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qdocs = _derived_queries(docs).join(
+        F.broadcast(emb.select(F.col("vec_id").alias("query_id"))), "query_id"
+    )
+    # towers materialized once (the x26 rule: each is referenced by the
+    # fusion AND driver-bounded by construction)
+    lexical = spark.createDataFrame(
+        bm25_topk(docs, qdocs, k=10).toPandas(),
+        "query_id long, doc_id long, score double, rank int",
+    )
+    dense = spark.createDataFrame(
+        similarity.cosine_topk(
+            emb,
+            emb.join(
+                F.broadcast(qdocs.select("query_id")),
+                emb.vec_id == F.col("query_id"),
+            ).select("query_id", "embedding"),
+            k=10,
+        )
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+        .toPandas(),
+        "query_id long, doc_id long, rank int",
+    )
+    fused = rrf_fuse(
+        [lexical.select("query_id", "doc_id", "rank"), dense], topk=5
+    )
+    qkeys = docs.join(
+        F.broadcast(qdocs.select("query_id")),
+        docs.doc_id == F.col("query_id"),
+    ).select("query_id", F.col("source").alias("__qsrc"), F.col("lang").alias("__qlang"))
+    qrels = (
+        docs.join(
+            F.broadcast(qkeys),
+            (docs.source == F.col("__qsrc")) & (docs.lang == F.col("__qlang")),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("query_id"), F.lit(3))
+            .otherwise(F.lit(1))
+            .alias("rel"),
+        )
+    )
+    return retrieval_eval(fused, qrels, k=5)
+
+
+QUERIES["x27_retrieval_quality_report"] = x27_retrieval_quality_report
+
+# CTE chain up to `fused` is x10's oracle verbatim (llm6.py); qrels +
+# eval mirror operators/retrieval.py retrieval_eval op for op.
+ORACLE["x27_retrieval_quality_report"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM tk),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    q AS (SELECT doc_id AS query_id, list_slice(toks, 1, {_Q_LEN}) AS qt
+          FROM tk WHERE doc_id % {_Q_MOD} = 0
+            AND doc_id IN (SELECT vec_id FROM embeddings)),
+    qterms AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
+    qvocab AS (SELECT DISTINCT term FROM qterms),
+    post AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS term FROM tk
+      ) WHERE term IN (SELECT term FROM qvocab)
+      GROUP BY term, doc_id
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+    bscored AS (
+      SELECT query_id, doc_id,
+             SUM(CAST(ROUND(
+               ROUND(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5) + 1.0), 9)
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+             , 7) AS DECIMAL(20,7))) AS score_dec
+      FROM post
+      JOIN qterms USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY query_id, doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank
+        FROM bscored
+      ) WHERE rank <= 10
+    ),
+    eq AS (SELECT q.query_id, e.embedding::DOUBLE[] AS qv
+           FROM q JOIN embeddings e ON e.vec_id = q.query_id),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dscored AS (
+      SELECT eq.query_id, c.vec_id AS doc_id,
+             list_dot_product(c.v, eq.qv)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(eq.qv, eq.qv))) AS cos_sim
+      FROM c, eq WHERE c.vec_id <> eq.query_id
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rank
+        FROM dscored
+      ) WHERE rank <= 10
+    ),
+    contrib AS (
+      SELECT query_id, doc_id,
+             CAST(ROUND(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS c
+      FROM lex
+      UNION ALL
+      SELECT query_id, doc_id,
+             CAST(ROUND(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9) AS DECIMAL(20,9)) AS c
+      FROM dense
+    ),
+    fused AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT query_id, doc_id, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_dec DESC, doc_id) AS rank
+        FROM (SELECT query_id, doc_id, SUM(c) AS score_dec
+              FROM contrib GROUP BY query_id, doc_id)
+      ) WHERE rank <= 5
+    ),
+    qkeys AS (
+      SELECT q.query_id, d.source AS qsrc, d.lang AS qlang
+      FROM q JOIN documents d ON d.doc_id = q.query_id
+    ),
+    qrels AS (
+      SELECT k.query_id, d.doc_id,
+             CASE WHEN d.doc_id = k.query_id THEN 3 ELSE 1 END AS rel
+      FROM documents d JOIN qkeys k
+        ON d.source = k.qsrc AND d.lang = k.qlang
+    ),
+    hit AS (
+      SELECT f.query_id,
+             SUM(CAST(ROUND(CAST(r.rel AS DOUBLE)
+                 / log2(CAST(f.rank AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9)))
+               AS dcg,
+             ROUND(1.0 / CAST(MIN(f.rank) AS DOUBLE), 9) AS mrr,
+             COUNT(*) AS hits
+      FROM fused f JOIN qrels r
+        ON r.query_id = f.query_id AND r.doc_id = f.doc_id
+      WHERE r.rel > 0
+      GROUP BY f.query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             SUM(CAST(ROUND(CAST(rel AS DOUBLE)
+                 / log2(CAST(pos AS DOUBLE) + 1.0), 9) AS DECIMAL(20,9)))
+               AS idcg
+      FROM (
+        SELECT query_id, rel, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rel DESC, doc_id) AS pos
+        FROM qrels WHERE rel > 0
+      ) WHERE pos <= 5
+      GROUP BY query_id
+    ),
+    totals AS (
+      SELECT query_id, COUNT(*) AS n_rel FROM qrels WHERE rel > 0
+      GROUP BY query_id
+    )
+    SELECT t.query_id,
+           COALESCE(h.mrr, 0.0) AS mrr,
+           ROUND(COALESCE(CAST(h.dcg AS DOUBLE), 0.0)
+                 / CAST(i.idcg AS DOUBLE), 9) AS ndcg,
+           ROUND(CAST(COALESCE(h.hits, 0) AS DOUBLE)
+                 / CAST(t.n_rel AS DOUBLE), 9) AS recall
+    FROM totals t
+    JOIN ideal i USING (query_id)
+    LEFT JOIN hit h USING (query_id)
+"""

@@ -238,3 +238,52 @@ def test_feature_rerank_shortlist_never_shuffles_corpus(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert out.count() > 0
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """nDCG/MRR/recall on a hand-worked judgment set: graded gains, an
+    irrelevant rank-1 hit, a query the ranking misses entirely (all
+    metrics 0), and an all-zero-relevance query (no row)."""
+    import math
+
+    from python_openetl_spark.operators.retrieval import retrieval_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 2), (1, 11, 3), (1, 21, 4), (1, 22, 5),
+         (2, 40, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 1), (1, 12, 1), (1, 13, 0),
+         (2, 30, 1),
+         (3, 50, 0)],
+        "query_id long, doc_id long, rel int",
+    )
+    got = {
+        r["query_id"]: (r["mrr"], r["ndcg"], r["recall"])
+        for r in retrieval_eval(ranking, qrels, k=5).collect()
+    }
+    assert set(got) == {1, 2}  # q3 has no positive relevance -> no row
+    dcg = round(3 / math.log2(3), 9) + round(1 / math.log2(4), 9)
+    idcg = (
+        round(3 / math.log2(2), 9)
+        + round(1 / math.log2(3), 9)
+        + round(1 / math.log2(4), 9)
+    )
+    assert got[1][0] == pytest.approx(0.5, abs=1e-12)
+    assert got[1][1] == pytest.approx(round(dcg / idcg, 9), abs=1e-12)
+    assert got[1][2] == pytest.approx(round(2 / 3, 9), abs=1e-12)
+    assert got[2] == (0.0, 0.0, 0.0)  # judged but never retrieved
+
+    # ideal-cutoff edge: more relevant docs than k -> IDCG uses only
+    # the k best gains, so a perfect top-k ranking scores ndcg 1.0
+    big_qrels = spark.createDataFrame(
+        [(9, d, 1) for d in range(100, 108)], "query_id long, doc_id long, rel int"
+    )
+    perfect = spark.createDataFrame(
+        [(9, 100 + i, i + 1) for i in range(5)],
+        "query_id long, doc_id long, rank int",
+    )
+    row = retrieval_eval(perfect, big_qrels, k=5).collect()[0]
+    assert row["ndcg"] == pytest.approx(1.0, abs=1e-12)
+    assert row["recall"] == pytest.approx(round(5 / 8, 9), abs=1e-12)
