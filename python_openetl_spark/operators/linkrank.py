@@ -83,7 +83,14 @@ def pagerank(
     # N to the driver ONCE (one count job, which also fills the edge and
     # node caches); the engine-side division below is the same IEEE
     # double op the old crossJoin(broadcast(n_row)) form evaluated
-    n_dbl = F.lit(float(nodes.count()))
+    n = nodes.count()
+    if n == 0:
+        # empty graph: no nodes, no ranks. The old column-form 1/N was
+        # never evaluated on an empty frame, but a LITERAL 1/0 is
+        # constant-folded at plan time and raises under ANSI mode —
+        # short-circuit before any division exists in the plan.
+        return nodes.select("id", F.lit(0.0).alias("rank"))
+    n_dbl = F.lit(float(n))
     ranks = nodes.select(
         "id", F.round(F.lit(1.0) / n_dbl, _SCALE).alias("rank")
     )
