@@ -261,6 +261,22 @@ class Dataset:
 
         return Dataset(ivf_pq_topk(self.df, queries_pdf, **kw))
 
+    def feature_rerank(
+        self, lexical, dense, dl, **kw
+    ) -> "Dataset":
+        """self = the fused shortlist (r12 retrieval tier 3)."""
+        from python_openetl_spark.operators.retrieval import feature_rerank
+
+        un = lambda x: x.df if isinstance(x, Dataset) else x  # noqa: E731
+        return Dataset(feature_rerank(self.df, un(lexical), un(dense), un(dl), **kw))
+
+    def retrieval_eval(self, qrels, **kw) -> "Dataset":
+        """self = a (query_id, doc_id, rank) ranking (r12 eval verb)."""
+        from python_openetl_spark.operators.retrieval import retrieval_eval
+
+        q = qrels.df if isinstance(qrels, Dataset) else qrels
+        return Dataset(retrieval_eval(self.df, q, **kw))
+
     def maxsim_topk(self, queries: "Dataset | DataFrame", **kw) -> "Dataset":
         from python_openetl_spark.operators.late_interaction import maxsim_topk
 

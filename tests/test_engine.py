@@ -157,3 +157,33 @@ def test_facade_bpe_timeseries_matryoshka(spark):
     )
     top = emb.matryoshka_topk(q, prefix_dims=4, k=2, rerank_factor=2).collect()
     assert len(top) == 2 and top[0].query_id == 0
+
+
+def test_retrieval_rerank_and_eval_facade(eng, spark):
+    """r12 verbs stay chainable through the Dataset facade: shortlist
+    -> feature_rerank -> retrieval_eval, Datasets accepted everywhere."""
+    shortlist = Dataset(
+        spark.createDataFrame([(1, 1), (1, 2)], "query_id long, doc_id long")
+    )
+    lexical = Dataset(
+        spark.createDataFrame(
+            [(1, 1, 2.0), (1, 2, 1.0)], "query_id long, doc_id long, score double"
+        )
+    )
+    dense = Dataset(
+        spark.createDataFrame(
+            [(1, 1, 0.9)], "query_id long, doc_id long, cos_sim double"
+        )
+    )
+    dl = Dataset(spark.createDataFrame([(1, 10), (2, 10)], "doc_id long, dl int"))
+    ranked = shortlist.feature_rerank(lexical, dense, dl, topk=2)
+    assert isinstance(ranked, Dataset)
+    rows = {r["doc_id"]: r["rank"] for r in ranked.collect()}
+    assert rows == {1: 1, 2: 2}  # doc 1 wins every feature
+    qrels = Dataset(
+        spark.createDataFrame([(1, 1, 1)], "query_id long, doc_id long, rel int")
+    )
+    report = ranked.retrieval_eval(qrels, k=2)
+    assert isinstance(report, Dataset)
+    row = report.collect()[0]
+    assert row["mrr"] == 1.0 and row["ndcg"] == 1.0 and row["recall"] == 1.0
