@@ -150,16 +150,4 @@ def doctor(spark: SparkSession | None = None) -> list[Capability]:
             "sources.connections (install google-cloud-secret-manager)",
         )
     )
-    import os
-
-    rows.append(
-        Capability(
-            "tmpfs_scratch",
-            os.path.isdir("/dev/shm"),
-            "RAM-backed spark.local.dir default for local masters "
-            "(session.get_spark): shuffle/spill/localCheckpoint scratch "
-            "avoids virtualized-disk write-latency jitter; cluster local "
-            "dirs and SPARK_LOCAL_DIRS always win",
-        )
-    )
     return rows

@@ -108,23 +108,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    # Single-node scratch placement: shuffle files, cache spill and
-    # localCheckpoint blocks go to spark.local.dir. On a RAM-rich local
-    # box, default it to tmpfs — virtualized-disk write latency (not
-    # bandwidth) otherwise dominates checkpoint-heavy iterative jobs
-    # (measured on d40_pagerank: disk-backed scratch swung 2.8-22 s per
-    # call under host I/O jitter; tmpfs held 2.3-3.6 s). A real cluster
-    # configures its own local dirs (spark-env/YARN), which win over
-    # this default; so does an explicit SPARK_LOCAL_DIRS.
-    effective_master = master or os.environ.get("SPARK_MASTER", "local")
-    if (
-        effective_master.startswith("local")
-        and not os.environ.get("SPARK_LOCAL_DIRS")
-        and os.path.isdir("/dev/shm")
-    ):
-        scratch = os.path.join("/dev/shm", f"spark-scratch-{os.getuid()}")
-        os.makedirs(scratch, exist_ok=True)
-        builder = builder.config("spark.local.dir", scratch)
+    # Scratch placement note (r12 adjudication): spark.local.dir is
+    # deliberately left at the platform default. A tmpfs (/dev/shm)
+    # default was trialed against this box's virtualized-disk write-
+    # latency jitter (multi-second swings on checkpoint-heavy queries,
+    # e.g. d40_pagerank) and REVERTED on A/B evidence: same box,
+    # minutes apart, tmpfs scratch made the state-store/streaming and
+    # Arrow-heavy rows 2-4x slower (s11 4.8 s disk vs 11.6 s tmpfs,
+    # m17 1.3 vs 2.1, mm08 0.97 vs 1.95) while showing no reliable
+    # win for d40 on an idle box — RAM-backed scratch competes with
+    # the JVM heap and OS page cache for the same pages. Operators
+    # control their own footprint instead (pagerank unpersists and
+    # bounds checkpoints); deployments with genuinely fast local disks
+    # set SPARK_LOCAL_DIRS as usual.
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
