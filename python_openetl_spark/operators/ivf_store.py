@@ -104,34 +104,66 @@ def _read_seq(idx_dir: str) -> int:
         return 0
 
 
-def _bump_seq(idx_dir: str) -> int:
-    """Advance the version's write-generation counter under a
-    ``_seq.lock`` O_EXCL critical section (same local-FS lock contract
-    as plans/versioned.py commit and the JSONL sink: real on POSIX,
+def _acquire_fs_lock(lock: str, *, timeout: float, what: str) -> None:
+    """O_EXCL lock-file acquire (same local-FS lock contract as
+    plans/versioned.py commit and the JSONL sink: real on POSIX,
     advisory on stores without atomic create; a crashed holder leaves
-    the lock for manual removal — fail-loud, never fail-corrupt).
-
-    The lock closes the engine's last unguarded publish path (r11
-    verdict): two concurrent appenders that both read seq N would
-    otherwise silently share write generation N+1, and a tombstone
-    scoped at N+1 would then hide or resurrect the WRONG append's
-    rows. Under the lock each appender takes a distinct generation;
-    os.replace keeps readers untorn."""
-    lock = os.path.join(idx_dir, "_seq.lock")
-    deadline = time.monotonic() + 10.0
+    the lock for manual removal — fail-loud, never fail-corrupt)."""
+    deadline = time.monotonic() + timeout
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.close(fd)
-            break
+            return
         except FileExistsError:
             if time.monotonic() >= deadline:
                 raise RuntimeError(
-                    f"write-generation lock held too long: {lock} "
+                    f"{what} lock held too long: {lock} "
                     "(crashed writer? remove the lock file after "
-                    "verifying no append is in flight)"
+                    "verifying no write is in flight)"
                 )
             time.sleep(0.05)
+
+
+class _write_lock:
+    """Store-level writer lock held across an ENTIRE append/tombstone
+    write (seq bump + parquet write + pin update), not just the
+    generation counter (r12 advice): two concurrent
+    ``write.mode("append").parquet()`` jobs on the same directory share
+    the FileOutputCommitter ``_temporary`` staging dir (same
+    appAttempt id in local mode), so one job's commit/cleanup can drop
+    or double-commit the other's staged files even when their
+    generations are distinct. Serializing the whole write is the only
+    data-layer-safe answer short of per-write staging dirs; the
+    timeout is sized for a real parquet append, not a counter bump."""
+
+    def __init__(self, idx_dir: str, timeout: float = 120.0):
+        self._lock = os.path.join(idx_dir, "_write.lock")
+        self._timeout = timeout
+
+    def __enter__(self):
+        _acquire_fs_lock(self._lock, timeout=self._timeout, what="store write")
+        return self
+
+    def __exit__(self, *exc):
+        os.unlink(self._lock)
+
+
+def _bump_seq(idx_dir: str) -> int:
+    """Advance the version's write-generation counter under a
+    ``_seq.lock`` O_EXCL critical section.
+
+    The lock guarantees each appender a DISTINCT generation (r11
+    verdict: two concurrent appenders that both read seq N would
+    otherwise silently share write generation N+1, and a tombstone
+    scoped at N+1 would then hide or resurrect the WRONG append's
+    rows); os.replace keeps readers untorn. Generation uniqueness
+    alone does NOT make concurrent appends safe at the data layer —
+    the parquet append itself must also be serialized, which is the
+    store-level :class:`_write_lock` every append/tombstone path holds
+    around its whole write."""
+    lock = os.path.join(idx_dir, "_seq.lock")
+    _acquire_fs_lock(lock, timeout=10.0, what="write-generation")
     try:
         n = _read_seq(idx_dir) + 1
         tmp = os.path.join(idx_dir, f"{_SEQ_FILE}.tmp-{uuid.uuid4().hex[:8]}")
@@ -180,7 +212,14 @@ def _pin_from_written(written_schema, deleted_id_col: str):
     DataFrame with the given schema: Spark's partitioned read appends
     the ``cell`` partition column after the data columns, so the pin
     must match that order (identical output schema to the old
-    mergeSchema read). Returns (assigned, deleted) StructTypes."""
+    mergeSchema read). Returns (assigned, deleted) StructTypes.
+
+    The write-generation column is pinned LONG on both sides (r12
+    advice): the counter is an unbounded Python int, so the write path
+    casts its literal to long — pinning int would read a
+    past-2^31 file's seq back as NULL, silently turning
+    generation-scoped tombstones into kill-all. Legacy int-written seq
+    files upcast to long under the pin (parquet int32→int64 widening)."""
     from pyspark.sql.types import (
         IntegerType,
         LongType,
@@ -188,12 +227,16 @@ def _pin_from_written(written_schema, deleted_id_col: str):
         StructType,
     )
 
-    fields = [f for f in written_schema.fields if f.name != "cell"]
+    fields = [
+        StructField(f.name, LongType()) if f.name == _SEQ else f
+        for f in written_schema.fields
+        if f.name != "cell"
+    ]
     fields.append(StructField("cell", IntegerType()))
     deleted = StructType(
         [
             StructField(deleted_id_col, LongType()),
-            StructField("seq", IntegerType()),
+            StructField("seq", LongType()),
         ]
     )
     return StructType(fields), deleted
@@ -414,7 +457,7 @@ def _build_into(
         schema=f"{id_col} long, {vec_col} array<float>"
         + _attr_schema(corpus, attr_cols)
         + ", cell int",
-    ).withColumn(_SEQ, F.lit(0))  # build rows are generation 0
+    ).withColumn(_SEQ, F.lit(0).cast("long"))  # build rows are generation 0
     # repartition by cell BEFORE the partitioned write: otherwise every
     # task writes a sliver into every cell directory (tasks x nlist
     # small files — the small-files explosion that drowns later scans)
@@ -490,25 +533,47 @@ def append_to_ivf_store(
         vec_col,
         *[F.col(a).try_cast(attr_types[a]).alias(a) for a in attrs],
     )
-    assigned = conformed.mapInPandas(
-        _assign_fn(cnorm, id_col, vec_col, attrs),
-        schema=f"{id_col} long, {vec_col} array<float>"
-        + _attr_schema(conformed, attrs)
-        + ", cell int",
-    ).withColumn(_SEQ, F.lit(_bump_seq(idx_dir)))  # new write generation
-    assigned.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(idx_dir, _ASSIGNED)
-    )
-    if "assigned" not in pins:
-        # one-time legacy migration: this pre-pin store now definitely
-        # mixes seq-stamped files with (possibly) unstamped ones, so pin
-        # the union schema ONCE — the same schema mergeSchema would
-        # infer on every future read — and future probes skip footers
-        merged = spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(idx_dir, _ASSIGNED)
-        ).schema
-        _, d_pin = _pin_from_written(merged, id_col)
-        _write_store_schemas(idx_dir, assigned=merged, deleted=d_pin)
+    # the ENTIRE write sits under the store lock (seq bump + parquet
+    # append + pin update): distinct generations alone don't protect
+    # two concurrent appends sharing the committer's _temporary dir
+    with _write_lock(idx_dir):
+        assigned = conformed.mapInPandas(
+            _assign_fn(cnorm, id_col, vec_col, attrs),
+            schema=f"{id_col} long, {vec_col} array<float>"
+            + _attr_schema(conformed, attrs)
+            + ", cell int",
+        ).withColumn(
+            # cast to long: the counter is unbounded and the pin says
+            # long — a bare int literal would diverge from the pin type
+            # once the counter passes 2^31
+            _SEQ, F.lit(_bump_seq(idx_dir)).cast("long")
+        )  # new write generation
+        assigned.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(idx_dir, _ASSIGNED))
+        if "assigned" not in pins:
+            # one-time legacy migration: this pre-pin store now definitely
+            # mixes seq-stamped files with (possibly) unstamped ones, so pin
+            # the union schema ONCE — the same schema mergeSchema would
+            # infer on every future read — and future probes skip footers
+            merged = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(idx_dir, _ASSIGNED)
+            ).schema
+            a_pin, d_pin = _pin_from_written(merged, id_col)
+            _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
+        else:
+            from pyspark.sql.types import LongType
+
+            seq_field = next(
+                (f for f in pins["assigned"].fields if f.name == _SEQ), None
+            )
+            if seq_field is not None and not isinstance(
+                seq_field.dataType, LongType
+            ):
+                # pre-r13 pin carried int seq: upgrade both pins to long
+                # (old int files upcast; this long-seq file reads exact)
+                a_pin, d_pin = _pin_from_written(pins["assigned"], id_col)
+                _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
 
 
 def delete_from_ivf_store(
@@ -574,9 +639,39 @@ def _tombstone(
     doomed = doomed_ids.localCheckpoint(eager=True)
     n = doomed.count()
     if n:
-        doomed.withColumn("seq", F.lit(_read_seq(idx_dir))).coalesce(
-            1
-        ).write.mode("append").parquet(os.path.join(idx_dir, _DELETED))
+        # store lock around the deleted/ append: concurrent tombstone
+        # writes share the committer staging dir like any append; the
+        # seq literal is read (not bumped) under the same lock so it
+        # can't straddle a racer's bump, and is cast LONG to match the
+        # pinned read schema (r12 advice: an int literal past 2^31
+        # would read back NULL under a long pin's int predecessor)
+        with _write_lock(idx_dir):
+            doomed.withColumn(
+                "seq", F.lit(_read_seq(idx_dir)).cast("long")
+            ).coalesce(1).write.mode("append").parquet(
+                os.path.join(idx_dir, _DELETED)
+            )
+            pins = _read_store_schemas(idx_dir)
+            if "deleted" in pins:
+                from pyspark.sql.types import LongType
+
+                seq_field = next(
+                    (f for f in pins["deleted"].fields if f.name == "seq"),
+                    None,
+                )
+                if seq_field is not None and not isinstance(
+                    seq_field.dataType, LongType
+                ):
+                    # pre-r13 int pin can't read the long file just
+                    # written — upgrade (old int tombstones upcast)
+                    a_pin, d_pin = _pin_from_written(
+                        pins.get("assigned") or pins["deleted"], id_col
+                    )
+                    _write_store_schemas(
+                        idx_dir,
+                        assigned=a_pin if "assigned" in pins else None,
+                        deleted=d_pin,
+                    )
     return n
 
 

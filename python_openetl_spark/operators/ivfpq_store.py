@@ -52,6 +52,7 @@ from python_openetl_spark.operators.ivf_store import (
     _ASSIGNED,
     _SEQ,
     _bump_seq,
+    _write_lock,
     _load_assigned,
     _CENTROIDS,
     _commit_version,
@@ -181,7 +182,7 @@ def _build_pq_into(
     encoded = corpus.select(id_col, vec_col).mapInPandas(
         _encode_assign_fn(cnorm, books, id_col, vec_col),
         schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
-    ).withColumn(_SEQ, F.lit(0))  # build rows are generation 0
+    ).withColumn(_SEQ, F.lit(0).cast("long"))  # build rows are generation 0
     # repartition by cell before the partitioned write (ivf_store rule:
     # otherwise tasks x nlist sliver files drown later probe scans)
     encoded.repartition("cell").write.partitionBy("cell").parquet(
@@ -248,21 +249,27 @@ def append_to_ivfpq_store(
     idx_dir = current_index_dir(root)
     _, cnorm = _read_centroids(spark, idx_dir)
     books = _read_codebooks(spark, idx_dir)
-    encoded = batch.select(id_col, vec_col).mapInPandas(
-        _encode_assign_fn(cnorm, books, id_col, vec_col),
-        schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
-    ).withColumn(_SEQ, F.lit(_bump_seq(idx_dir)))  # new write generation
-    encoded.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        os.path.join(idx_dir, _ASSIGNED)
-    )
-    if "assigned" not in _read_store_schemas(idx_dir):
-        # one-time legacy migration (ivf_store append rule): pin the
-        # union schema mergeSchema would infer, once, post-append
-        merged = spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(idx_dir, _ASSIGNED)
-        ).schema
-        _, d_pin = _pin_from_written(merged, id_col)
-        _write_store_schemas(idx_dir, assigned=merged, deleted=d_pin)
+    # whole write under the store lock (ivf_store rule: distinct
+    # generations don't protect concurrent appends from sharing the
+    # committer's _temporary staging dir)
+    with _write_lock(idx_dir):
+        encoded = batch.select(id_col, vec_col).mapInPandas(
+            _encode_assign_fn(cnorm, books, id_col, vec_col),
+            schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
+        ).withColumn(
+            _SEQ, F.lit(_bump_seq(idx_dir)).cast("long")
+        )  # new write generation; long to match the pinned read schema
+        encoded.repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(os.path.join(idx_dir, _ASSIGNED))
+        if "assigned" not in _read_store_schemas(idx_dir):
+            # one-time legacy migration (ivf_store append rule): pin the
+            # union schema mergeSchema would infer, once, post-append
+            merged = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(idx_dir, _ASSIGNED)
+            ).schema
+            a_pin, d_pin = _pin_from_written(merged, id_col)
+            _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
 
 
 def ivfpq_store_topk(

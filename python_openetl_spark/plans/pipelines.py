@@ -507,6 +507,12 @@ def upsert_sync(
             if expected_version is not None
             else dest.current_version()
         )
+        if base_version is None:
+            raise ValueError(
+                "upsert_sync: VersionedTable destination has no committed "
+                "version yet — run seed() first (or commit an empty "
+                "version 1 explicitly) so the merge has a base snapshot"
+            )
         target = dest.read(spark, version=base_version)
     else:
         if expected_version is not None:
