@@ -22,10 +22,26 @@ same sf, per-query deltas are printed to stderr and queries whose
 median AND min are both >40% and >0.3s over the snapshot are listed in
 the JSON line under "regressions" — thresholds sized so a flag means a
 plan change, not suite/JVM state (the r5/r6 flagged sets were disjoint
-run-to-run at 25%). Refresh the snapshot by writing to a TEMP file
-first (``python bench.py > /tmp/bench_new.json && mv /tmp/bench_new.json
-bench_out.json``) — redirecting straight onto bench_out.json truncates
-the snapshot before this script reads it for the trend comparison.
+run-to-run at 25%).
+
+Snapshot refresh protocol (r13 — the r12 snapshot was refreshed from
+ONE run the builder believed idle and ~27 of its rows turned out
+load-inflated 2-6x, blinding the regression gate on exactly those
+rows): NEVER commit a single run as the snapshot. Run the full suite
+K>=3 times to temp files, then MIN-MERGE them:
+
+    python bench.py > /tmp/bench_run1.json   # x3, sequentially
+    python bench.py --merge /tmp/bench_run1.json /tmp/bench_run2.json \
+        /tmp/bench_run3.json > bench_out.json
+
+--merge writes, per query, the min of the runs' mins and the median
+of the runs' medians — a load spike during any ONE run's window
+cannot poison the committed floor, because the other runs' clean
+numbers win the merge. The merged line carries "merged_runs": K so
+the gate's provenance is visible. (Single-run redirect straight onto
+bench_out.json also truncates the snapshot before the trend compare
+reads it — one more reason the temp-file path is the only documented
+one.)
 
 Adjudicating a flag (the r9 protocol): a flag is a PLAN regression
 only if (a) the flagged query's code path actually changed this round
@@ -51,7 +67,52 @@ from python_openetl_spark.session import get_spark
 from python_openetl_spark.workload import all_queries
 
 
+def merge_runs(paths: list[str]) -> dict:
+    """Min-merge K full-suite runs into one snapshot dict: per query,
+    the MIN of the runs' mins (the floor no single loaded window can
+    inflate) and the MEDIAN of the runs' medians (the comparable
+    central estimate). Queries missing from some runs (added between
+    runs) merge over the runs that have them. All runs must share the
+    same sf. ``value`` is recomputed as the sum of merged mins."""
+    import statistics
+
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append(json.load(f))
+    sfs = {r.get("sf") for r in runs}
+    if len(sfs) != 1:
+        raise SystemExit(f"--merge: runs disagree on sf: {sorted(sfs)}")
+    names = sorted({n for r in runs for n in r.get("queries", {})})
+    mins: dict[str, float] = {}
+    meds: dict[str, float] = {}
+    for n in names:
+        mvals = [r["queries"][n] for r in runs if n in r.get("queries", {})]
+        dvals = [
+            r.get("queries_median", {}).get(n, r["queries"][n])
+            for r in runs
+            if n in r.get("queries", {})
+        ]
+        mins[n] = min(mvals)
+        meds[n] = round(statistics.median(dvals), 3)
+    return {
+        "metric": "workload_total_runtime",
+        "value": round(sum(mins.values()), 3),
+        "unit": "sec",
+        "queries": mins,
+        "queries_median": meds,
+        "repeats": max(r.get("repeats", 0) for r in runs),
+        "sf": sfs.pop(),
+        "merged_runs": len(runs),
+    }
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--merge":
+        if len(sys.argv) < 4:
+            raise SystemExit("usage: bench.py --merge run1.json run2.json [run3.json ...]")
+        print(json.dumps(merge_runs(sys.argv[2:])))
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))

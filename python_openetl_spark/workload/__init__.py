@@ -38,6 +38,7 @@ from python_openetl_spark.workload import (
     llm13,
     llm14,
     llm15,
+    llm16,
     relational,
     relational2,
     relational3,
@@ -103,6 +104,8 @@ _MODULES = (
     llm14,
     # round-12 post-window additions (rotate into _WINDOW_R13)
     llm15,
+    # round-13 additions (in _WINDOW_R13)
+    llm16,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:
@@ -214,10 +217,46 @@ _MODULES = (
 # s09, u07, x08, x14-x16) plus the round-12 post-window additions
 # remain for _WINDOW_R13's lead.
 #
-# _WINDOW_R13 should lead with any round-12 post-window additions,
-# then the 15 remaining r7-checked rows in ledger order (q71-q73,
-# s01-s06, s09, u07, x08, x14-x16), then fill to 50 with the oldest
-# r8-checked rows in ledger order.
+# Round 13's window (_WINDOW_R13), per the rotation rule
+# (never-checked rows lead, oldest evidence fills):
+#   1. the 2 round-12 post-window additions that have never had a
+#      driver row (x26, x27 — soak-verified at sf0.01 by the round-12
+#      judge) plus the new round-13 x28 (postings-store lifecycle,
+#      oracle/hostile-checked this round);
+#   2. the 15 remaining r7-checked rows in ledger order (q71-q73,
+#      s01-s06, s09, u07, x08, x14-x16);
+#   3. the first 32 r8-checked rows in ledger order (d27-d29, d52,
+#      k14, k15, m13, m20, mm05, q01, q03-q11, q13-q23, q25, q26).
+# That is exactly 50; after a green R13 nothing predates r8 except
+# the 17 remaining r8 rows (q29-q31, q39-q44, q74-q76, s10, s11,
+# x15p, x17, x18) that lead _WINDOW_R14's fill.
+_WINDOW_R13 = (
+    # never driver-checked (round-12 post-window + round-13 additions)
+    "x26_feature_rerank", "x27_retrieval_quality_report",
+    "x28_postings_store_topk",
+    # oldest (r7-checked) rows in ledger order (15)
+    "q71_rank_functions", "q72_windowed_distinct", "q73_try_arithmetic",
+    "s01_tumbling_window", "s02_sliding_window", "s03_session_window",
+    "s04_first_arrival_dedup", "s05_stream_static_enrichment",
+    "s06_interval_join", "s09_chained_window_stats",
+    "u07_apply_in_arrow_range", "x08_pq_topk", "x14_filtered_topk",
+    "x15_incremental_ivf_topk", "x16_knn_join",
+    # oldest (r8-checked) rows in ledger order (32)
+    "d27_repeated_ngram_spans", "d28_bloom_incremental_dedup",
+    "d29_incremental_near_dedup", "d52_embedding_drift_psi",
+    "k14_compaction_report", "k15_avro_roundtrip",
+    "m13_schema_evolution_merge", "m20_version_retention",
+    "mm05_phash_near_dup", "q01_pricing_summary", "q03_top_orders",
+    "q04_revenue_by_nation", "q05_top_order_per_customer",
+    "q06_running_total", "q07_set_ops", "q08_distinct_counts",
+    "q09_customers_without_orders", "q10_conditional_agg",
+    "q11_string_functions", "q13_json_extract", "q14_in_list",
+    "q15_union_distinct", "q16_rollup", "q17_having",
+    "q18_exists_subquery", "q19_theta_join_ranges", "q20_cube",
+    "q21_grouping_sets", "q22_pivot", "q23_percentiles",
+    "q25_lateral_explode", "q26_scalar_subquery",
+)
+#
 _WINDOW_R12 = (
     # never driver-checked (round-11 post-window additions)
     "q83_first_touch_funnel", "q84_first_touch_dropoff_report",
@@ -525,9 +564,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R12 if n not in out]
+    missing = [n for n in _WINDOW_R13 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R12}
+    ordered = {n: out[n] for n in _WINDOW_R13}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 

@@ -36,26 +36,44 @@ def test_query_index_header_count_matches():
     assert m and int(m.group(1)) == len(all_queries())
 
 
-def _ledger_rows() -> dict[str, str]:
+def _ledger_rows() -> dict[str, tuple[str, str]]:
+    """query -> (last-driver-green cell, scheduled cell)."""
     text = COVERAGE.read_text()
     start = text.index("| query | last driver-green | scheduled |")
     end = text.index("Totals:", start)
-    return dict(
-        re.findall(r"^\| `([a-z0-9_]+)` \| ([^|]+?) \|", text[start:end], re.M)
-    )
+    return {
+        name: (green.strip(), sched.strip())
+        for name, green, sched in re.findall(
+            r"^\| `([a-z0-9_]+)` \| ([^|]+?) \| ([^|]+?) \|", text[start:end], re.M
+        )
+    }
 
 
 def test_evidence_column_matches_correctness_artifacts():
     """r7 verdict #4: the 'last driver-green' column is generated from the
     CORRECTNESS_r*.json artifacts and must equal that computation for every
-    query — the ledger can never drift from the driver's own records."""
+    query — the ledger can never drift from the driver's own records.
+
+    r12 verdict #2 (structural fix for four rounds of the same benign
+    red): the driver writes CORRECTNESS_r{N}.json AFTER the builder's
+    final commit, so a row frozen into round N's window can never show
+    rN in the committed ledger. The schedule column already encodes
+    the expectation — a row scheduled `rN*` whose artifact confirms rN
+    is the PLANNED outcome, not drift; the detector now fires only
+    when the artifact round disagrees with BOTH the evidence cell and
+    the schedule (real drift)."""
     from python_openetl_spark.testing import latest_green_rounds
 
     computed = latest_green_rounds()
     ledger = _ledger_rows()
     assert sorted(ledger) == sorted(all_queries())
-    for name, cell in ledger.items():
+    for name, (cell, sched) in ledger.items():
+        sched_m = re.fullmatch(r"r(\d+)\*", sched)
         if name in computed:
+            if sched_m and computed[name] == int(sched_m.group(1)):
+                # the scheduled window ran and the driver confirmed it
+                # after the ledger was committed — expected-green
+                continue
             assert cell == f"r{computed[name]}", (
                 f"{name}: ledger says {cell!r}, artifacts say r{computed[name]}"
             )

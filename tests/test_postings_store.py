@@ -1,0 +1,221 @@
+"""operators/postings_store.py — persisted incremental inverted index.
+
+Mirrors test_ivf_store.py's generation cases on the lexical side: the
+store's BM25 answers must equal retrieval.bm25_topk run from scratch
+over the equivalent corpus state after every lifecycle verb (build,
+edited-doc re-ingest, delete, re-ingest-after-delete resurrection,
+rebuild compaction), plus hostile shapes (empty batch, delete-only
+state, duplicate-id batch) and a concurrent-append hammer on the
+store write lock.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_openetl_spark.operators.postings_store import (
+    append_to_postings_store,
+    build_postings_store,
+    current_index_dir,
+    delete_from_postings_store,
+    load_doc_lengths,
+    load_postings,
+    postings_store_topk,
+    rebuild_postings_store,
+)
+from python_openetl_spark.operators.retrieval import bm25_topk
+
+_DOCS = [
+    (1, "apple banana cherry apple"),
+    (2, "banana cherry date"),
+    (3, "cherry date elder apple"),
+    (4, "fig grape apple banana"),
+    (5, "grape fig fig banana cherry"),
+    (6, "apple apple apple banana"),
+    (7, "date elder fig grape"),
+    (8, "elder fig grape apple cherry date"),
+]
+
+_QUERIES = [(100, "apple banana"), (200, "fig grape"), (300, "cherry date")]
+
+
+def _docs_df(spark, rows=None):
+    return spark.createDataFrame(rows or _DOCS, "doc_id long, text string")
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(_QUERIES, "query_id long, qtext string")
+
+
+def _rows(df):
+    return {
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in df.collect()
+    }
+
+
+def _assert_matches_scratch(spark, root, corpus_rows):
+    """Store answers == from-scratch bm25_topk over the given corpus."""
+    got = _rows(postings_store_topk(spark, root, _queries_df(spark), k=3))
+    want = _rows(
+        bm25_topk(_docs_df(spark, corpus_rows), _queries_df(spark), k=3)
+    )
+    assert got == want
+
+
+@pytest.fixture()
+def root(spark, tmp_path):
+    r = str(tmp_path / "postings")
+    build_postings_store(_docs_df(spark), r, n_buckets=8)
+    return r
+
+
+def test_build_matches_scratch_bm25(spark, root):
+    _assert_matches_scratch(spark, root, _DOCS)
+
+
+def test_bucket_layout_prunes_and_seq_pinned_long(spark, root):
+    idx = current_index_dir(root)
+    buckets = [
+        d for d in os.listdir(os.path.join(idx, "postings"))
+        if d.startswith("bucket=")
+    ]
+    assert len(buckets) > 1  # really hive-partitioned by term bucket
+    # pinned read schema: no footer inference, __seq pinned LONG
+    import json
+
+    with open(os.path.join(idx, "_schema.json")) as f:
+        pins = json.load(f)
+    seq_types = {
+        f["type"]
+        for key in ("postings", "doclens")
+        for f in pins[key]["fields"]
+        if f["name"] == "__seq"
+    }
+    assert seq_types == {"long"}
+    assert [
+        f["type"] for f in pins["deleted"]["fields"] if f["name"] == "seq"
+    ] == ["long"]
+
+
+def test_edited_reingest_replaces_stale_postings(spark, root):
+    # doc 6 loses all 'apple' terms; doc 2 gains 'apple'
+    batch = [(6, "banana banana zzz"), (2, "banana cherry date apple")]
+    superseded = append_to_postings_store(_docs_df(spark, batch), root)
+    assert superseded == 2
+    new_corpus = [r for r in _DOCS if r[0] not in (2, 6)] + batch
+    _assert_matches_scratch(spark, root, new_corpus)
+    # df for 'apple' reflects replacement, not double-count
+    df_apple = (
+        load_postings(spark, root).filter(F.col("term") == "apple").count()
+    )
+    assert df_apple == len([r for r in new_corpus if "apple" in r[1]])
+
+
+def test_pure_insert_batch_tombstones_nothing(spark, root):
+    n = append_to_postings_store(
+        _docs_df(spark, [(9, "hazel iris apple")]), root
+    )
+    assert n == 0
+    _assert_matches_scratch(spark, root, _DOCS + [(9, "hazel iris apple")])
+
+
+def test_delete_hides_doc_everywhere(spark, root):
+    assert delete_from_postings_store(spark, root, ids=[1, 6]) == 2
+    corpus = [r for r in _DOCS if r[0] not in (1, 6)]
+    _assert_matches_scratch(spark, root, corpus)
+    assert load_doc_lengths(spark, root).count() == len(corpus)
+    # absent ids are a no-op, not an error
+    assert delete_from_postings_store(spark, root, ids=[999]) == 0
+
+
+def test_predicate_delete(spark, root):
+    n = delete_from_postings_store(spark, root, where="doc_id % 2 = 0")
+    assert n == 4
+    _assert_matches_scratch(spark, root, [r for r in _DOCS if r[0] % 2])
+
+
+def test_reingest_after_delete_resurrects(spark, root):
+    delete_from_postings_store(spark, root, ids=[3])
+    append_to_postings_store(_docs_df(spark, [(3, "quince rose")]), root)
+    corpus = [r for r in _DOCS if r[0] != 3] + [(3, "quince rose")]
+    _assert_matches_scratch(spark, root, corpus)
+
+
+def test_edit_then_delete_hides_edited_generation(spark, root):
+    append_to_postings_store(_docs_df(spark, [(5, "apple zzz")]), root)
+    delete_from_postings_store(spark, root, ids=[5])
+    _assert_matches_scratch(spark, root, [r for r in _DOCS if r[0] != 5])
+
+
+def test_empty_batch_is_noop(spark, root):
+    empty = _docs_df(spark).filter(F.lit(False))
+    assert append_to_postings_store(empty, root) == 0
+    _assert_matches_scratch(spark, root, _DOCS)
+
+
+def test_duplicate_id_batch_raises(spark, root):
+    with pytest.raises(ValueError, match="unique"):
+        append_to_postings_store(
+            _docs_df(spark, [(1, "a b"), (1, "c d")]), root
+        )
+
+
+def test_rebuild_compacts_and_answers_identically(spark, root):
+    append_to_postings_store(_docs_df(spark, [(2, "kiwi lime apple")]), root)
+    delete_from_postings_store(spark, root, ids=[7, 8])
+    corpus = [r for r in _DOCS if r[0] not in (2, 7, 8)] + [
+        (2, "kiwi lime apple")
+    ]
+    rebuild_postings_store(spark, root)
+    idx = current_index_dir(root)
+    assert idx.endswith("v00000002")
+    # tombstones compacted away: no deleted dir, all rows generation 0
+    assert not os.path.isdir(os.path.join(idx, "deleted"))
+    _assert_matches_scratch(spark, root, corpus)
+    # re-bucketing rebuild also answers identically
+    rebuild_postings_store(spark, root, n_buckets=3)
+    _assert_matches_scratch(spark, root, corpus)
+
+
+def test_query_vocab_missing_from_corpus(spark, root):
+    q = spark.createDataFrame(
+        [(1, "zzz qqq")], "query_id long, qtext string"
+    )
+    assert postings_store_topk(spark, root, q, k=3).count() == 0
+
+
+def test_concurrent_appends_all_land(spark, root):
+    """The store-level write lock serializes whole appends: N threads
+    appending disjoint batches must each take a distinct generation
+    and lose no rows (the r12-advice FileOutputCommitter staging-dir
+    hazard this lock exists to close)."""
+    errs = []
+
+    def worker(i):
+        try:
+            append_to_postings_store(
+                _docs_df(spark, [(100 + i, f"tok{i} shared")]), root
+            )
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    corpus = _DOCS + [(100 + i, f"tok{i} shared") for i in range(6)]
+    assert load_doc_lengths(spark, root).count() == len(corpus)
+    _assert_matches_scratch(spark, root, corpus)
+    # distinct generations: doclens seq column has 6 distinct appends
+    import json
+
+    idx = current_index_dir(root)
+    with open(os.path.join(idx, "_seq.json")) as f:
+        assert json.load(f)["seq"] == 6
