@@ -287,3 +287,88 @@ def test_retrieval_eval_hand_computed(spark):
     row = retrieval_eval(perfect, big_qrels, k=5).collect()[0]
     assert row["ndcg"] == pytest.approx(1.0, abs=1e-12)
     assert row["recall"] == pytest.approx(round(5 / 8, 9), abs=1e-12)
+
+
+def test_feature_rerank_hostile_shapes(spark):
+    """r12 verdict item 6 planted fixtures: every candidate
+    single-tower (all lex-null, then all cos-null), one scored
+    candidate per query (min==max on a singleton), and an EMPTY corpus
+    dl frame (the sum-null driver guard) — each must produce finite,
+    deterministic scores, never 0/0 or NULL rows."""
+    from python_openetl_spark.operators.retrieval import feature_rerank
+
+    shortlist = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 9)], "query_id long, doc_id long"
+    )
+    no_lex = spark.createDataFrame([], "query_id long, doc_id long, score double")
+    dense = spark.createDataFrame(
+        [(1, 1, 0.5), (1, 2, -1.0), (2, 9, 1.0)],
+        "query_id long, doc_id long, cos_sim double",
+    )
+    dl = spark.createDataFrame([(1, 10), (2, 10), (9, 10)], "doc_id long, dl int")
+    # all candidates lexical-null: lex term 0 everywhere, cos decides
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rerank_score"], r["rank"])
+        for r in feature_rerank(shortlist, no_lex, dense, dl).collect()
+    }
+    assert got[(1, 1)] == (pytest.approx(0.3 * 0.75 + 0.2, abs=1e-12), 1)
+    assert got[(1, 2)] == (pytest.approx(0.2, abs=1e-12), 2)  # cos -1 -> 0
+    assert got[(2, 9)] == (pytest.approx(0.3 + 0.2, abs=1e-12), 1)
+
+    # all candidates dense-null + singleton scored lexical per query:
+    # min==max on ONE row must normalize to 1.0
+    one_lex = spark.createDataFrame(
+        [(1, 2, 3.5), (2, 9, 0.0)], "query_id long, doc_id long, score double"
+    )
+    no_dense = spark.createDataFrame(
+        [], "query_id long, doc_id long, cos_sim double"
+    )
+    got2 = {
+        (r["query_id"], r["doc_id"]): r["rerank_score"]
+        for r in feature_rerank(shortlist, one_lex, no_dense, dl).collect()
+    }
+    assert got2[(1, 2)] == pytest.approx(0.5 + 0.2, abs=1e-12)
+    assert got2[(1, 1)] == pytest.approx(0.2, abs=1e-12)  # unscored
+    # a 0.0 lexical score on a singleton still normalizes to 1.0
+    assert got2[(2, 9)] == pytest.approx(0.5 + 0.2, abs=1e-12)
+
+    # EMPTY corpus dl frame: sum(dl) is NULL -> the driver-side guard
+    # must not raise; every len_prior is 0 and scores stay finite
+    empty_dl = spark.createDataFrame([], "doc_id long, dl int")
+    got3 = {
+        (r["query_id"], r["doc_id"]): r["rerank_score"]
+        for r in feature_rerank(shortlist, one_lex, dense, empty_dl).collect()
+    }
+    assert got3[(1, 2)] == pytest.approx(0.5 + 0.0, abs=1e-12)
+    assert all(v is not None for v in got3.values())
+
+
+def test_retrieval_eval_hostile_shapes(spark):
+    """r12 verdict item 6: qrels with rel=0-only queries (no row) plus
+    k LARGER than the judgment set (recall can reach 1.0 and ndcg
+    normalizes by the full, shorter ideal), and an empty ranking
+    (judged queries all-zero metrics)."""
+    from python_openetl_spark.operators.retrieval import retrieval_eval
+
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1),   # 2 judged docs, k=5 > judgment set
+         (2, 20, 0), (2, 21, 0)],  # rel-0-only query: no output row
+        "query_id long, doc_id long, rel int",
+    )
+    ranking = spark.createDataFrame(
+        [(1, 11, 1), (1, 99, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = {r["query_id"]: r for r in retrieval_eval(ranking, qrels, k=5).collect()}
+    assert set(rows) == {1}
+    dcg = round(1 / math.log2(2), 9) + round(2 / math.log2(4), 9)
+    idcg = round(2 / math.log2(2), 9) + round(1 / math.log2(3), 9)
+    assert rows[1]["mrr"] == pytest.approx(1.0, abs=1e-12)
+    assert rows[1]["ndcg"] == pytest.approx(round(dcg / idcg, 9), abs=1e-12)
+    assert rows[1]["recall"] == pytest.approx(1.0, abs=1e-12)
+
+    # empty ranking: judged queries emit all-zero metrics, not no rows
+    empty = spark.createDataFrame([], "query_id long, doc_id long, rank int")
+    rows2 = {r["query_id"]: r for r in retrieval_eval(empty, qrels, k=5).collect()}
+    assert set(rows2) == {1}
+    assert (rows2[1]["mrr"], rows2[1]["ndcg"], rows2[1]["recall"]) == (0.0, 0.0, 0.0)
