@@ -219,3 +219,27 @@ def test_concurrent_appends_all_land(spark, root):
     idx = current_index_dir(root)
     with open(os.path.join(idx, "_seq.json")) as f:
         assert json.load(f)["seq"] == 6
+
+
+def test_probe_prunes_bucket_partitions(spark, root):
+    """The scale contract: the probe's postings scan must carry a
+    bucket IN-list PartitionFilter (only the query vocabulary's hive
+    directories are read), and it must prune to fewer than all
+    buckets for a narrow query — a refactor that demotes the literal
+    IN-list to a join would silently read the whole index."""
+    import re
+
+    q = spark.createDataFrame(
+        [(1, "apple banana")], "query_id long, qtext string"
+    )
+    out = postings_store_topk(spark, root, q, k=3)
+    # formatted explain: the plain toString truncates scan detail lines
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(
+        r"PartitionFilters: \[bucket#\d+ (?:IN \(([^)]*)\)|= (\d+))\]", plan
+    )
+    assert m, "postings scan lost its bucket partition filter"
+    pruned = len((m.group(1) or m.group(2)).split(","))
+    assert pruned < 8  # narrower than the store's 8 buckets
