@@ -243,3 +243,22 @@ def test_probe_prunes_bucket_partitions(spark, root):
     assert m, "postings scan lost its bucket partition filter"
     pruned = len((m.group(1) or m.group(2)).split(","))
     assert pruned < 8  # narrower than the store's 8 buckets
+
+
+def test_shared_vacuum_prunes_superseded_versions(spark, root):
+    """vacuum_ivf_store works UNCHANGED on the postings layout (the
+    shared version-dir + _current.json contract): after two rebuilds,
+    keep_last=1 prunes the superseded version dirs, the live version
+    survives, and answers are unchanged."""
+    from python_openetl_spark.operators.ivf_store import vacuum_ivf_store
+
+    rebuild_postings_store(spark, root)
+    rebuild_postings_store(spark, root)
+    removed = vacuum_ivf_store(root, keep_last=1)
+    assert removed == [1, 2]
+    import os as _os
+
+    assert sorted(
+        d for d in _os.listdir(root) if d.startswith("v")
+    ) == ["v00000003"]
+    _assert_matches_scratch(spark, root, _DOCS)
