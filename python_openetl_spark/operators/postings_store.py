@@ -44,6 +44,14 @@ r11/r12 (`_seq.lock`d counter, store-level `_write.lock`, pinned
   in-flight probes keep the version they resolved. Superseded
   versions are pruned by the SHARED :func:`ivf_store.vacuum_ivf_store`
   (identical version-dir layout).
+- :func:`build_positional_postings_store` /
+  :func:`postings_store_phrase` — the positional variant (postings
+  carry 1-based token positions) and the exact-phrase containment
+  probe built on it: which live documents quote a phrase VERBATIM
+  (contiguous token sequence), the phrase-level decontamination
+  primitive e02's n-gram hashes approximate. Pure integer/set
+  arithmetic — exactly oracle-checkable. Appends/deletes/rebuilds
+  keep the positional schema (``_meta.json`` records the variant).
 
 Scale shape (the 100 TB story): postings shuffle once at build (rows
 bounded by distinct (term, doc) pairs — never raw token streams);
@@ -290,7 +298,13 @@ def append_to_postings_store(
         )
         n = _tombstone_ids(spark, idx_dir, live_doomed)
         seq = _bump_seq(idx_dir)
-        post = build_postings(batch_docs, text_col, id_col)
+        # a positional store's appends must keep the positional schema
+        # (meta records the build variant) — mixing would NULL the
+        # positions column for appended docs and break phrase probes
+        if _read_meta(idx_dir).get("positions"):
+            post = _build_positional_postings(batch_docs, text_col, id_col)
+        else:
+            post = build_postings(batch_docs, text_col, id_col)
         dl = doc_lengths(batch_docs, text_col, id_col)
         _write_generation(idx_dir, post, dl, seq, n_buckets, "append")
     return n
@@ -428,14 +442,146 @@ def rebuild_postings_store(
     ``n_buckets`` to re-bucket (e.g. after the vocabulary grew)."""
     version = _current_version(root)
     cur_dir = _version_dir(root, version)
+    meta = _read_meta(cur_dir)
     if n_buckets is None:
-        n_buckets = int(_read_meta(cur_dir)["n_buckets"])
-    post = _load_live(spark, cur_dir, _POSTINGS, "postings").select(
-        "term", "doc_id", "tf"
+        n_buckets = int(meta["n_buckets"])
+    cols = ["term", "doc_id", "tf"] + (
+        ["positions"] if meta.get("positions") else []
     )
+    post = _load_live(spark, cur_dir, _POSTINGS, "postings").select(*cols)
     dl = _load_live(spark, cur_dir, _DOCLENS, "doclens").select("doc_id", "dl")
     new_dir = _version_dir(root, version + 1)
     os.makedirs(new_dir, exist_ok=True)
-    _write_meta(new_dir, {"n_buckets": int(n_buckets)})
+    _write_meta(new_dir, {**meta, "n_buckets": int(n_buckets)})
     _write_generation(new_dir, post, dl, 0, n_buckets, "errorifexists")
     _commit_version(root, version + 1)
+
+
+def _build_positional_postings(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """``(term, doc_id, tf, positions)`` with 1-based token positions
+    sorted ascending. Same shuffle shape as build_postings (one row
+    per distinct (term, doc) pair — the positions ride as an array
+    payload, never as extra shuffle rows)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+        )
+        .select("doc_id", F.posexplode("toks").alias("pos0", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list(F.col("pos0") + F.lit(1))).alias(
+                "positions"
+            ),
+        )
+    )
+
+
+def build_positional_postings_store(
+    docs: DataFrame,
+    root: str,
+    *,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build variant that stores 1-based token POSITIONS per posting,
+    enabling exact-phrase probes (:func:`postings_store_phrase`) —
+    the phrase-level decontamination primitive (an eval question's
+    exact wording, not just its vocabulary). Layout, pins, tombstones
+    and lifecycle verbs are identical to the standard store;
+    ``_meta.json`` records ``positions: true`` so appends keep the
+    schema (append/delete/rebuild/vacuum work unchanged — the append
+    path builds positional postings for the batch when the meta says
+    so)."""
+    version = 1
+    idx_dir = _version_dir(root, version)
+    os.makedirs(idx_dir, exist_ok=True)
+    _write_meta(idx_dir, {"n_buckets": int(n_buckets), "positions": True})
+    post = _build_positional_postings(docs, text_col, id_col)
+    dl = doc_lengths(docs, text_col, id_col)
+    _write_generation(idx_dir, post, dl, 0, n_buckets, "errorifexists")
+    _commit_version(root, version)
+
+
+def postings_store_phrase(
+    spark: SparkSession,
+    root: str,
+    phrases: DataFrame,
+    *,
+    phrase_id_col: str = "phrase_id",
+    phrase_text_col: str = "ptext",
+) -> DataFrame:
+    """Exact-phrase containment over a POSITIONAL store:
+    ``(phrase_id, doc_id)`` for every live document whose token stream
+    contains the phrase's token sequence CONTIGUOUSLY (the
+    decontamination question: which corpus docs quote this eval item
+    verbatim). Entirely integer/set arithmetic — no floats, so the
+    oracle is exact.
+
+    Plan shape: the phrase set is driver-bounded (broadcast); each
+    phrase term joins its (bucket-pruned, vocabulary-pruned) postings
+    row, positions are normalized by the term's offset within the
+    phrase (pos − offset), and a document matches when the
+    intersection of its per-term normalized position sets is
+    non-empty AND every phrase term was present — one shuffle on
+    (phrase, doc), candidate rows bounded by phrase-vocabulary
+    postings. Phrases with repeated terms work (each offset is an
+    independent row against the same posting). Empty/sub-token
+    phrases yield no rows."""
+    idx_dir = current_index_dir(root)
+    meta = _read_meta(idx_dir)
+    if not meta.get("positions"):
+        raise ValueError(
+            "postings_store_phrase: store was not built with positions "
+            "(use build_positional_postings_store)"
+        )
+    n_buckets = int(meta["n_buckets"])
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("phrase_id"),
+        F.posexplode(tokens(phrase_text_col)).alias("offset", "term"),
+    )
+    plens = pterms.groupBy("phrase_id").agg(
+        F.count(F.lit(1)).alias("__plen")
+    )
+    pvocab = pterms.select("term").distinct()
+    buckets = [
+        r[0]
+        for r in pvocab.select(
+            _bucket_col("term", n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    post = _load_live(spark, idx_dir, _POSTINGS, "postings")
+    if buckets:
+        post = post.filter(F.col("bucket").isin(buckets))
+    rows = (
+        post.select("term", "doc_id", "positions")
+        .join(F.broadcast(pterms), "term")
+        .select(
+            "phrase_id",
+            "doc_id",
+            "offset",
+            F.transform(
+                "positions", lambda p: p - F.col("offset")
+            ).alias("__norm"),
+        )
+    )
+    grouped = rows.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("__nterms"),
+        F.collect_list("__norm").alias("__sets"),
+    )
+    anchored = grouped.join(F.broadcast(plens), "phrase_id").filter(
+        F.col("__nterms") == F.col("__plen")
+    )
+    starts = F.aggregate(
+        F.slice(F.col("__sets"), 2, F.greatest(F.size("__sets") - 1, F.lit(0))),
+        F.element_at(F.col("__sets"), 1),
+        lambda acc, s: F.array_intersect(acc, s),
+    )
+    return (
+        anchored.filter(F.size(starts) > 0)
+        .select("phrase_id", "doc_id")
+        .orderBy("phrase_id", "doc_id")
+    )

@@ -83,8 +83,59 @@ def x28_postings_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_store_topk(spark, root, _derived_queries(docs), k=_K)
 
 
+#: x29 phrase seeds: every _Q_MOD-th doc's tokens 3..8 (middle of the
+#: doc, so the phrase is not a shared prefix), 6 tokens
+_PH_START = 3
+_PH_LEN = 6
+
+_X29_STORES: dict[str, str] = {}
+
+
+def _x29_store(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from python_openetl_spark.operators.postings_store import (
+        build_positional_postings_store,
+    )
+
+    root = _X29_STORES.get(sf_dir)
+    if root is None:
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        root = tempfile.mkdtemp(prefix="poe_x29_") + "/positional"
+        build_positional_postings_store(docs, root)
+        _X29_STORES[sf_dir] = root
+    return root
+
+
+def x29_phrase_store_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-quote decontamination sweep over the POSITIONAL
+    postings store (operators/postings_store.py
+    postings_store_phrase): each probe phrase is a 6-token span from
+    the MIDDLE of every {_Q_MOD}th document; the result lists every
+    corpus document containing that exact contiguous token sequence —
+    the seed doc itself plus any verbatim duplicates/quotes. Pure
+    integer/set arithmetic, so the DuckDB oracle (boundary-safe
+    substring over the space-joined token stream — exact because
+    tokens contain no spaces) matches bit-for-bit. Round-13
+    post-window addition; rotates into _WINDOW_R14."""
+    from python_openetl_spark.operators.postings_store import (
+        postings_store_phrase,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = docs.filter(F.col("doc_id") % _Q_MOD == 0).select(
+        F.col("doc_id").alias("phrase_id"),
+        F.array_join(
+            F.slice(tokens("text"), _PH_START, _PH_LEN), " "
+        ).alias("ptext"),
+    )
+    root = _x29_store(spark, sf_dir)
+    return postings_store_phrase(spark, root, phrases)
+
+
 QUERIES = {
     "x28_postings_store_topk": x28_postings_store_topk,
+    "x29_phrase_store_contamination": x29_phrase_store_contamination,
 }
 
 # The oracle reconstructs the store's final corpus state relationally
@@ -142,3 +193,24 @@ ORACLE = {
         ) WHERE rank <= {_K}
     """,
 }
+
+# x29: a doc contains the phrase iff the phrase's token sequence
+# appears CONTIGUOUSLY in the doc's token stream — equivalently, the
+# space-joined token string contains ' phrase ' with boundary spaces
+# (exact, because the tokenizer guarantees tokens contain no spaces
+# and no LIKE metacharacters: [a-z0-9]+ only). NULL/short seed docs
+# yield NULL/empty phrases, which match nothing on either side.
+ORACLE["x29_phrase_store_contamination"] = f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ph AS (
+      SELECT doc_id AS phrase_id,
+             array_to_string(list_slice(toks, {_PH_START}, {_PH_START + _PH_LEN - 1}), ' ') AS phrase
+      FROM tk WHERE doc_id % {_Q_MOD} = 0
+    )
+    SELECT p.phrase_id, t.doc_id
+    FROM ph p, tk t
+    WHERE p.phrase IS NOT NULL AND p.phrase <> ''
+      AND (' ' || array_to_string(t.toks, ' ') || ' ')
+          LIKE ('% ' || p.phrase || ' %')
+    ORDER BY phrase_id, doc_id
+"""

@@ -262,3 +262,106 @@ def test_shared_vacuum_prunes_superseded_versions(spark, root):
         d for d in _os.listdir(root) if d.startswith("v")
     ) == ["v00000003"]
     _assert_matches_scratch(spark, root, _DOCS)
+
+
+class TestPhraseStore:
+    """Positional variant + exact-phrase probe."""
+
+    @pytest.fixture()
+    def proot(self, spark, tmp_path):
+        from python_openetl_spark.operators.postings_store import (
+            build_positional_postings_store,
+        )
+
+        r = str(tmp_path / "positional")
+        build_positional_postings_store(
+            _docs_df(
+                spark,
+                [
+                    (1, "the quick brown fox jumps"),
+                    (2, "quick brown dog"),
+                    (3, "the quick quick brown fox"),
+                    (4, "brown quick the"),
+                    (5, "fox fox fox"),
+                ],
+            ),
+            r,
+            n_buckets=4,
+        )
+        return r
+
+    def _phrases(self, spark, rows):
+        return spark.createDataFrame(rows, "phrase_id long, ptext string")
+
+    def _hits(self, spark, proot, rows):
+        from python_openetl_spark.operators.postings_store import (
+            postings_store_phrase,
+        )
+
+        return sorted(
+            (r["phrase_id"], r["doc_id"])
+            for r in postings_store_phrase(
+                spark, proot, self._phrases(spark, rows)
+            ).collect()
+        )
+
+    def test_contiguity_order_and_repeats(self, spark, proot):
+        got = self._hits(
+            spark,
+            proot,
+            [
+                (10, "quick brown fox"),  # 3's 'quick quick brown fox' matches
+                (11, "quick brown"),
+                (12, "fox fox"),          # repeated-term phrase
+                (13, "brown fox jumps"),  # through to doc end
+                (14, "the quick"),        # from doc start
+                (15, "brown the quick"),  # right words, wrong order
+                (16, "missing phrase"),
+            ],
+        )
+        assert got == [
+            (10, 1), (10, 3), (11, 1), (11, 2), (11, 3),
+            (12, 5), (13, 1), (14, 1), (14, 3),
+        ]
+
+    def test_single_token_and_empty_phrase(self, spark, proot):
+        assert self._hits(spark, proot, [(1, "dog"), (2, ""), (3, None)]) == [
+            (1, 2)
+        ]
+
+    def test_lifecycle_preserves_positions(self, spark, proot):
+        # edited re-ingest replaces positions; delete hides; rebuild keeps
+        append_to_postings_store(
+            _docs_df(spark, [(2, "now quick brown fox here")]), proot
+        )
+        delete_from_postings_store(spark, proot, ids=[1])
+        assert self._hits(spark, proot, [(10, "quick brown fox")]) == [
+            (10, 2), (10, 3),
+        ]
+        rebuild_postings_store(spark, proot)
+        assert self._hits(spark, proot, [(10, "quick brown fox")]) == [
+            (10, 2), (10, 3),
+        ]
+
+    def test_non_positional_store_raises(self, spark, root):
+        from python_openetl_spark.operators.postings_store import (
+            postings_store_phrase,
+        )
+
+        with pytest.raises(ValueError, match="positions"):
+            postings_store_phrase(
+                spark, root, self._phrases(spark, [(1, "apple banana")])
+            )
+
+    def test_bm25_probe_works_on_positional_store(self, spark, proot):
+        got = postings_store_topk(
+            spark, proot, self._phrases_as_queries(spark), k=3
+        )
+        assert got.count() > 0
+
+    @staticmethod
+    def _phrases_as_queries(spark):
+        return spark.createDataFrame(
+            [(1, "quick fox"), (2, "brown dog")],
+            "query_id long, qtext string",
+        )
