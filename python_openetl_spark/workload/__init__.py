@@ -230,6 +230,49 @@ _MODULES = (
 # That is exactly 50; after a green R13 nothing predates r8 except
 # the 17 remaining r8 rows (q29-q31, q39-q44, q74-q76, s10, s11,
 # x15p, x17, x18) that lead _WINDOW_R14's fill.
+# Round 14's window (_WINDOW_R14), per the rotation rule
+# (never-checked rows lead, oldest evidence fills) and the r13
+# verdict's plan item 1:
+#   1. the 1 round-13 post-window addition that has never had a
+#      driver row (x29 — oracle-checked at sf0.001/0.01 in round 13
+#      AND independently sf0.01-soak-verified by the round-13 judge;
+#      k13 stays excluded: rows-only by design with an r8 driver row);
+#   2. the 17 remaining r8-checked rows in ledger order (q29-q31,
+#      q39-q44, q74-q76, s10, s11, x15p, x17, x18);
+#   3. the first 32 r9-checked rows in ledger order (d02-d05,
+#      d07-d11, d13, d14p, d15-d17, d30-d38 family, d53, d54,
+#      e02-e04, e08, k01, k03, k04).
+# That is exactly 50; after a green R14 nothing predates r9 except
+# the 18 remaining r9 rows (k16, mm06, q00, q32-q36, q38, q45, q46,
+# q48, q49, q77, q78, s12, x19, x20) that lead _WINDOW_R15's fill.
+_WINDOW_R14 = (
+    # never driver-checked (round-13 post-window addition)
+    "x29_phrase_store_contamination",
+    # oldest (r8-checked) rows in ledger order (17)
+    "q29_histogram", "q30_volume_shipping", "q31_market_share",
+    "q39_returned_item_revenue", "q40_profit_by_nation_year",
+    "q41_small_quantity_revenue", "q42_large_volume_orders",
+    "q43_disjunctive_predicates", "q44_promo_revenue",
+    "q74_subtree_rollup", "q75_variant_shred", "q76_locf_forward_fill",
+    "s10_stream_versioned_cdc", "s11_stateful_running_state",
+    "x15p_ivf_store_production_probe", "x17_cell_knn_join",
+    "x18_ivfpq_store_topk",
+    # oldest (r9-checked) rows in ledger order (32)
+    "d02_text_stats", "d03_language_id", "d04_quality_score",
+    "d05_fingerprint", "d07_ngram_jaccard_pairs", "d08_simhash",
+    "d09_simhash_near_pairs", "d10_hash_sample", "d11_stratified_sample",
+    "d13_canonical_corpus", "d14p_dup_clusters_production",
+    "d15_rolling_fingerprint", "d16_token_frequency",
+    "d17_tfidf_top_terms", "d30_vocab_encode", "d31_leakage_safe_split",
+    "d32_unigram_logprob", "d33_cms_heavy_hitters", "d34_bm25_topk",
+    "d35_chunk_documents", "d36_incremental_postings",
+    "d37_curriculum_mixture", "d38_containment_pairs",
+    "d53_ngram_novelty", "d54_winnowing_fingerprints",
+    "e02_exact_contamination", "e03_neardup_contamination",
+    "e04_build_training_set", "e08_temperature_mixture",
+    "k01_csv_roundtrip", "k03_orc_roundtrip", "k04_parquet_roundtrip",
+)
+#
 _WINDOW_R13 = (
     # never driver-checked (round-12 post-window + round-13 additions)
     "x26_feature_rerank", "x27_retrieval_quality_report",
@@ -564,9 +607,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         overlap = set(out) & set(m.QUERIES)
         assert not overlap, f"duplicate query names: {overlap}"
         out.update(m.QUERIES)
-    missing = [n for n in _WINDOW_R13 if n not in out]
+    missing = [n for n in _WINDOW_R14 if n not in out]
     assert not missing, f"window names not in workload: {missing}"
-    ordered = {n: out[n] for n in _WINDOW_R13}
+    ordered = {n: out[n] for n in _WINDOW_R14}
     ordered.update({n: f for n, f in out.items() if n not in ordered})
     return ordered
 
