@@ -135,10 +135,23 @@ class _write_lock:
     or double-commit the other's staged files even when their
     generations are distinct. Serializing the whole write is the only
     data-layer-safe answer short of per-write staging dirs; the
-    timeout is sized for a real parquet append, not a counter bump."""
+    timeout is sized for a real parquet append, not a counter bump.
 
-    def __init__(self, idx_dir: str, timeout: float = 120.0):
+    The default timeout comes from ``SPARK_GRAFT_STORE_LOCK_TIMEOUT``
+    (seconds, default 120) so a deployment whose legitimate appends
+    run longer can size it to real write durations (r13 advice: at
+    100 TB a healthy parquet append can exceed any fixed constant, and
+    the timeout's error message tells a waiting writer to remove the
+    lock file — followed against a HEALTHY holder that would corrupt
+    the in-flight write). Every append/tombstone/rebuild path of both
+    stores constructs the lock through this one default."""
+
+    def __init__(self, idx_dir: str, timeout: float | None = None):
         self._lock = os.path.join(idx_dir, "_write.lock")
+        if timeout is None:
+            timeout = float(
+                os.environ.get("SPARK_GRAFT_STORE_LOCK_TIMEOUT", "120")
+            )
         self._timeout = timeout
 
     def __enter__(self):
@@ -536,44 +549,57 @@ def append_to_ivf_store(
     # the ENTIRE write sits under the store lock (seq bump + parquet
     # append + pin update): distinct generations alone don't protect
     # two concurrent appends sharing the committer's _temporary dir
+    stale = False
     with _write_lock(idx_dir):
-        assigned = conformed.mapInPandas(
-            _assign_fn(cnorm, id_col, vec_col, attrs),
-            schema=f"{id_col} long, {vec_col} array<float>"
-            + _attr_schema(conformed, attrs)
-            + ", cell int",
-        ).withColumn(
-            # cast to long: the counter is unbounded and the pin says
-            # long — a bare int literal would diverge from the pin type
-            # once the counter passes 2^31
-            _SEQ, F.lit(_bump_seq(idx_dir)).cast("long")
-        )  # new write generation
-        assigned.repartition("cell").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(os.path.join(idx_dir, _ASSIGNED))
-        if "assigned" not in pins:
-            # one-time legacy migration: this pre-pin store now definitely
-            # mixes seq-stamped files with (possibly) unstamped ones, so pin
-            # the union schema ONCE — the same schema mergeSchema would
-            # infer on every future read — and future probes skip footers
-            merged = spark.read.option("mergeSchema", "true").parquet(
-                os.path.join(idx_dir, _ASSIGNED)
-            ).schema
-            a_pin, d_pin = _pin_from_written(merged, id_col)
-            _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
+        if current_index_dir(root) != idx_dir:
+            # a rebuild committed while this writer waited on the lock
+            # (rebuild_ivf_store holds it for its whole duration):
+            # writing here would land in the superseded version dir —
+            # rows silently absent from the new version and deleted by
+            # the next vacuum. Retry against the new current version
+            # (re-reading ITS centroids/pins — a rebuild may have
+            # re-trained them).
+            stale = True
         else:
-            from pyspark.sql.types import LongType
-
-            seq_field = next(
-                (f for f in pins["assigned"].fields if f.name == _SEQ), None
-            )
-            if seq_field is not None and not isinstance(
-                seq_field.dataType, LongType
-            ):
-                # pre-r13 pin carried int seq: upgrade both pins to long
-                # (old int files upcast; this long-seq file reads exact)
-                a_pin, d_pin = _pin_from_written(pins["assigned"], id_col)
+            assigned = conformed.mapInPandas(
+                _assign_fn(cnorm, id_col, vec_col, attrs),
+                schema=f"{id_col} long, {vec_col} array<float>"
+                + _attr_schema(conformed, attrs)
+                + ", cell int",
+            ).withColumn(
+                # cast to long: the counter is unbounded and the pin says
+                # long — a bare int literal would diverge from the pin type
+                # once the counter passes 2^31
+                _SEQ, F.lit(_bump_seq(idx_dir)).cast("long")
+            )  # new write generation
+            assigned.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(os.path.join(idx_dir, _ASSIGNED))
+            if "assigned" not in pins:
+                # one-time legacy migration: this pre-pin store now definitely
+                # mixes seq-stamped files with (possibly) unstamped ones, so pin
+                # the union schema ONCE — the same schema mergeSchema would
+                # infer on every future read — and future probes skip footers
+                merged = spark.read.option("mergeSchema", "true").parquet(
+                    os.path.join(idx_dir, _ASSIGNED)
+                ).schema
+                a_pin, d_pin = _pin_from_written(merged, id_col)
                 _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
+            else:
+                from pyspark.sql.types import LongType
+
+                seq_field = next(
+                    (f for f in pins["assigned"].fields if f.name == _SEQ), None
+                )
+                if seq_field is not None and not isinstance(
+                    seq_field.dataType, LongType
+                ):
+                    # pre-r13 pin carried int seq: upgrade both pins to long
+                    # (old int files upcast; this long-seq file reads exact)
+                    a_pin, d_pin = _pin_from_written(pins["assigned"], id_col)
+                    _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
+    if stale:
+        append_to_ivf_store(batch, root, id_col=id_col, vec_col=vec_col)
 
 
 def delete_from_ivf_store(
@@ -623,22 +649,33 @@ def delete_from_ivf_store(
         doomed = live.select(id_col).join(
             F.broadcast(id_df.distinct()), id_col, "left_semi"
         )
-    return _tombstone(spark, idx_dir, doomed, id_col)
+    return _tombstone(spark, idx_dir, doomed, id_col, root=root)
 
 
 def _tombstone(
-    spark: SparkSession, idx_dir: str, doomed_ids: DataFrame, id_col: str
+    spark: SparkSession,
+    idx_dir: str,
+    doomed_ids: DataFrame,
+    id_col: str,
+    root: str | None = None,
 ) -> int:
     """Write generation-scoped tombstones for the given LIVE ids
     (callers pre-intersect with the live set) at the version's current
-    write generation; rows appended at a later generation escape."""
+    write generation; rows appended at a later generation escape.
+    When ``root`` is given, the version pointer is re-checked after
+    the lock is acquired: a rebuild that committed while this writer
+    waited (rebuild holds the same lock) means the tombstones must
+    land in the NEW current version — the superseded dir is invisible
+    to readers and vacuumed away. The doomed ids are materialized
+    before the wait, so they carry over (a rebuild is a pure
+    compaction: the live id set is unchanged)."""
     # localCheckpoint severs lineage from the deleted/ directory the
     # append below writes into — a persist()-only plan could be
     # re-evaluated against that directory mid-append on cache eviction
     # or executor loss (r11 advice: self-read hazard)
     doomed = doomed_ids.localCheckpoint(eager=True)
     n = doomed.count()
-    if n:
+    while n:
         # store lock around the deleted/ append: concurrent tombstone
         # writes share the committer staging dir like any append; the
         # seq literal is read (not bumped) under the same lock so it
@@ -646,6 +683,9 @@ def _tombstone(
         # pinned read schema (r12 advice: an int literal past 2^31
         # would read back NULL under a long pin's int predecessor)
         with _write_lock(idx_dir):
+            if root is not None and current_index_dir(root) != idx_dir:
+                idx_dir = current_index_dir(root)
+                continue
             doomed.withColumn(
                 "seq", F.lit(_read_seq(idx_dir)).cast("long")
             ).coalesce(1).write.mode("append").parquet(
@@ -672,6 +712,7 @@ def _tombstone(
                         assigned=a_pin if "assigned" in pins else None,
                         deleted=d_pin,
                     )
+        break
     return n
 
 
@@ -719,7 +760,7 @@ def update_ivf_store(
         .select(id_col)
         .join(F.broadcast(ids), id_col, "left_semi")
     )
-    n = _tombstone(spark, idx_dir, live_doomed, id_col)
+    n = _tombstone(spark, idx_dir, live_doomed, id_col, root=root)
     append_to_ivf_store(batch, root, id_col=id_col, vec_col=vec_col)
     return n
 
@@ -876,23 +917,39 @@ def rebuild_ivf_store(
     an in-flight probe that resolved it keeps scanning files that still
     exist. Superseded versions are deleted only by the explicit
     :func:`vacuum_ivf_store` (single-writer assumed, as in
-    plans/versioned.py)."""
+    plans/versioned.py).
+
+    The rebuild holds the current version's store write lock for its
+    whole duration (r13 advice: an append racing an unlocked rebuild
+    could write into the superseded version dir after the pointer
+    swap — its rows silently absent from the new version and deleted
+    by the next vacuum). Readers are lock-free and stay unblocked; a
+    writer that waited out the rebuild re-resolves the pointer after
+    acquiring the lock and retries on the NEW version (the write
+    paths' currency re-check), so no write can land in a superseded
+    dir. :func:`vacuum_ivf_store` still requires quiescing writers —
+    deletion is not guarded by any lock."""
     version = _current_version(root)
     cur_dir = _version_dir(root, version)
-    # _load_assigned drops tombstoned ids, so deletes COMPACT here:
-    # the new version contains neither the rows nor the tombstones
-    full = _load_assigned(spark, cur_dir, id_col)
-    # attribute columns survive the rebuild (everything except cell,
-    # which the new quantizer reassigns)
-    attrs = tuple(c for c in full.columns if c not in (id_col, vec_col, "cell"))
-    current = full.select(id_col, vec_col, *attrs)
-    if nlist is None:
-        nlist = spark.read.parquet(os.path.join(cur_dir, _CENTROIDS)).count()
-    _build_into(
-        current, _version_dir(root, version + 1), nlist, id_col, vec_col, seed,
-        train_iters, attr_cols=attrs,
-    )
-    _commit_version(root, version + 1)
+    with _write_lock(cur_dir):
+        # _load_assigned drops tombstoned ids, so deletes COMPACT here:
+        # the new version contains neither the rows nor the tombstones
+        full = _load_assigned(spark, cur_dir, id_col)
+        # attribute columns survive the rebuild (everything except cell,
+        # which the new quantizer reassigns)
+        attrs = tuple(
+            c for c in full.columns if c not in (id_col, vec_col, "cell")
+        )
+        current = full.select(id_col, vec_col, *attrs)
+        if nlist is None:
+            nlist = spark.read.parquet(
+                os.path.join(cur_dir, _CENTROIDS)
+            ).count()
+        _build_into(
+            current, _version_dir(root, version + 1), nlist, id_col,
+            vec_col, seed, train_iters, attr_cols=attrs,
+        )
+        _commit_version(root, version + 1)
 
 
 def vacuum_ivf_store(root: str, *, keep_last: int = 2) -> list[int]:

@@ -216,24 +216,32 @@ def rebuild_ivfpq_store(
     ``nlist``/``m``/``ksub`` default to the live store's geometry.
     Superseded versions are pruned only by the explicit
     :func:`operators.ivf_store.vacuum_ivf_store` (the layout is
-    shared)."""
+    shared). Holds the current version's store write lock for the
+    whole rebuild (the r14 rebuild-vs-append rule, see
+    ivf_store.rebuild_ivf_store) — a waiting appender re-resolves the
+    pointer after acquiring and retries on the new version."""
     version = _current_version(root)
     cur_dir = _version_dir(root, version)
-    if nlist is None:
-        nlist = spark.read.parquet(os.path.join(cur_dir, _CENTROIDS)).count()
-    if m is None or ksub is None:
-        books = _read_codebooks(spark, cur_dir)
-        m = m if m is not None else books.shape[0]
-        ksub = ksub if ksub is not None else books.shape[1]
-    # _load_assigned: tombstoned ids (delete_from_ivf_store — the
-    # layout is shared) must not survive a PQ rebuild either
-    held_ids = _load_assigned(spark, cur_dir, id_col).select(id_col)
-    current = corpus.select(id_col, vec_col).join(held_ids, id_col, "left_semi")
-    _build_pq_into(
-        current, _version_dir(root, version + 1), nlist, m, ksub, iters,
-        id_col, vec_col, seed,
-    )
-    _commit_version(root, version + 1)
+    with _write_lock(cur_dir):
+        if nlist is None:
+            nlist = spark.read.parquet(
+                os.path.join(cur_dir, _CENTROIDS)
+            ).count()
+        if m is None or ksub is None:
+            books = _read_codebooks(spark, cur_dir)
+            m = m if m is not None else books.shape[0]
+            ksub = ksub if ksub is not None else books.shape[1]
+        # _load_assigned: tombstoned ids (delete_from_ivf_store — the
+        # layout is shared) must not survive a PQ rebuild either
+        held_ids = _load_assigned(spark, cur_dir, id_col).select(id_col)
+        current = corpus.select(id_col, vec_col).join(
+            held_ids, id_col, "left_semi"
+        )
+        _build_pq_into(
+            current, _version_dir(root, version + 1), nlist, m, ksub, iters,
+            id_col, vec_col, seed,
+        )
+        _commit_version(root, version + 1)
 
 
 def append_to_ivfpq_store(
@@ -252,24 +260,33 @@ def append_to_ivfpq_store(
     # whole write under the store lock (ivf_store rule: distinct
     # generations don't protect concurrent appends from sharing the
     # committer's _temporary staging dir)
+    stale = False
     with _write_lock(idx_dir):
-        encoded = batch.select(id_col, vec_col).mapInPandas(
-            _encode_assign_fn(cnorm, books, id_col, vec_col),
-            schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
-        ).withColumn(
-            _SEQ, F.lit(_bump_seq(idx_dir)).cast("long")
-        )  # new write generation; long to match the pinned read schema
-        encoded.repartition("cell").write.mode("append").partitionBy(
-            "cell"
-        ).parquet(os.path.join(idx_dir, _ASSIGNED))
-        if "assigned" not in _read_store_schemas(idx_dir):
-            # one-time legacy migration (ivf_store append rule): pin the
-            # union schema mergeSchema would infer, once, post-append
-            merged = spark.read.option("mergeSchema", "true").parquet(
-                os.path.join(idx_dir, _ASSIGNED)
-            ).schema
-            a_pin, d_pin = _pin_from_written(merged, id_col)
-            _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
+        if current_index_dir(root) != idx_dir:
+            # a rebuild committed while this writer waited: retry on
+            # the new current version, re-reading ITS quantizers (the
+            # r14 rebuild-vs-append rule, see ivf_store)
+            stale = True
+        else:
+            encoded = batch.select(id_col, vec_col).mapInPandas(
+                _encode_assign_fn(cnorm, books, id_col, vec_col),
+                schema=f"{id_col} long, codes array<tinyint>, vnorm double, cell int",
+            ).withColumn(
+                _SEQ, F.lit(_bump_seq(idx_dir)).cast("long")
+            )  # new write generation; long to match the pinned read schema
+            encoded.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(os.path.join(idx_dir, _ASSIGNED))
+            if "assigned" not in _read_store_schemas(idx_dir):
+                # one-time legacy migration (ivf_store append rule): pin the
+                # union schema mergeSchema would infer, once, post-append
+                merged = spark.read.option("mergeSchema", "true").parquet(
+                    os.path.join(idx_dir, _ASSIGNED)
+                ).schema
+                a_pin, d_pin = _pin_from_written(merged, id_col)
+                _write_store_schemas(idx_dir, assigned=a_pin, deleted=d_pin)
+    if stale:
+        append_to_ivfpq_store(batch, root, id_col=id_col, vec_col=vec_col)
 
 
 def ivfpq_store_topk(

@@ -24,12 +24,15 @@ r11/r12 (`_seq.lock`d counter, store-level `_write.lock`, pinned
   query vocabulary's bucket DIRECTORIES, so query cost scales with
   the vocabulary probed, not the corpus indexed.
 - :func:`append_to_postings_store` — batch-sized ingest with
-  update_postings' delete-then-insert semantics made durable: batch
-  doc_ids already live are tombstoned at the CURRENT write generation,
-  then the batch's postings/doclens append at the bumped generation —
-  so re-ingesting an EDITED document replaces its stale postings
-  instead of double-counting tf/df, and the indexed corpus is never
-  re-read or re-tokenized.
+  update_postings' delete-then-insert semantics made durable: the
+  batch's postings/doclens append at the bumped generation FIRST,
+  then the batch doc_ids that were already live are tombstoned at the
+  pre-bump generation (insert-then-tombstone, r14: a crash between
+  the two writes leaves detectable duplicate state that re-running
+  the append repairs, never a silent deletion) — so re-ingesting an
+  EDITED document replaces its stale postings instead of
+  double-counting tf/df, and the indexed corpus is never re-read or
+  re-tokenized.
 - :func:`delete_from_postings_store` — id tombstones (delete-sized;
   one broadcast anti-join at read; compacts at rebuild), shared
   generation contract with the vector store: ``(doc_id, seq)`` hides
@@ -37,13 +40,24 @@ r11/r12 (`_seq.lock`d counter, store-level `_write.lock`, pinned
   escapes.
 - :func:`postings_store_topk` — Okapi BM25 over the LIVE store rows,
   bit-identical to retrieval.bm25_topk on the equivalent corpus state
-  (same idf/tf expression tree, same round-then-DECIMAL determinism
-  contract), so the full lifecycle is value-hash oracle-checkable.
+  (both call the ONE shared scoring tail, retrieval.bm25_rank_topk —
+  r13 verdict #5), so the full lifecycle is value-hash
+  oracle-checkable.
+- :func:`postings_snapshot` — one-resolution ``(postings, doclens)``
+  read for callers composing both (the ivf_store 'resolve once' rule:
+  two independent pointer reads around a concurrent rebuild commit
+  could mix versions).
+- :func:`suggest_buckets` — ~sqrt(V) bucket-count rule for
+  build/rebuild, so probe pruning keeps up with vocabulary growth.
 - :func:`rebuild_postings_store` — compact tombstones into a NEW
   version directory, committed by one atomic pointer replace;
-  in-flight probes keep the version they resolved. Superseded
-  versions are pruned by the SHARED :func:`ivf_store.vacuum_ivf_store`
-  (identical version-dir layout).
+  in-flight probes keep the version they resolved. The rebuild holds
+  the current version's write lock for its whole duration, and every
+  writer re-checks the pointer after acquiring the lock (r14: a
+  writer that waited out a rebuild retries on the NEW version instead
+  of writing into the superseded dir). Superseded versions are pruned
+  by the SHARED :func:`ivf_store.vacuum_ivf_store` (identical
+  version-dir layout); vacuum still requires quiescing writers.
 - :func:`build_positional_postings_store` /
   :func:`postings_store_phrase` — the positional variant (postings
   carry 1-based token positions) and the exact-phrase containment
@@ -74,7 +88,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
@@ -90,12 +104,49 @@ from python_openetl_spark.operators.ivf_store import (
     _write_store_schemas,
     current_index_dir,
 )
-from python_openetl_spark.operators.retrieval import build_postings, doc_lengths
+from python_openetl_spark.operators.retrieval import (
+    bm25_rank_topk,
+    build_postings,
+    doc_lengths,
+)
 
 _POSTINGS = "postings"
 _DOCLENS = "doclens"
 _DELETED = "deleted"
 _META = "_meta.json"
+
+
+def suggest_buckets(
+    n_distinct_terms: int,
+    *,
+    min_buckets: int = 8,
+    max_buckets: int = 4096,
+) -> int:
+    """Bucket-count rule for build/rebuild (r13 verdict #6 — probe
+    pruning depends on vocabulary/bucket geometry, and a fixed default
+    silently degrades as the vocabulary grows): the next power of two
+    at or above ``sqrt(V)``, clamped to ``[min_buckets, max_buckets]``.
+
+    Why ~sqrt(V): a probe reads the bucket DIRECTORIES its query
+    vocabulary hashes into — for Q distinct query terms that is at
+    most min(Q, B) of B directories, each holding ~V/B terms' postings.
+    Growing B shrinks both the fraction of directories a driver-bounded
+    query touches (Q/B) and the postings volume per touched directory
+    (V/B), while every append writes up to B files per generation
+    (``_write_generation`` repartitions by bucket first) — so B must
+    not outrun the store's append cadence or the layout slivers into
+    tiny files. B = sqrt(V) balances the two: directories-read and
+    terms-per-directory shrink together, and files-per-generation stays
+    O(sqrt(V)). ``max_buckets`` is the files-per-generation cap; raise
+    it only when appends are large and infrequent. A different B is a
+    REBUILD, never an append (the build-time hash must match every
+    later append's — ``_meta.json`` records it)."""
+    import math
+
+    if n_distinct_terms < 1:
+        return min_buckets
+    b = 1 << max(0, math.ceil(math.log2(math.sqrt(n_distinct_terms))))
+    return max(min_buckets, min(max_buckets, b))
 
 
 def _bucket_col(term_col: str, n_buckets: int):
@@ -181,18 +232,55 @@ def _load_live(
     return df.drop(_SEQ)
 
 
-def load_postings(spark: SparkSession, root: str) -> DataFrame:
-    """Live ``(term, doc_id, tf)`` rows of the current version."""
-    return _load_live(
-        spark, current_index_dir(root), _POSTINGS, "postings"
-    ).select("term", "doc_id", "tf")
+def load_postings(
+    spark: SparkSession, root: str, *, idx_dir: str | None = None
+) -> DataFrame:
+    """Live ``(term, doc_id, tf)`` rows of the current version — or of
+    an explicitly pinned ``idx_dir``. A caller composing postings WITH
+    doc lengths (e.g. corpus stats against postings) must resolve the
+    version ONCE and pass it to both loads, or use
+    :func:`postings_snapshot`, which does exactly that — two
+    independent resolutions around a concurrent rebuild commit can mix
+    rows from two versions (r13 advice; the ivf_store 'resolve once'
+    rule, now followable through these helpers)."""
+    if idx_dir is None:
+        idx_dir = current_index_dir(root)
+    return _load_live(spark, idx_dir, _POSTINGS, "postings").select(
+        "term", "doc_id", "tf"
+    )
 
 
-def load_doc_lengths(spark: SparkSession, root: str) -> DataFrame:
-    """Live ``(doc_id, dl)`` rows of the current version."""
-    return _load_live(
-        spark, current_index_dir(root), _DOCLENS, "doclens"
-    ).select("doc_id", "dl")
+def load_doc_lengths(
+    spark: SparkSession, root: str, *, idx_dir: str | None = None
+) -> DataFrame:
+    """Live ``(doc_id, dl)`` rows of the current version — or of an
+    explicitly pinned ``idx_dir`` (see :func:`load_postings` for why a
+    composing caller must pin)."""
+    if idx_dir is None:
+        idx_dir = current_index_dir(root)
+    return _load_live(spark, idx_dir, _DOCLENS, "doclens").select(
+        "doc_id", "dl"
+    )
+
+
+def postings_snapshot(
+    spark: SparkSession, root: str
+) -> tuple[DataFrame, DataFrame]:
+    """One-resolution snapshot ``(postings, doclens)`` of the live
+    store: the version pointer is read ONCE and both frames come from
+    that single version dir, so a rebuild committing mid-query cannot
+    mix versions between them (the same contract
+    :func:`postings_store_topk` keeps internally by resolving
+    ``idx_dir`` once). Positional stores include the ``positions``
+    column."""
+    idx_dir = current_index_dir(root)
+    cols = ["term", "doc_id", "tf"] + (
+        ["positions"] if _read_meta(idx_dir).get("positions") else []
+    )
+    return (
+        _load_live(spark, idx_dir, _POSTINGS, "postings").select(*cols),
+        _load_live(spark, idx_dir, _DOCLENS, "doclens").select("doc_id", "dl"),
+    )
 
 
 def _write_generation(
@@ -242,23 +330,13 @@ def build_postings_store(
     _commit_version(root, version)
 
 
-def _tombstone_ids(
-    spark: SparkSession, idx_dir: str, doomed_ids: DataFrame
-) -> int:
-    """Write generation-scoped tombstones for the given LIVE doc ids at
-    the version's current write generation (caller pre-intersects with
-    the live set AND holds the store write lock). localCheckpoint
-    severs lineage from the deleted/ dir the append writes into (the
-    r11 self-read hazard)."""
-    doomed = doomed_ids.select("doc_id").localCheckpoint(eager=True)
-    n = doomed.count()
-    if n:
-        doomed.withColumn(
-            "seq", F.lit(_read_seq(idx_dir)).cast("long")
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(idx_dir, _DELETED)
-        )
-    return n
+def _write_tombstones(doomed: DataFrame, idx_dir: str, seq: int) -> None:
+    """Append ``(doc_id, seq)`` tombstone rows. ``doomed`` must already
+    be materialized (localCheckpoint) — lineage into the deleted/ dir
+    this writes would be the r11 self-read hazard."""
+    doomed.withColumn("seq", F.lit(seq).cast("long")).coalesce(1).write.mode(
+        "append"
+    ).parquet(os.path.join(idx_dir, _DELETED))
 
 
 def append_to_postings_store(
@@ -270,15 +348,23 @@ def append_to_postings_store(
 ) -> int:
     """Ingest a document batch at batch-sized cost with
     delete-then-insert semantics (update_postings' contract, durable):
-    batch ids already live are tombstoned at the current generation,
-    then the batch's postings/doclens rows append at the bumped
-    generation (> tombstone, so they are live immediately). Returns
-    the number of previously-live documents superseded. Pure inserts
-    (ids not in the store) tombstone nothing; a batch with two rows
-    for one id raises (both would land in the same generation)."""
+    the batch's postings/doclens rows append at the bumped generation
+    FIRST, then batch ids that were already live are tombstoned at the
+    pre-bump generation (< the new rows' — so the new rows escape and
+    are live immediately). Returns the number of previously-live
+    documents superseded. Pure inserts (ids not in the store)
+    tombstone nothing; a batch with two rows for one id raises (both
+    would land in the same generation).
+
+    Crash-safety (r13 advice — the previous tombstone-FIRST order
+    durably deleted re-ingested docs before their replacement rows
+    existed, so a crash between the two writes silently LOST those
+    documents): with the batch written first, a crash before the
+    tombstone commit leaves detectable DUPLICATE state instead —
+    the superseded generation still live alongside the new one.
+    Re-running the same append repairs it: the retry tombstones every
+    live generation of the batch's ids below its own new rows."""
     spark = batch_docs.sparkSession
-    idx_dir = current_index_dir(root)
-    n_buckets = int(_read_meta(idx_dir)["n_buckets"])
     dup = (
         batch_docs.groupBy(F.col(id_col).alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -290,24 +376,42 @@ def append_to_postings_store(
             f"append_to_postings_store: batch must be unique on {id_col}"
         )
     batch_ids = batch_docs.select(F.col(id_col).alias("doc_id")).distinct()
-    with _write_lock(idx_dir):
-        live_doomed = (
-            _load_live(spark, idx_dir, _DOCLENS, "doclens")
-            .select("doc_id")
-            .join(F.broadcast(batch_ids), "doc_id", "left_semi")
-        )
-        n = _tombstone_ids(spark, idx_dir, live_doomed)
-        seq = _bump_seq(idx_dir)
-        # a positional store's appends must keep the positional schema
-        # (meta records the build variant) — mixing would NULL the
-        # positions column for appended docs and break phrase probes
-        if _read_meta(idx_dir).get("positions"):
-            post = _build_positional_postings(batch_docs, text_col, id_col)
-        else:
-            post = build_postings(batch_docs, text_col, id_col)
-        dl = doc_lengths(batch_docs, text_col, id_col)
-        _write_generation(idx_dir, post, dl, seq, n_buckets, "append")
-    return n
+    while True:
+        idx_dir = current_index_dir(root)
+        n_buckets = int(_read_meta(idx_dir)["n_buckets"])
+        with _write_lock(idx_dir):
+            if current_index_dir(root) != idx_dir:
+                # a rebuild committed while this writer waited on the
+                # lock (rebuild holds it): writing here would land in
+                # the superseded version dir — retry on the new one
+                continue
+            # resolve + materialize the doomed set BEFORE the batch's
+            # rows land (afterwards the batch's own rows read as live
+            # and would be tombstoned with the stale generations)
+            doomed = (
+                _load_live(spark, idx_dir, _DOCLENS, "doclens")
+                .select("doc_id")
+                .join(F.broadcast(batch_ids), "doc_id", "left_semi")
+                .localCheckpoint(eager=True)
+            )
+            n = doomed.count()
+            seq = _bump_seq(idx_dir)
+            # a positional store's appends must keep the positional
+            # schema (meta records the build variant) — mixing would
+            # NULL the positions column for appended docs and break
+            # phrase probes
+            if _read_meta(idx_dir).get("positions"):
+                post = _build_positional_postings(batch_docs, text_col, id_col)
+            else:
+                post = build_postings(batch_docs, text_col, id_col)
+            dl = doc_lengths(batch_docs, text_col, id_col)
+            _write_generation(idx_dir, post, dl, seq, n_buckets, "append")
+            if n:
+                # committed LAST, scoped at the pre-bump generation:
+                # hides every older generation of these ids, spares the
+                # rows just written at ``seq`` (docstring crash story)
+                _write_tombstones(doomed, idx_dir, seq - 1)
+        return n
 
 
 def delete_from_postings_store(
@@ -325,17 +429,28 @@ def delete_from_postings_store(
         raise ValueError(
             "delete_from_postings_store: pass exactly one of ids/where"
         )
-    idx_dir = current_index_dir(root)
-    live = _load_live(spark, idx_dir, _DOCLENS, "doclens")
-    if where is not None:
-        doomed = live.filter(F.expr(where)).select("doc_id").distinct()
-    else:
-        id_df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
-        doomed = live.select("doc_id").join(
-            F.broadcast(id_df.distinct()), "doc_id", "left_semi"
-        )
-    with _write_lock(idx_dir):
-        return _tombstone_ids(spark, idx_dir, doomed)
+    while True:
+        idx_dir = current_index_dir(root)
+        with _write_lock(idx_dir):
+            if current_index_dir(root) != idx_dir:
+                # rebuild committed while we waited: retry on the new
+                # version (its live set is the same — rebuilds compact)
+                continue
+            live = _load_live(spark, idx_dir, _DOCLENS, "doclens")
+            if where is not None:
+                doomed = live.filter(F.expr(where)).select("doc_id").distinct()
+            else:
+                id_df = spark.createDataFrame(
+                    [(int(i),) for i in ids], "doc_id long"
+                )
+                doomed = live.select("doc_id").join(
+                    F.broadcast(id_df.distinct()), "doc_id", "left_semi"
+                )
+            doomed = doomed.localCheckpoint(eager=True)
+            n = doomed.count()
+            if n:
+                _write_tombstones(doomed, idx_dir, _read_seq(idx_dir))
+        return n
 
 
 def postings_store_topk(
@@ -383,51 +498,14 @@ def postings_store_topk(
     postings = post.select("term", "doc_id", "tf").join(
         F.broadcast(qvocab), "term"
     )
-    postings = postings.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
     dl = _load_live(spark, idx_dir, _DOCLENS, "doclens").select("doc_id", "dl")
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    idf = F.round(
-        F.log(
-            (
-                F.col("n_docs").cast("double")
-                - F.col("df").cast("double")
-                + F.lit(0.5)
-            )
-            / (F.col("df").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        9,
-    )
-    denom = F.col("tf").cast("double") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
-    )
-    tfn = F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
-    contrib = F.round(idf * tfn, 7).cast("decimal(20,7)")
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dl.hint("shuffle_hash"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(contrib).alias("score_dec"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_dec").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("score_dec").cast("double").alias("score"),
-            "rank",
-        )
-    )
+    # scoring tail shared verbatim with retrieval.bm25_topk (the r13
+    # verdict's single-construction-site rule; parity is guarded by
+    # tests/test_postings_store.py store-vs-scratch equality)
+    return bm25_rank_topk(postings, dl, stats, qterms, k=k, k1=k1, b=b)
 
 
 def rebuild_postings_store(
@@ -439,22 +517,32 @@ def rebuild_postings_store(
     the version they resolved; superseded versions are pruned by the
     shared :func:`ivf_store.vacuum_ivf_store`. No re-tokenization:
     the rebuild reads postings/doclens, never document text. Pass
-    ``n_buckets`` to re-bucket (e.g. after the vocabulary grew)."""
+    ``n_buckets`` to re-bucket (e.g. after the vocabulary grew).
+
+    Holds the current version's write lock for the whole rebuild (r13
+    advice: an append racing an unlocked rebuild could write into the
+    superseded dir after the pointer swap — rows silently absent from
+    the new version and deleted by the next vacuum). Readers are
+    lock-free and stay unblocked; a waiting writer re-resolves the
+    pointer after acquiring and retries on the new version."""
     version = _current_version(root)
     cur_dir = _version_dir(root, version)
-    meta = _read_meta(cur_dir)
-    if n_buckets is None:
-        n_buckets = int(meta["n_buckets"])
-    cols = ["term", "doc_id", "tf"] + (
-        ["positions"] if meta.get("positions") else []
-    )
-    post = _load_live(spark, cur_dir, _POSTINGS, "postings").select(*cols)
-    dl = _load_live(spark, cur_dir, _DOCLENS, "doclens").select("doc_id", "dl")
-    new_dir = _version_dir(root, version + 1)
-    os.makedirs(new_dir, exist_ok=True)
-    _write_meta(new_dir, {**meta, "n_buckets": int(n_buckets)})
-    _write_generation(new_dir, post, dl, 0, n_buckets, "errorifexists")
-    _commit_version(root, version + 1)
+    with _write_lock(cur_dir):
+        meta = _read_meta(cur_dir)
+        if n_buckets is None:
+            n_buckets = int(meta["n_buckets"])
+        cols = ["term", "doc_id", "tf"] + (
+            ["positions"] if meta.get("positions") else []
+        )
+        post = _load_live(spark, cur_dir, _POSTINGS, "postings").select(*cols)
+        dl = _load_live(spark, cur_dir, _DOCLENS, "doclens").select(
+            "doc_id", "dl"
+        )
+        new_dir = _version_dir(root, version + 1)
+        os.makedirs(new_dir, exist_ok=True)
+        _write_meta(new_dir, {**meta, "n_buckets": int(n_buckets)})
+        _write_generation(new_dir, post, dl, 0, n_buckets, "errorifexists")
+        _commit_version(root, version + 1)
 
 
 def _build_positional_postings(

@@ -164,6 +164,79 @@ def rrf_fuse(
     )
 
 
+def bm25_rank_topk(
+    postings: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    *,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The SINGLE construction site of the Okapi BM25 scoring tail
+    (r13 verdict #5 — the expression tree was hand-duplicated between
+    :func:`bm25_topk` and postings_store.postings_store_topk with a
+    bit-identical contract; one drifting literal would silently break
+    their parity). Inputs:
+
+    - ``postings``: ``(term, doc_id, tf)`` already pruned to the query
+      vocabulary (from a corpus scan or a persisted store — document
+      frequency is computed HERE, as a window over the pruned rows, so
+      both callers count df over identical live rows);
+    - ``dl``: live ``(doc_id, dl)``; ``stats``: one row
+      ``(n_docs, sum_dl)``; ``qterms``: ``(query_id, term)``,
+      driver-bounded (broadcast).
+
+    Score = Lucene idf variant ``ln(1 + (N - df + .5)/(df + .5))``
+    rounded to 9 decimals, times the k1/b tf normalization, rounded to
+    7 decimals and cast DECIMAL(20,7) BEFORE the per-document sum —
+    exact, order-independent, and mirrored literal-for-literal in the
+    DuckDB oracles (module docstring's determinism contract). Ranking
+    ties break on doc_id."""
+    postings = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    # idf rounded to 9 decimals: ln() is the one step whose last ulp is
+    # not guaranteed identical across engines (module docstring)
+    idf = F.round(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        9,
+    )
+    # written with explicit literals/parenthesization mirrored verbatim
+    # in the SQL oracle so every double op is the same IEEE op
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    tfn = F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
+    contrib = F.round(idf * tfn, 7).cast("decimal(20,7)")
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("score_dec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_dec").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score_dec").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -208,53 +281,10 @@ def bm25_topk(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # document frequency as a window count over the pruned postings —
-    # a groupBy+join here would make Spark recompute the whole postings
-    # subtree (a second corpus scan); the window repartitions only the
-    # pruned (query-term, doc, tf) triples
-    postings = postings.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
-
-    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
-    # idf rounded to 9 decimals: ln() is the one step whose last ulp is
-    # not guaranteed identical across engines (module docstring)
-    idf = F.round(
-        F.log(
-            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
-            / (F.col("df").cast("double") + F.lit(0.5))
-            + F.lit(1.0)
-        ),
-        9,
-    )
-    # written with explicit literals/parenthesization mirrored verbatim
-    # in the SQL oracle so every double op is the same IEEE op
-    denom = F.col("tf").cast("double") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
-    )
-    tfn = F.col("tf").cast("double") * F.lit(k1 + 1.0) / denom
-    contrib = F.round(idf * tfn, 7).cast("decimal(20,7)")
-
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dl.hint("shuffle_hash"), "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum(contrib).alias("score_dec"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_dec").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("score_dec").cast("double").alias("score"),
-            "rank",
-        )
-    )
+    # document frequency is computed INSIDE bm25_rank_topk as a window
+    # count over these pruned postings — a groupBy+join here would make
+    # Spark recompute the whole postings subtree (a second corpus scan)
+    return bm25_rank_topk(postings, dl, stats, qterms, k=k, k1=k1, b=b)
 
 
 def feature_rerank(

@@ -34,6 +34,50 @@ ORACLE: dict = {}
 #: rerank feature weights (exact shortest-repr doubles on both parsers)
 _W_LEX, _W_COS, _W_LEN = 0.5, 0.3, 0.2
 
+#: materialized tower top-k (pandas) keyed by fixture dir — x27
+#: evaluates x26's pipeline, so both rows consume the IDENTICAL
+#: lexical/dense towers over the same immutable corpus; rebuilding
+#: them per row made the pair the two heaviest non-streaming rows in
+#: the suite (r13 verdict #4: share, the way _X29_STORES memoizes its
+#: store). Pandas (driver-local, queries x k rows — bm25 already
+#:  requires a broadcastable query set) so the cache is session-proof:
+#: each call re-creates the Spark frame on ITS session.
+_TOWERS: dict = {}
+
+
+def _shared_towers(spark: SparkSession, sf_dir: str):
+    """(lexical_pdf, dense_pdf): BM25 top-10 and cosine top-10 towers
+    over the x10 query set, computed once per fixture dir."""
+    from python_openetl_spark.operators import similarity
+    from python_openetl_spark.operators.retrieval import bm25_topk
+
+    cached = _TOWERS.get(sf_dir)
+    if cached is None:
+        docs = t(spark, sf_dir, "documents")
+        emb = t(spark, sf_dir, "embeddings")
+        qdocs = _derived_queries(docs).join(
+            F.broadcast(emb.select(F.col("vec_id").alias("query_id"))),
+            "query_id",
+        )
+        lexical = bm25_topk(docs, qdocs, k=10).toPandas()
+        dense = (
+            similarity.cosine_topk(
+                emb,
+                emb.join(
+                    F.broadcast(qdocs.select("query_id")),
+                    emb.vec_id == F.col("query_id"),
+                ).select("query_id", "embedding"),
+                k=10,
+            )
+            .select(
+                "query_id", F.col("vec_id").alias("doc_id"), "cos_sim", "rank"
+            )
+            .toPandas()
+        )
+        cached = (lexical, dense)
+        _TOWERS[sf_dir] = cached
+    return cached
+
 
 def x26_feature_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-stage retrieval: BM25 top-10 and dense cosine top-10
@@ -43,42 +87,27 @@ def x26_feature_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-5. Candidates that reached the shortlist through one
     tower only score 0 on the other tower's feature — exactly the
     evidence asymmetry a production reranker adjudicates."""
-    from python_openetl_spark.operators import similarity
     from python_openetl_spark.operators.retrieval import (
-        bm25_topk,
         doc_lengths,
         feature_rerank,
         rrf_fuse,
     )
 
     docs = t(spark, sf_dir, "documents")
-    emb = t(spark, sf_dir, "embeddings")
-    qdocs = _derived_queries(docs).join(
-        F.broadcast(emb.select(F.col("vec_id").alias("query_id"))), "query_id"
-    )
     # Each tower result is referenced 2-3x downstream (fusion + its
     # feature column); left lazy, Spark would re-run the whole tower
     # subtree (corpus scans) per reference. Tower top-k frames are
     # DRIVER-BOUNDED by construction (queries x k rows — bm25 already
     # requires a broadcastable query set), so materialize each ONCE as
-    # a local frame: bench-measured 16 s -> ~6 s at sf0.1, and no
-    # persisted blocks leak into executor storage (the d40 lesson).
+    # a local frame (bench-measured 16 s -> ~6 s at sf0.1, no persisted
+    # blocks leak into executor storage — the d40 lesson) and SHARE it
+    # with x27, which evaluates this same pipeline (_shared_towers).
+    lex_pdf, dense_pdf = _shared_towers(spark, sf_dir)
     lexical = spark.createDataFrame(
-        bm25_topk(docs, qdocs, k=10).toPandas(),
-        "query_id long, doc_id long, score double, rank int",
+        lex_pdf, "query_id long, doc_id long, score double, rank int"
     )
     dense = spark.createDataFrame(
-        similarity.cosine_topk(
-            emb,
-            emb.join(
-                F.broadcast(qdocs.select("query_id")),
-                emb.vec_id == F.col("query_id"),
-            ).select("query_id", "embedding"),
-            k=10,
-        )
-        .select("query_id", F.col("vec_id").alias("doc_id"), "cos_sim", "rank")
-        .toPandas(),
-        "query_id long, doc_id long, cos_sim double, rank int",
+        dense_pdf, "query_id long, doc_id long, cos_sim double, rank int"
     )
     fused = rrf_fuse(
         [lexical.select("query_id", "doc_id", "rank"),
@@ -221,9 +250,7 @@ def x27_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy; both engines derive it from the same two columns). Per query:
     MRR@5, nDCG@5 and recall@5, every gain decimal-rounded so the whole
     tower->fusion->evaluation chain value-hash-matches DuckDB."""
-    from python_openetl_spark.operators import similarity
     from python_openetl_spark.operators.retrieval import (
-        bm25_topk,
         retrieval_eval,
         rrf_fuse,
     )
@@ -233,23 +260,14 @@ def x27_retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdocs = _derived_queries(docs).join(
         F.broadcast(emb.select(F.col("vec_id").alias("query_id"))), "query_id"
     )
-    # towers materialized once (the x26 rule: each is referenced by the
-    # fusion AND driver-bounded by construction)
+    # towers SHARED with x26 (r13 verdict #4): this row evaluates x26's
+    # pipeline, so it consumes the identical memoized tower top-k
+    lex_pdf, dense_pdf = _shared_towers(spark, sf_dir)
     lexical = spark.createDataFrame(
-        bm25_topk(docs, qdocs, k=10).toPandas(),
-        "query_id long, doc_id long, score double, rank int",
+        lex_pdf, "query_id long, doc_id long, score double, rank int"
     )
     dense = spark.createDataFrame(
-        similarity.cosine_topk(
-            emb,
-            emb.join(
-                F.broadcast(qdocs.select("query_id")),
-                emb.vec_id == F.col("query_id"),
-            ).select("query_id", "embedding"),
-            k=10,
-        )
-        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
-        .toPandas(),
+        dense_pdf[["query_id", "doc_id", "rank"]],
         "query_id long, doc_id long, rank int",
     )
     fused = rrf_fuse(

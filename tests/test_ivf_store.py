@@ -810,3 +810,113 @@ def test_update_delete_update_generation_interleaving(spark, tmp_path):
     assert update_ivf_store(target, root) == 0  # nothing live to supersede
     assert live_7() == 1
     assert probe_top1() == 7  # cos 1.0 with its own query again
+
+
+def test_rebuild_holds_write_lock_and_waiting_append_retries(spark, tmp_path):
+    """r13 advice: rebuild_ivf_store holds the store write lock, and an
+    append that waited it out re-resolves the pointer and retries on
+    the NEW version (assigning against ITS centroids) instead of
+    writing into the superseded dir. Staged here by holding v1's lock
+    manually while committing a rebuild underneath the parked writer."""
+    import os
+    import threading
+
+    from python_openetl_spark.operators.ivf_store import (
+        _build_into,
+        _commit_version,
+        _load_assigned,
+        _version_dir,
+        rebuild_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "store")
+    build_ivf_store(emb.filter(F.col("vec_id") < 200), root, nlist=8)
+    v1 = current_index_dir(root)
+    lock = os.path.join(v1, "_write.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)  # pose as an in-flight rebuild holding v1's lock
+    done = threading.Event()
+
+    def blocked_append():
+        append_to_ivf_store(
+            emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 220)),
+            root,
+        )
+        done.set()
+
+    t = threading.Thread(target=blocked_append)
+    t.start()
+    try:
+        # commit a rebuild into v2 the way rebuild_ivf_store would
+        # (bypassing its lock, which we hold to stage the race)
+        current = _load_assigned(spark, v1, "vec_id").select(
+            "vec_id", "embedding"
+        )
+        _build_into(
+            current, _version_dir(root, 2), 8, "vec_id", "embedding", 43, 2,
+            attr_cols=(),
+        )
+        _commit_version(root, 2)
+        assert not done.is_set()  # writer still parked on v1's lock
+    finally:
+        os.unlink(lock)
+    t.join(timeout=120)
+    assert done.is_set()
+    assert current_index_dir(root).endswith("v00000002")
+    live = _load_assigned(spark, current_index_dir(root), "vec_id")
+    assert live.count() == 220  # the batch landed in the LIVE version
+    # and a real (locked) rebuild still round-trips on top
+    rebuild_ivf_store(spark, root)
+    assert current_index_dir(root).endswith("v00000003")
+    assert _load_assigned(spark, current_index_dir(root), "vec_id").count() == 220
+
+
+def test_delete_waiting_out_rebuild_tombstones_new_version(spark, tmp_path):
+    """_tombstone's currency re-check: a delete that waited out a
+    rebuild writes its tombstones into the NEW current version (the
+    superseded dir is invisible to readers and vacuumed away), so the
+    delete takes effect instead of vanishing."""
+    import os
+    import threading
+
+    from python_openetl_spark.operators.ivf_store import (
+        _build_into,
+        _commit_version,
+        _load_assigned,
+        _version_dir,
+        delete_from_ivf_store,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    root = str(tmp_path / "store")
+    build_ivf_store(emb.filter(F.col("vec_id") < 100), root, nlist=8)
+    v1 = current_index_dir(root)
+    lock = os.path.join(v1, "_write.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    result = {}
+
+    def blocked_delete():
+        result["n"] = delete_from_ivf_store(
+            spark, root, ids=[1, 2, 3], id_col="vec_id"
+        )
+
+    t = threading.Thread(target=blocked_delete)
+    t.start()
+    try:
+        current = _load_assigned(spark, v1, "vec_id").select(
+            "vec_id", "embedding"
+        )
+        _build_into(
+            current, _version_dir(root, 2), 8, "vec_id", "embedding", 43, 2,
+            attr_cols=(),
+        )
+        _commit_version(root, 2)
+    finally:
+        os.unlink(lock)
+    t.join(timeout=120)
+    assert result.get("n") == 3
+    live = _load_assigned(spark, current_index_dir(root), "vec_id")
+    assert live.count() == 97  # tombstones landed in the live v2
+    assert live.filter(F.col("vec_id").isin(1, 2, 3)).count() == 0

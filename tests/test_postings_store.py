@@ -365,3 +365,227 @@ class TestPhraseStore:
             [(1, "quick fox"), (2, "brown dog")],
             "query_id long, qtext string",
         )
+
+
+def test_append_writes_batch_before_tombstones(spark, root):
+    """r13 advice (medium): insert-then-tombstone order. The batch's
+    rows land at the bumped generation and the superseding tombstones
+    commit LAST, scoped one below it — so every tombstone seq is
+    strictly less than the new rows' __seq, and a crash between the
+    two writes can only leave duplicate (repairable) state, never a
+    silent deletion."""
+    append_to_postings_store(_docs_df(spark, [(1, "apple kiwi")]), root)
+    idx = current_index_dir(root)
+    tombs = spark.read.parquet(os.path.join(idx, "deleted"))
+    batch_seq = (
+        spark.read.parquet(os.path.join(idx, "doclens"))
+        .filter(F.col("doc_id") == 1)
+        .agg(F.max("__seq"))
+        .first()[0]
+    )
+    max_tomb = tombs.agg(F.max("seq")).first()[0]
+    assert max_tomb == batch_seq - 1
+    _assert_matches_scratch(
+        spark, root, [r for r in _DOCS if r[0] != 1] + [(1, "apple kiwi")]
+    )
+
+
+def test_crashed_append_repairs_by_rerunning(spark, root):
+    """The crash window's documented repair: simulate a crash AFTER the
+    batch's generation landed but BEFORE its tombstones committed (the
+    only loss window the insert-first order leaves) by deleting the
+    tombstone files, then re-run the same append. The retry tombstones
+    every stale generation below its own rows, restoring the exact
+    store state."""
+    import shutil
+
+    batch = [(1, "apple kiwi")]
+    append_to_postings_store(_docs_df(spark, batch), root)
+    idx = current_index_dir(root)
+    shutil.rmtree(os.path.join(idx, "deleted"))  # "crash": tombstones lost
+    # duplicate state is now LIVE (doc 1 twice) — detectable, not silent
+    assert (
+        load_doc_lengths(spark, root).filter(F.col("doc_id") == 1).count()
+        == 2
+    )
+    append_to_postings_store(_docs_df(spark, batch), root)  # the repair
+    _assert_matches_scratch(
+        spark, root, [r for r in _DOCS if r[0] != 1] + batch
+    )
+
+
+def test_writer_waiting_out_a_rebuild_retries_on_new_version(spark, root):
+    """r13 advice: rebuild holds the store write lock, and a writer
+    that waited it out must NOT write into the superseded version dir
+    (rows silently absent from the new version, deleted by the next
+    vacuum). The append blocks on v1's lock while a rebuild commits
+    v2; on acquiring it re-checks the pointer and retries on v2."""
+    v1 = current_index_dir(root)
+    lock = os.path.join(v1, "_write.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)  # main thread poses as the rebuild holding v1's lock
+    done = threading.Event()
+
+    def blocked_append():
+        append_to_postings_store(_docs_df(spark, [(99, "zebra apple")]), root)
+        done.set()
+
+    t = threading.Thread(target=blocked_append)
+    t.start()
+    try:
+        # writer is parked on v1's lock; commit a rebuild into v2 the
+        # way rebuild_postings_store would (bypassing its lock, which
+        # we hold to stage the race)
+        from python_openetl_spark.operators.postings_store import (
+            _load_live,
+            _read_meta,
+            _write_generation,
+            _write_meta,
+        )
+        from python_openetl_spark.operators.ivf_store import (
+            _commit_version,
+            _version_dir,
+        )
+
+        meta = _read_meta(v1)
+        post = _load_live(spark, v1, "postings", "postings").select(
+            "term", "doc_id", "tf"
+        )
+        dl = _load_live(spark, v1, "doclens", "doclens").select(
+            "doc_id", "dl"
+        )
+        new_dir = _version_dir(root, 2)
+        os.makedirs(new_dir)
+        _write_meta(new_dir, meta)
+        _write_generation(new_dir, post, dl, 0, meta["n_buckets"], "errorifexists")
+        _commit_version(root, 2)
+        assert not done.is_set()  # still parked on v1's lock
+    finally:
+        os.unlink(lock)  # "rebuild" releases
+    t.join(timeout=120)
+    assert done.is_set()
+    # the batch landed in the LIVE version, not the superseded one
+    assert current_index_dir(root).endswith("v00000002")
+    assert (
+        load_doc_lengths(spark, root).filter(F.col("doc_id") == 99).count()
+        == 1
+    )
+    _assert_matches_scratch(spark, root, _DOCS + [(99, "zebra apple")])
+
+
+def test_postings_snapshot_resolves_version_once(spark, root):
+    """r13 advice: the snapshot entry point pins ONE version for both
+    frames — after a rebuild commits, frames from an old snapshot
+    still read the superseded dir (consistently), while a new snapshot
+    reads the new version."""
+    from python_openetl_spark.operators.postings_store import (
+        postings_snapshot,
+    )
+
+    old_post, old_dl = postings_snapshot(spark, root)
+    n_post, n_dl = old_post.count(), old_dl.count()
+    rebuild_postings_store(spark, root)
+    append_to_postings_store(_docs_df(spark, [(50, "new doc here")]), root)
+    # the pinned snapshot is unaffected by the rebuild + append
+    assert old_post.count() == n_post and old_dl.count() == n_dl
+    new_post, new_dl = postings_snapshot(spark, root)
+    assert new_dl.count() == n_dl + 1
+    assert new_post.count() > n_post
+
+
+def test_snapshot_includes_positions_on_positional_store(spark, tmp_path):
+    from python_openetl_spark.operators.postings_store import (
+        build_positional_postings_store,
+        postings_snapshot,
+    )
+
+    r = str(tmp_path / "pos_snap")
+    build_positional_postings_store(
+        _docs_df(spark, [(1, "a b a")]), r, n_buckets=4
+    )
+    post, dl = postings_snapshot(spark, r)
+    assert "positions" in post.columns
+    assert dl.columns == ["doc_id", "dl"]
+
+
+def test_lock_timeout_env_knob(spark, root, monkeypatch):
+    """r13 advice: the 120 s writer-lock timeout is an env knob
+    (SPARK_GRAFT_STORE_LOCK_TIMEOUT), so deployments whose healthy
+    appends run longer can size it — and tests can shrink it."""
+    monkeypatch.setenv("SPARK_GRAFT_STORE_LOCK_TIMEOUT", "0.2")
+    idx = current_index_dir(root)
+    lock = os.path.join(idx, "_write.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        import time
+
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="lock held too long"):
+            append_to_postings_store(_docs_df(spark, [(60, "x y")]), root)
+        assert time.monotonic() - t0 < 5  # honored 0.2s, not 120s
+    finally:
+        os.unlink(lock)
+
+
+def test_suggest_buckets_rule():
+    from python_openetl_spark.operators.postings_store import suggest_buckets
+
+    assert suggest_buckets(0) == 8
+    assert suggest_buckets(31) == 8          # tiny vocab: floor
+    assert suggest_buckets(10_000) == 128    # ~sqrt(V), next pow2
+    assert suggest_buckets(1_000_000) == 1024
+    assert suggest_buckets(10**12) == 4096   # files-per-generation cap
+    assert suggest_buckets(300, max_buckets=16) == 16
+
+
+def test_rebuild_with_suggested_buckets_improves_pruning(spark, tmp_path):
+    """The geometry story suggest_buckets encodes, end to end: at a
+    planted 10k-term vocabulary a 40-term probe saturates an 8-bucket
+    layout (reads ALL directories — zero pruning), and a rebuild with
+    suggest_buckets(V)=128 makes the same probe read at most 40 of 128
+    directories — the pruned-directory fraction drops from 0 to >2/3."""
+    import re
+
+    from python_openetl_spark.operators.postings_store import suggest_buckets
+
+    # 250 docs x 40 unique terms = 10k distinct terms
+    docs = [
+        (i, " ".join(f"t{i:03d}x{j:02d}" for j in range(40)))
+        for i in range(250)
+    ]
+    r = str(tmp_path / "bigvocab")
+    build_postings_store(
+        _docs_df(spark, docs), r, n_buckets=8
+    )
+    q = spark.createDataFrame(
+        [(1, docs[7][1])], "query_id long, qtext string"
+    )
+
+    def dirs_read(plan_df):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            plan_df._jdf.queryExecution(), "formatted"
+        )
+        # past spark.sql.optimizer.inSetConversionThreshold (10) the
+        # literal IN compiles to INSET — same partition pruning
+        m = re.search(
+            r"PartitionFilters: \[bucket#\d+ "
+            r"(?:IN \(([^)]*)\)|INSET ([^\]]*)|= (\d+))\]",
+            plan,
+        )
+        assert m, "postings scan lost its bucket partition filter"
+        vals = m.group(1) or m.group(2) or m.group(3)
+        return len(vals.split(","))
+
+    before = dirs_read(postings_store_topk(spark, r, q, k=3))
+    assert before == 8  # 40 terms saturate 8 buckets: no pruning left
+    nb = suggest_buckets(10_000)
+    assert nb == 128
+    rebuild_postings_store(spark, r, n_buckets=nb)
+    after = dirs_read(postings_store_topk(spark, r, q, k=3))
+    assert after <= 40  # at most one directory per query term
+    assert after / nb < 1 / 3  # fraction of the index read collapsed
+    # and answers are unchanged by the re-bucketing
+    got = _rows(postings_store_topk(spark, r, q, k=3))
+    want = _rows(bm25_topk(_docs_df(spark, docs), q, k=3))
+    assert got == want
