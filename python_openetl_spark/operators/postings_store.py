@@ -618,7 +618,20 @@ def postings_store_phrase(
     (phrase, doc), candidate rows bounded by phrase-vocabulary
     postings. Phrases with repeated terms work (each offset is an
     independent row against the same posting). Empty/sub-token
-    phrases yield no rows."""
+    phrases yield no rows.
+
+    Scale note (sf1 ledger, COVERAGE.md): candidate rows are
+    Σ_term (phrase offsets of term × docs containing term) — linear in
+    the phrase count when phrase terms are rare (the realistic Zipf
+    case), but a corpus-sized term sneaks in when a phrase is built
+    from stop-words (the fixture's 31-word vocabulary is exactly that
+    worst case, measured 23.6× for 10× data). The 100 TB refinement if
+    stop-wordy phrases matter: anchor each phrase on its rarest
+    (min-df) term first, semi-join the other terms' postings against
+    that candidate doc set, and only then intersect position sets —
+    bounds candidates by the rarest term's df instead of the sum. Not
+    implemented here because it adds two shuffles that LOSE on
+    rare-term phrases, the common decontamination shape."""
     idx_dir = current_index_dir(root)
     meta = _read_meta(idx_dir)
     if not meta.get("positions"):
