@@ -508,6 +508,69 @@ def postings_store_topk(
     return bm25_rank_topk(postings, dl, stats, qterms, k=k, k1=k1, b=b)
 
 
+def apply_cdc_to_postings_store(
+    cdc: DataFrame,
+    root: str,
+    *,
+    op_col: str = "op",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Maintain the store from ONE change-data-capture batch — the
+    m12/m23 CDC pattern (operators/merge.py apply_cdc) applied to the
+    inverted index: rows ``(op, doc_id, text)`` with op ``I``/``U``
+    (upsert: insert-or-replace, text required) or ``D`` (delete, text
+    ignored). Deletes tombstone first, then the upsert slice ingests
+    through :func:`append_to_postings_store` (insert-then-tombstone,
+    one write generation for the whole upsert slice). The batch must
+    be unique on ``id_col`` (a CDC feed is per-key compacted upstream
+    — merge.apply_cdc's contract — so each key carries exactly its
+    LAST op; two ops for one key in one batch are ambiguous and
+    raise). Returns
+    ``{"upserted": n, "deleted": n}`` where ``deleted`` counts only
+    previously-live docs (absent-id deletes are no-ops, the FAISS
+    semantic). Cost: delete-sized + batch-sized — the indexed corpus
+    is never re-read or re-tokenized.
+
+    Reference parity: extends the reference's incremental-sync delta
+    pattern (operations.py:515-609) to index maintenance; the CDC
+    frame shape matches operators/merge.py apply_cdc."""
+    spark = cdc.sparkSession
+    bad_op = cdc.filter(~F.col(op_col).isin("I", "U", "D")).take(1)
+    if bad_op:
+        raise ValueError(
+            f"apply_cdc_to_postings_store: op must be I/U/D, got "
+            f"{bad_op[0][op_col]!r}"
+        )
+    dup = (
+        cdc.groupBy(F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .take(1)
+    )
+    if dup:
+        raise ValueError(
+            f"apply_cdc_to_postings_store: batch must be unique on {id_col}"
+        )
+    del_ids = [
+        r[0]
+        for r in cdc.filter(F.col(op_col) == "D").select(id_col).collect()
+    ]
+    n_del = (
+        delete_from_postings_store(spark, root, ids=del_ids)
+        if del_ids
+        else 0
+    )
+    upserts = cdc.filter(F.col(op_col).isin("I", "U")).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    n_up = 0
+    if upserts.take(1):
+        append_to_postings_store(upserts, root)
+        n_up = upserts.count()
+    return {"upserted": n_up, "deleted": n_del}
+
+
 def rebuild_postings_store(
     spark: SparkSession, root: str, *, n_buckets: int | None = None
 ) -> None:

@@ -39,6 +39,7 @@ from python_openetl_spark.workload import (
     llm14,
     llm15,
     llm16,
+    llm17,
     relational,
     relational2,
     relational3,
@@ -106,6 +107,8 @@ _MODULES = (
     llm15,
     # round-13 additions (in _WINDOW_R13)
     llm16,
+    # round-14 post-window additions (rotate into _WINDOW_R15)
+    llm17,
 )
 
 # Round 4's window (_WINDOW_R4), per the r3 verdict's plan:
