@@ -589,3 +589,65 @@ def test_rebuild_with_suggested_buckets_improves_pruning(spark, tmp_path):
     got = _rows(postings_store_topk(spark, r, q, k=3))
     want = _rows(bm25_topk(_docs_df(spark, docs), q, k=3))
     assert got == want
+
+
+class TestApplyCdc:
+    """apply_cdc_to_postings_store — one-batch I/U/D maintenance."""
+
+    def _cdc(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "op string, doc_id long, text string"
+        )
+
+    def test_all_op_classes_resolve(self, spark, root):
+        from python_openetl_spark.operators.postings_store import (
+            apply_cdc_to_postings_store,
+        )
+
+        out = apply_cdc_to_postings_store(
+            self._cdc(
+                spark,
+                [
+                    ("D", 2, None),              # delete live doc
+                    ("U", 1, "apple kiwi"),      # replace live doc
+                    ("I", 99, "zebra apple"),    # fresh insert
+                    ("D", 777, None),            # absent-id delete: no-op
+                ],
+            ),
+            root,
+        )
+        assert out == {"upserted": 2, "deleted": 1}
+        corpus = [r for r in _DOCS if r[0] not in (1, 2)] + [
+            (1, "apple kiwi"),
+            (99, "zebra apple"),
+        ]
+        _assert_matches_scratch(spark, root, corpus)
+
+    def test_bad_op_raises(self, spark, root):
+        from python_openetl_spark.operators.postings_store import (
+            apply_cdc_to_postings_store,
+        )
+
+        with pytest.raises(ValueError, match="op must be I/U/D"):
+            apply_cdc_to_postings_store(
+                self._cdc(spark, [("X", 1, "boom")]), root
+            )
+
+    def test_duplicate_key_raises(self, spark, root):
+        from python_openetl_spark.operators.postings_store import (
+            apply_cdc_to_postings_store,
+        )
+
+        with pytest.raises(ValueError, match="unique on doc_id"):
+            apply_cdc_to_postings_store(
+                self._cdc(spark, [("D", 1, None), ("U", 1, "again")]), root
+            )
+
+    def test_empty_batch_is_noop(self, spark, root):
+        from python_openetl_spark.operators.postings_store import (
+            apply_cdc_to_postings_store,
+        )
+
+        out = apply_cdc_to_postings_store(self._cdc(spark, []), root)
+        assert out == {"upserted": 0, "deleted": 0}
+        _assert_matches_scratch(spark, root, _DOCS)
