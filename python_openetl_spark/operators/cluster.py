@@ -263,26 +263,40 @@ def triangle_counts(
     fixed width, never payloads; nothing is ever collected.
     """
     a, b = F.col(a_col), F.col(b_col)
+    # Materialize the canonical edge set ONCE (16-byte id rows): it is
+    # referenced by the degree count, the orientation join and the
+    # wedge-closing join below, and without the checkpoint each of those
+    # references re-runs the whole upstream pair generation — for the
+    # d61 shape (exact jaccard pairs) that was FIVE recomputations of a
+    # shingle-explode self-join, 272 parquet scans in one plan (r14
+    # measurement). Same rationale as connected_components' checkpoint.
     e = (
         pairs.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # degrees are read three times (two orientation joins + the final
+    # every-node left join); one node-count-sized checkpoint beats three
+    # union+groupBy shuffles over the edge set
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
     ed = e.join(da, "a").join(db, "b")
     fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    # oriented is read three times (two wedge sides + the closer);
+    # checkpoint the 24-byte rows so the degree joins run once
     oriented = ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
     wedges = o1.join(o2, "src").filter(

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import fingerprint, text_shingles, token_hash60, tokens
+from python_openetl_spark.operators.materialize import materialize
 
 
 def exact_dedup(
@@ -180,6 +181,9 @@ def minhash_lsh_candidates(
         num_hashes=num_hashes,
         num_bands=num_bands,
     )
+    # self-join: materialize so the signature pass runs once per corpus
+    # scan worth paying for (size-adaptive — see operators/materialize)
+    exploded = materialize(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -217,11 +221,17 @@ def ngram_jaccard_pairs(
     hash so the result stays value-checkable. A 60-bit collision inside
     one document would need ~2^30 distinct shingles per doc to matter.
     """
+    # the 16-byte (doc, h) rows feed the size count and BOTH sides of
+    # the co-occurrence self-join, and broadcast planning defeats
+    # exchange reuse — each reference re-runs the scan+tokenize+shingle+
+    # md5+distinct chain (r14 plan audit). Size-adaptive materialization
+    # pins them once when the corpus is big enough to care.
     sh = (
         _shingle_rows(df, text_col, id_col, shingle_n)
         .select("doc", token_hash60(F.col("shingle")).alias("h"))
         .distinct()
     )
+    sh = materialize(sh)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_docs is not None:
         rare = (
@@ -230,7 +240,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_") <= max_shingle_docs)
             .select("h")
         )
-        sh = sh.join(rare, "h", "left_semi")
+        sh = materialize(sh.join(rare, "h", "left_semi"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
@@ -276,11 +286,13 @@ def containment_pairs(
     BOTH ways and a row is emitted per direction that clears the
     threshold (A-in-B and B-in-A are different facts).
     """
+    # same multi-reference materialization as ngram_jaccard_pairs
     sh = (
         _shingle_rows(df, text_col, id_col, shingle_n)
         .select("doc", token_hash60(F.col("shingle")).alias("h"))
         .distinct()
     )
+    sh = materialize(sh)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_docs is not None:
         rare = (
@@ -289,7 +301,7 @@ def containment_pairs(
             .filter(F.col("df_") <= max_shingle_docs)
             .select("h")
         )
-        sh = sh.join(rare, "h", "left_semi")
+        sh = materialize(sh.join(rare, "h", "left_semi"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc") < F.col("b.doc")))
@@ -377,6 +389,9 @@ def simhash_candidates(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.band", "bk.key")
+    # the banded frame self-joins; checkpoint it so the 60-column
+    # per-bit majority-vote aggregate runs once, not once per side
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -683,13 +698,15 @@ def blocked_fuzzy_pairs(
             " ",
         ),
     )
-    keyed = base.select(
+    # deletion-key rows feed the block-size count AND both self-join
+    # sides; materialize once (multi-reference rule, r14)
+    keyed = materialize(base.select(
         "id", "title", F.explode(F.array_distinct(del_keys)).alias("key")
-    )
+    ))
     blocks = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("__bs"))
-    keyed = keyed.join(
+    keyed = materialize(keyed.join(
         blocks.filter(F.col("__bs") <= max_block).select("key"), "key"
-    )
+    ))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -746,14 +763,17 @@ def cross_doc_repeated_windows(
         F.size("toks") >= window,
         F.sequence(F.lit(1), F.size("toks") - window + 1),
     ).otherwise(F.array().cast("array<int>"))
-    wins = tk.select(
+    # the window stream feeds the repeated-set aggregate AND the rejoin;
+    # materialize the (id, 16-byte md5) rows once instead of re-running
+    # the per-token window explode per reference (r14)
+    wins = materialize(tk.select(
         id_col,
         F.explode(idx).alias("pos"),
         "toks",
     ).select(
         id_col,
         F.md5(F.array_join(F.slice("toks", F.col("pos"), window), " ")).alias("h"),
-    )
+    ))
     repeated = (
         wins.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -826,9 +846,15 @@ def paragraph_dedup(
     para = lambda i: F.array_join(  # noqa: E731
         F.slice(F.col("__tk"), i * F.lit(P) + F.lit(1), F.lit(P)), " "
     )
-    g = tk.select(
+    # (id, idx, 32-char md5) occurrence rows are read twice (winner
+    # aggregation + per-doc paragraph counts); checkpoint them so the
+    # corpus is tokenized/hashed once for the decision — the final
+    # text-reassembly join below re-reads only ``tk``
+    g = materialize(tk.select(
         id_col, F.explode(idxs).alias("idx"), "__tk"
-    ).select(id_col, "idx", F.md5(para(F.col("idx"))).alias("fp"))
+    ).select(
+        id_col, "idx", F.md5(para(F.col("idx"))).alias("fp")
+    ))
     winners = g.groupBy("fp").agg(
         F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__w")
     )

@@ -74,6 +74,13 @@ def cdc_to_counting_delta(
             f"{missing} — produce the feed with snapshot_diff(..., "
             "include_old=True)"
         )
+    # The three filters below each reference ``cdc``; when the feed is a
+    # live ``snapshot_diff`` plan (a full-outer snapshot join), that
+    # meant three recomputations of the diff — and maintain_join_view
+    # then reads the delta twice more (r14 plan audit: the m23 plan held
+    # 6 copies of each side's diff subtree, 56 parquet scans). The feed
+    # is delta-sized by definition, so materialize it once.
+    cdc = cdc.localCheckpoint(eager=True)
     plus = cdc.filter(F.col("change_type").isin("I", "U")).select(
         *keys, *value_cols, F.lit(1).cast("long").alias(MULT)
     )
@@ -114,8 +121,11 @@ def maintain_join_view(
     def weighted(df: DataFrame, w) -> DataFrame:
         return df.select(*data_cols, w.alias(MULT))
 
-    da = delta_a.withColumnRenamed(MULT, "__ma")
-    db = delta_b.withColumnRenamed(MULT, "__mb")
+    # each delta joins twice (its cross term + ΔA ⋈ ΔB); deltas are
+    # small by contract, so pin them once instead of recomputing the
+    # upstream CDC plan per term
+    da = delta_a.withColumnRenamed(MULT, "__ma").localCheckpoint(eager=True)
+    db = delta_b.withColumnRenamed(MULT, "__mb").localCheckpoint(eager=True)
     t1 = weighted(da.join(b_old, on), F.col("__ma"))
     t2 = weighted(a_old.join(db, on), F.col("__mb"))
     t3 = weighted(da.join(db, on), F.col("__ma") * F.col("__mb"))

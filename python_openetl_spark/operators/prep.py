@@ -468,7 +468,15 @@ def prepare_corpus(
     """
     from python_openetl_spark.operators.dedup import exact_dedup_keep
 
-    kept = exact_dedup_keep(docs, text_col, id_col)
+    # the deduped corpus feeds THREE downstream stages (quality gate,
+    # contamination gate, PII redaction); materialize it once — exactly
+    # what the nightly pipeline does by writing the deduped corpus out —
+    # instead of re-running the dedup scan+hash+semi-join per stage.
+    # Size-adaptive (operators/materialize): at fixture scale the three
+    # recomputed scans are cheaper than the checkpoint barrier.
+    from python_openetl_spark.operators.materialize import materialize
+
+    kept = materialize(exact_dedup_keep(docs, text_col, id_col))
     quality = repetition_stats(
         kept,
         text_col=text_col,

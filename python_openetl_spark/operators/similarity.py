@@ -339,6 +339,15 @@ def lsh_cosine_pairs(
         .select(F.col(id_col), F.col(vec_col))
         .mapInPandas(bucket_kernel, schema="doc long, tbl int, key long")
     )
+    # the self-join below references this frame twice, and without a
+    # materialization BOTH sides re-run the scan + Arrow bucketing
+    # kernel (r14 plan audit: two MapInPandas nodes, two corpus
+    # exchanges in the x04 plan). Size-adaptive: at fixture scale the
+    # double kernel run is cheaper than a checkpoint barrier, at corpus
+    # scale it is not — see operators/materialize.
+    from python_openetl_spark.operators.materialize import materialize
+
+    bucketed = materialize(bucketed)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (
         a.join(

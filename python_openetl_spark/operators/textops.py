@@ -64,7 +64,10 @@ def unigram_logprob_score(
     """
     ex = df.select(id_col, F.explode(tokens(text_col)).alias("tok"))
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
-    total = ex.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    # corpus total = sum of the vocabulary counts — derived from the
+    # tiny ``freq`` aggregate instead of a third full tokenize+explode
+    # pass over the corpus (r14; the d58 DSIR scorer already does this)
+    total = freq.groupBy().agg(F.sum("__n").alias("__total"))
     scored = (
         ex.join(freq, "tok")
         .crossJoin(F.broadcast(total))

@@ -53,12 +53,16 @@ def _snapshots(spark: SparkSession, sf_dir: str):
     # snapshot_diff needs pk-unique snapshots (its full-outer join
     # would cross-product duplicate keys), so the b snapshot is the
     # per-(order, line) rollup: unique by construction, SQL-mirrorable
+    # the rollup feeds b_old AND b_new, which between them appear in the
+    # snapshot diff (both sides), the base view and a maintenance term —
+    # four recomputations of the lineitem aggregation without this (r14)
     b = (
         t(spark, sf_dir, "lineitem")
         .groupBy(
             F.col("l_orderkey").alias("o_orderkey"), F.col("l_linenumber")
         )
         .agg(F.max("l_returnflag").alias("l_returnflag"))
+        .localCheckpoint(eager=True)
     )
     b_old = b.filter(F.col("o_orderkey") % 3 != 0)
     b_new = b.filter(

@@ -642,10 +642,13 @@ def e10_ccnet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.textops import unigram_logprob_score
 
     docs = t(spark, sf_dir, "documents")
+    # the deduped corpus is read twice by the LM scorer (explode pass +
+    # zero-token left join); materialize the reassembled text once (r14)
     dd = (
         paragraph_dedup(docs, para_tokens=12)
         .filter(F.col("n_kept") >= 1)
         .select("doc_id", F.col("text_dedup").alias("text"))
+        .localCheckpoint(eager=True)
     )
     scored = unigram_logprob_score(dd)
     terc = global_ntile(

@@ -152,9 +152,12 @@ def e04_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.textops import chunk_documents
 
     d = t(spark, sf_dir, "documents")
+    # prepared feeds both the chunker and the split assignment —
+    # materialize the composite's output once (r14; its own internal
+    # checkpoint covers only the dedup stage, not the final join)
     prepared = prep.prepare_corpus(
         d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0)
-    )
+    ).localCheckpoint(eager=True)
     chunks = chunk_documents(
         prepared.select("doc_id", F.col("text_redacted").alias("text")),
         chunk_tokens=32,
