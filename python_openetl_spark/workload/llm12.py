@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import stream_state_partitions, t
 
 
 def d55_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,8 +114,8 @@ def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
 
     State-partition sizing: stateful micro-batch cost is per-partition
     per-batch (four state stores for a join × partitions × batches —
-    measured 12.5 s at 32 partitions vs 3.9 s at 8 for the identical
-    371-row result), so the row pins shuffle partitions to 8 for the
+    measured 12.5 s at 32 partitions, 3.9 s at 8, 3.0 s at 4 for the
+    identical 371-row result), so the row pins shuffle partitions for the
     stream and restores the session setting after; a production job
     sizes this to state VOLUME, exactly as it sizes shuffle partitions
     for batch."""
@@ -170,7 +170,7 @@ def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = "poe_s13_join"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(4)))
     try:
         q = (
             joined.writeStream.format("memory")

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import stream_state_partitions, t
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -211,7 +211,7 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline closes the books on a bounded replay — a real unbounded
     stream finalizes continuously as the watermark advances.
 
-    State sizing: shuffle partitions pinned to 8 around the stream and
+    State sizing: shuffle partitions pinned to 4 around the stream and
     restored after (the s13 measurement: per-partition-per-batch state
     cost), exactly as a production job sizes partitions to state
     volume."""
@@ -284,7 +284,7 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "poe_s14_join"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(4)))
     try:
         q = (
             joined.writeStream.format("memory")
@@ -454,7 +454,7 @@ def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "poe_s15_sessions"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(4)))
     try:
         q = (
             sess.writeStream.format("memory")
@@ -778,7 +778,10 @@ def s16_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .queryName(name)
         .outputMode("append")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="poe_s16_ckpt_"))
-        .trigger(processingTime="50 milliseconds")
+        # back-to-back triggers: with 6 byte-offset batches a 50 ms
+        # cadence added ~0.3 s of pure inter-batch dead time (r14); the
+        # drain condition below, not the trigger clock, ends the query
+        .trigger(processingTime="0 milliseconds")
         .start()
     )
     try:
@@ -793,7 +796,7 @@ def s16_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                     end = ast.literal_eval(end)
                 if end and int(end["pos"]) >= size:
                     break
-            time.sleep(0.1)
+            time.sleep(0.02)
         else:
             raise RuntimeError("s16: stream did not reach EOF within 300s")
         q.processAllAvailable()
