@@ -91,9 +91,15 @@ def zorder_key(
     return key
 
 
-def zorder_layout(df: DataFrame, cols: list[str], *, num_files: int, bits: int = 8) -> DataFrame:
+def zorder_layout(df: DataFrame, cols: list[str], *, num_files: int, bits: int = 6) -> DataFrame:
     """Rewrite-ready DataFrame: range-partitioned and sorted by the
-    z-key (key column dropped after ordering — layout only)."""
+    z-key (key column dropped after ordering — layout only).
+
+    ``bits`` defaults to :func:`zorder_key`'s measured sweet spot (6 —
+    the 8-bit default cost ~3× more per row in the bucket fold and 4×
+    more approxQuantile boundaries for identical file-level pruning;
+    see zorder_key's docstring). The key is dropped after ordering, so
+    ``bits`` affects only row→file placement, never query results."""
     keyed = df.withColumn("__zkey", zorder_key(df, cols, bits=bits))
     return (
         keyed.repartitionByRange(num_files, "__zkey")

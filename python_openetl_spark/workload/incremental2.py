@@ -147,10 +147,19 @@ def m14_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.overwrite(rollup(o), partition_by=["o_month"])
     repl = rollup(
         o.filter(
-            (F.date_format("o_orderdate", "yyyy-MM") == "1996-07")
+            # month equality as a timestamp RANGE (identical under the
+            # session's UTC zone to date_format == '1996-07', which as a
+            # derived expression never reached PushedFilters): the July
+            # slice now prunes at the parquet scan via row-group min/max
+            # instead of formatting every row (guide §6)
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ltz"))
+            & (F.col("o_orderdate") < F.lit("1996-08-01").cast("timestamp_ltz"))
             & (F.col("o_orderstatus") == "F")
         )
-    )
+        # consumed twice (overwrite_where's predicate validation + the
+        # partition write) and tiny (one month row) — pin it so the
+        # scan+aggregate runs once (guide §1.2: don't compute things twice)
+    ).localCheckpoint(eager=True)
     table.overwrite_where(repl, "o_month = '1996-07'", partition_by=["o_month"])
     return table.read(spark).select(
         "o_month", "n_orders", F.col("rev_dec").cast("double").alias("revenue")

@@ -165,6 +165,9 @@ def m21_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("v")
         )
+        # consumed three times (emptiness probe + both source commits):
+        # pin the rollup so the events scan+aggregate runs once
+        .localCheckpoint(eager=True)
     )
     if not b0.take(1):
         return spark.createDataFrame(

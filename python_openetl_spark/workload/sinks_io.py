@@ -338,18 +338,32 @@ def k12_registry_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.sources.jdbc import JdbcSource, write_table
 
     tmp = tempfile.mkdtemp(prefix="poe_k12_")
+    # the SAME slice feeds five independent sink writes: pin it once so
+    # each write reads the materialized rows instead of re-running the
+    # source scan+projection per sink (guide §1.2)
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    o.write.parquet(os.path.join(tmp, "pq"))
-    o.write.option("header", True).csv(os.path.join(tmp, "csv"))
-    o.write.json(os.path.join(tmp, "js"))
-    o.write.orc(os.path.join(tmp, "orc"))
+    ).localCheckpoint(eager=True)
     derby = JdbcSource(
         url="jdbc:derby:memory:poek12;create=true",
         driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
     )
-    write_table(o, derby, "K12_ORDERS", mode="overwrite")
+    # the five staging writes are independent actions over the pinned
+    # slice — submit them from a thread pool so each write's task tail
+    # back-fills the cores the others free (guide §2.6); results are
+    # unaffected (five disjoint sinks, one source RDD)
+    from concurrent.futures import ThreadPoolExecutor
+
+    stage_writes = [
+        lambda: o.write.parquet(os.path.join(tmp, "pq")),
+        lambda: o.write.option("header", True).csv(os.path.join(tmp, "csv")),
+        lambda: o.write.json(os.path.join(tmp, "js")),
+        lambda: o.write.orc(os.path.join(tmp, "orc")),
+        lambda: write_table(o, derby, "K12_ORDERS", mode="overwrite"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(stage_writes)) as pool:
+        for _ in pool.map(lambda w: w(), stage_writes):
+            pass
     specs = {
         "parquet": {"format": "parquet", "path": os.path.join(tmp, "pq")},
         "csv": {"format": "csv", "path": os.path.join(tmp, "csv")},
