@@ -36,6 +36,28 @@ from pyspark.sql import functions as F
 MULT = "mult"
 
 
+def _narrow_over_pinned(df: DataFrame) -> bool:
+    """True iff ``df`` is a narrow plan (no join/aggregate/window/
+    generator) whose every leaf is an already-materialized scan
+    (LogicalRDD / LocalRelation). Recomputing such a plan per reference
+    costs a filter/projection over pinned rows — cheaper than another
+    eager localCheckpoint job. Conservative: any doubt returns False
+    (the caller then pins)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            name = leaves.apply(i).nodeName()
+            if name not in ("LogicalRDD", "LocalRelation"):
+                return False
+        s = plan.toString()
+        return not any(
+            tok in s for tok in ("Join", "Aggregate", "Window", "Generate")
+        )
+    except Exception:
+        return False
+
+
 def join_view(a: DataFrame, b: DataFrame, on: "str | Sequence[str]") -> DataFrame:
     """Materialize the counting-form join view: A ⋈ B with per-row
     multiplicities (duplicate join outputs become one row with
@@ -123,9 +145,19 @@ def maintain_join_view(
 
     # each delta joins twice (its cross term + ΔA ⋈ ΔB); deltas are
     # small by contract, so pin them once instead of recomputing the
-    # upstream CDC plan per term
-    da = delta_a.withColumnRenamed(MULT, "__ma").localCheckpoint(eager=True)
-    db = delta_b.withColumnRenamed(MULT, "__mb").localCheckpoint(eager=True)
+    # upstream CDC plan per term — EXCEPT when the delta is already a
+    # narrow plan over pinned rows (the cdc_to_counting_delta shape:
+    # filters/unions over a checkpointed diff), where recomputing per
+    # term is a projection over materialized rows and a second
+    # checkpoint job only adds a barrier (m23 carried five eager
+    # checkpoint jobs, two of them re-pinning already-pinned data)
+    def _pin(df: DataFrame) -> DataFrame:
+        if _narrow_over_pinned(df):
+            return df
+        return df.localCheckpoint(eager=True)
+
+    da = _pin(delta_a.withColumnRenamed(MULT, "__ma"))
+    db = _pin(delta_b.withColumnRenamed(MULT, "__mb"))
     t1 = weighted(da.join(b_old, on), F.col("__ma"))
     t2 = weighted(a_old.join(db, on), F.col("__mb"))
     t3 = weighted(da.join(db, on), F.col("__ma") * F.col("__mb"))

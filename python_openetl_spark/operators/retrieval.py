@@ -255,17 +255,29 @@ def bm25_topk(
     invert rankings). ``queries`` must be driver-bounded (it is
     broadcast); the corpus side is unbounded.
     """
-    qterms = (
+    from python_openetl_spark.operators.materialize import materialize
+
+    # qterms is referenced three times (qvocab's derivation + two
+    # broadcast builds) and dl twice (the stats aggregate + the
+    # per-document scoring join) — each extra reference re-runs a
+    # corpus tokenize (plan audit: bm25_topk tokenized the corpus three
+    # times). Size-adaptive pins: UNCONDITIONAL checkpoints were
+    # measured SLOWER at fixture scale (d34 2.70s -> 3.44s, x10 3.37s
+    # -> 4.45s — three barrier jobs cost more than the re-scans they
+    # saved), so the pin engages only above the materialize threshold,
+    # where re-scanning a corpus per reference dominates any barrier.
+    # Both frames are pin-safe at any scale: qterms is driver-bounded
+    # by contract, dl is one fixed-width (doc_id, dl) row per document.
+    qterms = materialize(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
-        )
-        .distinct()
+        ).distinct()
     )
     qvocab = qterms.select("term").distinct()
 
     # corpus scalars: one map-side-combined scan -> a single broadcast row
-    dl = doc_lengths(docs, text_col, id_col)
+    dl = materialize(doc_lengths(docs, text_col, id_col))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )

@@ -245,8 +245,15 @@ def x10_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     emb = t(spark, sf_dir, "embeddings")
-    qdocs = _derived_queries(docs).join(
-        F.broadcast(emb.select(F.col("vec_id").alias("query_id"))), "query_id"
+    from python_openetl_spark.operators.materialize import materialize
+
+    # consumed by BOTH towers (lexical query text, dense query-id
+    # broadcast); size-adaptive pin — an unconditional checkpoint was
+    # measured slower at fixture scale (see bm25_topk's comment)
+    qdocs = materialize(
+        _derived_queries(docs).join(
+            F.broadcast(emb.select(F.col("vec_id").alias("query_id"))), "query_id"
+        )
     )
     lexical = bm25_topk(docs, qdocs, k=10)
     dense = similarity.cosine_topk(

@@ -116,3 +116,38 @@ def test_cdc_to_counting_delta_bridges_snapshot_diff(spark):
         cdc_to_counting_delta(
             snapshot_diff(a_old, a_new, "k"), "k", ["av"]
         )
+
+
+def test_narrow_over_pinned_heuristic(spark):
+    """The r14 pin-skip: maintain_join_view must NOT re-checkpoint a
+    delta that is already a narrow plan over materialized rows (the
+    cdc_to_counting_delta shape), and MUST still pin anything with a
+    live scan, join, aggregate, window or generator upstream — the
+    conservative direction, since a wrongly-skipped pin recomputes an
+    expensive subtree per maintenance term."""
+    from pyspark.sql import Window
+
+    from python_openetl_spark.operators.ivm import _narrow_over_pinned
+
+    base = spark.createDataFrame(
+        [(1, "x", 1), (2, "y", -1)], "k long, av string, mult long"
+    )
+    pinned = base.localCheckpoint(eager=True)
+    # narrow over pinned: filters/projections/unions qualify
+    assert _narrow_over_pinned(pinned.filter(F.col("k") > 0))
+    assert _narrow_over_pinned(
+        pinned.filter(F.col("mult") > 0).unionByName(
+            pinned.filter(F.col("mult") < 0)
+        ).select("k", "av", "mult")
+    )
+    # anything wide (or over a live relation) must still pin
+    assert not _narrow_over_pinned(pinned.join(pinned.select("k"), "k"))
+    assert not _narrow_over_pinned(pinned.groupBy("k").count())
+    assert not _narrow_over_pinned(
+        pinned.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy("av"))
+        )
+    )
+    assert not _narrow_over_pinned(
+        pinned.select("k", F.explode(F.array(F.lit(1), F.lit(2))).alias("e"))
+    )
