@@ -577,15 +577,21 @@ def ingest_tarball(
     untar (driver-side — Spark has no tar reader) → per-member
     ``spark.read.csv`` with header+schema inference → seed each table.
 
-    The per-member loads are independent Spark jobs; on a cluster the
-    CSVs are splittable so each member still reads in parallel.
+    The per-member loads are independent Spark jobs (disjoint sources
+    and destinations), so they submit from a small thread pool — the
+    next member's inference/seed tasks back-fill cores freed by the
+    current member's write tail instead of idling behind it (the k12
+    registry-dispatch pattern). Results and table contents are
+    identical to the sequential loop; only job overlap changes.
     Remote URLs: fetch to a local temp file first (the reference streams
     the HTTP body the same way, `operations.py:645-652`).
     """
-    out: dict[str, ParquetTable] = {}
+    from concurrent.futures import ThreadPoolExecutor
+
     with tempfile.TemporaryDirectory() as tmp:
         with tarfile.open(tar_path) as tf:
             tf.extractall(tmp, filter="data")
+        members: list[tuple[str, str]] = []  # (csv path, table name)
         for root, _dirs, files in os.walk(tmp):
             for fname in sorted(files):
                 if not fname.endswith(".csv"):
@@ -593,12 +599,21 @@ def ingest_tarball(
                 tname = derive_table_name(fname, prefix)
                 if allowlist is not None and tname not in allowlist:
                     continue
-                df = (
-                    spark.read.option("header", True)
-                    .option("inferSchema", True)
-                    .csv(os.path.join(root, fname))
-                )
-                out[tname] = seed(df, os.path.join(dest_dir, tname), normalize=normalize)
+                members.append((os.path.join(root, fname), tname))
+
+        def _ingest_one(member: tuple[str, str]) -> tuple[str, ParquetTable]:
+            path, tname = member
+            df = (
+                spark.read.option("header", True)
+                .option("inferSchema", True)
+                .csv(path)
+            )
+            return tname, seed(df, os.path.join(dest_dir, tname), normalize=normalize)
+
+        # 2-3 jobs in flight is enough to fill the tail without the
+        # members fighting each other for executors (guide §2.6)
+        with ThreadPoolExecutor(max_workers=min(3, max(1, len(members)))) as pool:
+            out: dict[str, ParquetTable] = dict(pool.map(_ingest_one, members))
     return out
 
 
