@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Direct every edge large→small and drop self-loops/duplicates."""
@@ -137,9 +139,10 @@ def connected_components(
     # (shingle explode + LSH self-join) is the expensive part — the
     # checkpoint pins its output so neither the size probe nor the loop
     # (nor the nodes side, in the distributed path) recomputes it.
-    raw = pairs.select(
+    # pin: 16-byte id pairs (delta-sized) — materialize.py policy
+    raw = pin(pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ))
 
     # Size probe + small-graph fast path in ONE job: collect up to
     # threshold+1 raw pairs straight off the checkpoint. Candidate-pair
@@ -168,7 +171,7 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    edges = _canonical(raw).localCheckpoint(eager=True)
+    edges = pin(_canonical(raw))
     prev = _sig(edges)
     # right-size the loop: the edge set is tiny relative to the corpus
     # (16 bytes/row), so run the iterations at ~1M edges per task instead
@@ -178,7 +181,7 @@ def connected_components(
     if want < edges.rdd.getNumPartitions():
         edges = edges.coalesce(want)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = pin(_small_star(_large_star(edges)))
         cur = _sig(edges)
         if cur == prev:
             break
@@ -270,21 +273,19 @@ def triangle_counts(
     # d61 shape (exact jaccard pairs) that was FIVE recomputations of a
     # shingle-explode self-join, 272 parquet scans in one plan (r14
     # measurement). Same rationale as connected_components' checkpoint.
-    e = (
+    e = pin(
         pairs.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # degrees are read three times (two orientation joins + the final
     # every-node left join); one node-count-sized checkpoint beats three
     # union+groupBy shuffles over the edge set
-    deg = (
+    deg = pin(
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
@@ -292,11 +293,11 @@ def triangle_counts(
     fwd = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
     # oriented is read three times (two wedge sides + the closer);
     # checkpoint the 24-byte rows so the degree joins run once
-    oriented = ed.select(
+    oriented = pin(ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    ).localCheckpoint(eager=True)
+    ))
     o1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
     o2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
     wedges = o1.join(o2, "src").filter(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import fingerprint, text_shingles, token_hash60, tokens
-from python_openetl_spark.operators.materialize import materialize
+from python_openetl_spark.operators.materialize import materialize, pin
 
 
 def exact_dedup(
@@ -389,9 +389,10 @@ def simhash_candidates(
             )
         ).alias("bk"),
     ).select("doc", "simhash", "bk.band", "bk.key")
-    # the banded frame self-joins; checkpoint it so the 60-column
-    # per-bit majority-vote aggregate runs once, not once per side
-    banded = banded.localCheckpoint(eager=True)
+    # the banded frame self-joins; pin it so the 60-column per-bit
+    # majority-vote aggregate runs once, not once per side (delta-sized:
+    # (doc, band, key) rows — materialize.py policy)
+    banded = pin(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

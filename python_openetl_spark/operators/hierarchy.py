@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
+
 
 def tree_depths(
     edges: DataFrame,
@@ -51,11 +53,13 @@ def tree_depths(
     them in with depth 0 if needed. ``max_rounds`` caps path length at
     ``2^max_rounds`` (default: any real hierarchy); a cycle exhausts
     the cap and raises."""
-    cur = edges.select(
+    # pin, not persist: frontier is delta-sized (edge count), re-pinned
+    # every round — materialize.py policy (reliable under env knob)
+    cur = pin(edges.select(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("anc"),
         F.lit(1).cast("long").alias("depth"),
-    ).localCheckpoint()  # eager: materialize round 0, truncate lineage
+    ))  # eager: materialize round 0, truncate lineage
 
     for _ in range(max_rounds):
         hop = cur.select(
@@ -66,12 +70,12 @@ def tree_depths(
         joined = cur.join(hop, cur.anc == F.col("__j_node"), "left")
         # localCheckpoint, not persist: the self-join references cur
         # twice, so an uncut plan doubles per round (see module note)
-        nxt = joined.select(
+        nxt = pin(joined.select(
             "node",
             F.coalesce(F.col("__j_anc"), F.col("anc")).alias("anc"),
             (F.col("depth") + F.coalesce(F.col("__j_depth"), F.lit(0))).alias("depth"),
             F.col("__j_node").isNotNull().alias("__adv"),
-        ).localCheckpoint()
+        ))
         advanced = nxt.filter(F.col("__adv")).count()
         cur = nxt.drop("__adv")
         if advanced == 0:
@@ -100,11 +104,12 @@ def ancestor_closure(
     Σ depth(node) rows — inherent to any closure, which is why the
     rollup below aggregates it immediately rather than materializing
     it for storage. Cycles exhaust ``max_rounds`` and raise."""
-    cur = edges.select(
+    # pin: closure frontier, delta-sized per round (materialize.py policy)
+    cur = pin(edges.select(
         F.col(node_col).alias("node"),
         F.col(parent_col).alias("anc"),
         F.lit(1).cast("long").alias("dist"),
-    ).localCheckpoint()  # eager: materialize + truncate lineage
+    ))  # eager: materialize + truncate lineage
     prev_n = cur.count()
     for _ in range(max_rounds):
         up = cur.select(
@@ -122,8 +127,8 @@ def ancestor_closure(
                 .select("node", F.col("__a").alias("anc"), (F.col("dist") + F.col("__d")).alias("dist"))
             )
             .dropDuplicates(["node", "anc"])
-            .localCheckpoint()
         )
+        grown = pin(grown)
         n = grown.count()
         cur = grown
         if n == prev_n:

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.vectors import cosine, dot, norm
+from python_openetl_spark.operators.materialize import pin
 
 
 def _cosine_clamped(a, b):
@@ -669,11 +670,12 @@ def _tombstone(
     to readers and vacuumed away. The doomed ids are materialized
     before the wait, so they carry over (a rebuild is a pure
     compaction: the live id set is unchanged)."""
-    # localCheckpoint severs lineage from the deleted/ directory the
-    # append below writes into — a persist()-only plan could be
-    # re-evaluated against that directory mid-append on cache eviction
-    # or executor loss (r11 advice: self-read hazard)
-    doomed = doomed_ids.localCheckpoint(eager=True)
+    # pin severs lineage from the deleted/ directory the append below
+    # writes into — a persist()-only plan could be re-evaluated against
+    # that directory mid-append on cache eviction or executor loss (r11
+    # advice: self-read hazard). Tombstone id set: delta-sized, so the
+    # local default of materialize.py's policy applies.
+    doomed = pin(doomed_ids)
     n = doomed.count()
     while n:
         # store lock around the deleted/ append: concurrent tombstone

@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
+
 #: multiplicity column carried by CDC deltas and view rows
 MULT = "mult"
 
@@ -101,8 +103,9 @@ def cdc_to_counting_delta(
     # meant three recomputations of the diff — and maintain_join_view
     # then reads the delta twice more (r14 plan audit: the m23 plan held
     # 6 copies of each side's diff subtree, 56 parquet scans). The feed
-    # is delta-sized by definition, so materialize it once.
-    cdc = cdc.localCheckpoint(eager=True)
+    # is delta-sized by definition, so materialize it once (pin:
+    # materialize.py policy — reliable checkpoint under the env knob).
+    cdc = pin(cdc)
     plus = cdc.filter(F.col("change_type").isin("I", "U")).select(
         *keys, *value_cols, F.lit(1).cast("long").alias(MULT)
     )
@@ -154,7 +157,7 @@ def maintain_join_view(
     def _pin(df: DataFrame) -> DataFrame:
         if _narrow_over_pinned(df):
             return df
-        return df.localCheckpoint(eager=True)
+        return pin(df)
 
     da = _pin(delta_a.withColumnRenamed(MULT, "__ma"))
     db = _pin(delta_b.withColumnRenamed(MULT, "__mb"))

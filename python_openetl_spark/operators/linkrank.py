@@ -54,6 +54,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
+
 #: decimal places for the order-independent contribution sums
 _SCALE = 12
 
@@ -111,7 +113,7 @@ def pagerank(
         # blocks the end-of-call cleanup exists to release).
         out = nodes.select("id", F.lit(0.0).alias("rank"))
         if checkpoint:
-            out = out.localCheckpoint(eager=True)
+            out = pin(out)
             for frame in (e, nodes):
                 frame.unpersist()
         return out
@@ -153,7 +155,7 @@ def pagerank(
             # partial jobs), so the single action both materializes
             # the checkpoint blocks and fetches the dangling row; the
             # next iteration reads the stored blocks
-            agg = agg.localCheckpoint(eager=False)
+            agg = pin(agg, eager=False)
         drows = agg.filter(F.col("id").isNull()).select("in_mass").collect()
         dang = (
             float(drows[0][0])
@@ -195,7 +197,8 @@ def pagerank(
         # invoking this per corpus snapshot) leaked blocks pile up and
         # evictions/GC stalls show up as latency variance in UNRELATED
         # queries.
-        ranks = ranks.localCheckpoint(eager=True)
+        # rank vector: one double per node, delta-sized (policy)
+        ranks = pin(ranks)
         for frame in (e, nodes):
             frame.unpersist()
     return ranks

@@ -23,8 +23,33 @@ path picks "recompute" on a fixture and "materialize" on a 100 TB
 corpus, with no local-mode constant baked in. Operators whose
 multi-referenced frame is expensive to recompute but structurally
 SMALL-looking to the estimator (e.g. the output of an iterative join
-pipeline over a tiny scan) keep an unconditional ``localCheckpoint``
-with a site comment instead of calling this helper.
+pipeline over a tiny scan) pin unconditionally via :func:`pin`
+instead of calling this helper.
+
+Scale-safety policy (when localCheckpoint is NOT enough)
+--------------------------------------------------------
+
+``localCheckpoint`` stores the materialized partitions on the
+EXECUTORS and truncates lineage — losing an executor therefore loses
+blocks that can no longer be recomputed, and the job fails. That
+trade is acceptable exactly when the pinned frame is
+**delta-sized / driver-bounded** (CDC deltas, iterative frontiers,
+banded-rank offsets, id tombstones — every current site), because the
+frame is small enough that a retry of the whole query is cheap and
+the pin exists to avoid *recomputation*, not to provide
+*durability*. It is NOT acceptable for a pin that a long multi-hour
+cluster job depends on (a 100 TB shuffle output): there, executor
+churn is expected, and the site must use **reliable**
+``Dataset.checkpoint()`` (HDFS/object-store backed, survives executor
+loss) and pay the write.
+
+Both :func:`materialize` and :func:`pin` therefore route through one
+switch: set ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` (and
+``SPARK_GRAFT_CHECKPOINT_DIR`` if the session has no checkpoint dir)
+to flip every pin in the engine to the reliable path for cluster
+deployments; the local default stays ``localCheckpoint`` (same
+semantics, no extra I/O — right for fixtures and for any
+fail-fast-and-retry batch job).
 """
 
 from __future__ import annotations
@@ -74,9 +99,37 @@ def plan_size_estimate(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _reliable() -> bool:
+    return os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "") not in ("", "0")
+
+
+def pin(df: DataFrame, *, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` unconditionally, policy-aware (see module
+    docstring): ``localCheckpoint`` by default; reliable
+    ``Dataset.checkpoint`` when ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``.
+    Sites call this for frames that are delta-sized / driver-bounded
+    but look small to the size estimator (iterative frontiers, CDC
+    deltas, tombstone id sets) — :func:`materialize` remains the entry
+    point when the recompute-vs-barrier decision should follow the
+    data size."""
+    if not _reliable():
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if not ckpt_dir:
+            raise ValueError(
+                "SPARK_GRAFT_RELIABLE_CHECKPOINT=1 needs a checkpoint dir: "
+                "call sparkContext.setCheckpointDir() or set "
+                "SPARK_GRAFT_CHECKPOINT_DIR"
+            )
+        sc.setCheckpointDir(ckpt_dir)
+    return df.checkpoint(eager=eager)
+
+
 def materialize(df: DataFrame, *, threshold_bytes: int | None = None) -> DataFrame:
     """Checkpoint ``df`` iff its estimated size clears the threshold."""
     limit = _threshold_bytes() if threshold_bytes is None else threshold_bytes
     if plan_size_estimate(df) <= limit:
         return df
-    return df.localCheckpoint(eager=True)
+    return pin(df)

@@ -92,6 +92,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
+from python_openetl_spark.operators.materialize import pin
 from python_openetl_spark.operators.ivf_store import (
     _SEQ,
     _bump_seq,
@@ -388,11 +389,10 @@ def append_to_postings_store(
             # resolve + materialize the doomed set BEFORE the batch's
             # rows land (afterwards the batch's own rows read as live
             # and would be tombstoned with the stale generations)
-            doomed = (
+            doomed = pin(
                 _load_live(spark, idx_dir, _DOCLENS, "doclens")
                 .select("doc_id")
                 .join(F.broadcast(batch_ids), "doc_id", "left_semi")
-                .localCheckpoint(eager=True)
             )
             n = doomed.count()
             seq = _bump_seq(idx_dir)
@@ -446,7 +446,7 @@ def delete_from_postings_store(
                 doomed = live.select("doc_id").join(
                     F.broadcast(id_df.distinct()), "doc_id", "left_semi"
                 )
-            doomed = doomed.localCheckpoint(eager=True)
+            doomed = pin(doomed)
             n = doomed.count()
             if n:
                 _write_tombstones(doomed, idx_dir, _read_seq(idx_dir))

@@ -38,6 +38,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
+
 _BAND = "__gr_band"
 _LOCAL = "__gr_lr"
 
@@ -102,7 +104,7 @@ def global_row_number(
     # so a long-lived session doesn't accumulate storage per distinct
     # input plan (r6 advice, preserved).
     if not df.is_cached:
-        df = df.localCheckpoint(eager=True)
+        df = pin(df)
 
     vdbl = F.col(value_col).cast("double")
     qs = [i / bands for i in range(1, bands)]

@@ -581,25 +581,38 @@ def ingest_tarball(
     and destinations), so they submit from a small thread pool — the
     next member's inference/seed tasks back-fill cores freed by the
     current member's write tail instead of idling behind it (the k12
-    registry-dispatch pattern). Results and table contents are
-    identical to the sequential loop; only job overlap changes.
-    Remote URLs: fetch to a local temp file first (the reference streams
-    the HTTP body the same way, `operations.py:645-652`).
+    registry-dispatch pattern). Members whose names derive the SAME
+    table name (``2024/users.csv`` vs ``2025/users.csv``) are deduped
+    before dispatch, keeping the last occurrence in walk order — the
+    sequential loop's last-wins outcome — because two pool workers
+    racing ``seed()`` against one destination would collide inside
+    ``overwrite()``'s single-writer rename swap. For distinct derived
+    names, results and table contents are identical to the sequential
+    loop; only job overlap changes. On a member failure, other
+    in-flight members may still complete before the exception
+    propagates. Remote URLs: fetch to a local temp file first (the
+    reference streams the HTTP body the same way,
+    `operations.py:645-652`).
     """
     from concurrent.futures import ThreadPoolExecutor
 
     with tempfile.TemporaryDirectory() as tmp:
         with tarfile.open(tar_path) as tf:
             tf.extractall(tmp, filter="data")
-        members: list[tuple[str, str]] = []  # (csv path, table name)
+        # dict insertion-overwrite dedupes colliding table names to the
+        # LAST walk-order occurrence; _dirs sorted in place so the walk
+        # order (and therefore which member wins) is deterministic
+        by_name: dict[str, str] = {}  # table name -> csv path
         for root, _dirs, files in os.walk(tmp):
+            _dirs.sort()
             for fname in sorted(files):
                 if not fname.endswith(".csv"):
                     continue
                 tname = derive_table_name(fname, prefix)
                 if allowlist is not None and tname not in allowlist:
                     continue
-                members.append((os.path.join(root, fname), tname))
+                by_name[tname] = os.path.join(root, fname)
+        members: list[tuple[str, str]] = [(p, n) for n, p in by_name.items()]
 
         def _ingest_one(member: tuple[str, str]) -> tuple[str, ParquetTable]:
             path, tname = member

@@ -47,6 +47,25 @@ def stage_replay_dir(
     return path
 
 
+def replay_rows_per_batch(path: str) -> float:
+    """Rows per micro-batch of a staged replay dir: total parquet rows
+    divided by the number of part files (one file = one micro-batch
+    under ``maxFilesPerTrigger=1``). Footer-only pyarrow reads on the
+    driver — no Spark job — so stateful queries can size their state
+    partitions from the staged manifest itself."""
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    for root, _dirs, fnames in os.walk(path):
+        files += [
+            os.path.join(root, f) for f in fnames if f.endswith(".parquet")
+        ]
+    if not files:
+        return 0.0
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    return total / len(files)
+
+
 def read_file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-source stream over a staged replay directory, one file per
     micro-batch."""

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.incremental import _CUTOFF, _target
+from python_openetl_spark.operators.materialize import pin
 from python_openetl_spark.workload.util import t
 
 
@@ -159,7 +160,8 @@ def m14_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed twice (overwrite_where's predicate validation + the
         # partition write) and tiny (one month row) — pin it so the
         # scan+aggregate runs once (guide §1.2: don't compute things twice)
-    ).localCheckpoint(eager=True)
+    )
+    repl = pin(repl)
     table.overwrite_where(repl, "o_month = '1996-07'", partition_by=["o_month"])
     return table.read(spark).select(
         "o_month", "n_orders", F.col("rev_dec").cast("double").alias("revenue")

@@ -23,6 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
 from python_openetl_spark.workload.util import dsum, t
 
 
@@ -165,10 +166,10 @@ def m21_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("v")
         )
-        # consumed three times (emptiness probe + both source commits):
-        # pin the rollup so the events scan+aggregate runs once
-        .localCheckpoint(eager=True)
     )
+    # consumed three times (emptiness probe + both source commits):
+    # pin the rollup so the events scan+aggregate runs once
+    b0 = pin(b0)
     if not b0.take(1):
         return spark.createDataFrame(
             [],

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
 from python_openetl_spark.workload.util import t
 
 QUERIES: dict = {}
@@ -62,8 +63,8 @@ def _snapshots(spark: SparkSession, sf_dir: str):
             F.col("l_orderkey").alias("o_orderkey"), F.col("l_linenumber")
         )
         .agg(F.max("l_returnflag").alias("l_returnflag"))
-        .localCheckpoint(eager=True)
     )
+    b = pin(b)
     b_old = b.filter(F.col("o_orderkey") % 3 != 0)
     b_new = b.filter(
         ((F.col("o_orderkey") % 3 != 0) & (F.col("l_linenumber") != 2))

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import corpus_key, t
 
 _X14_QUERY_IDS = (2, 4, 8)
 
@@ -120,13 +120,13 @@ def _x15_store(spark: SparkSession, sf_dir: str, nlist: int) -> str:
         build_ivf_store,
     )
 
-    root = _X15_STORES.get(sf_dir)
+    root = _X15_STORES.get(corpus_key(sf_dir))
     if root is None:
         emb = t(spark, sf_dir, "embeddings")
         root = tempfile.mkdtemp(prefix="poe_x15_") + "/ivf"
         build_ivf_store(emb.filter(F.col("vec_id") % 10 != 7), root, nlist=nlist)
         append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
-        _X15_STORES[sf_dir] = root
+        _X15_STORES[corpus_key(sf_dir)] = root
     return root
 
 
@@ -357,7 +357,7 @@ def x18_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     dim = len(emb.select("embedding").first()[0])
     ip, pp = ivf_params(n), pq_params(n, dim)
-    root = _X18_STORES.get(sf_dir)
+    root = _X18_STORES.get(corpus_key(sf_dir))
     if root is None:
         root = tempfile.mkdtemp(prefix="poe_x18_") + "/ivfpq"
         build_ivfpq_store(
@@ -368,7 +368,7 @@ def x18_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ksub=pp["ksub"],
         )
         append_to_ivfpq_store(emb.filter(F.col("vec_id") % 10 == 7), root)
-        _X18_STORES[sf_dir] = root
+        _X18_STORES[corpus_key(sf_dir)] = root
     queries = _x15_queries(spark, sf_dir)  # 1/5/9 + the appended anchor
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
     approx = ivfpq_store_topk(

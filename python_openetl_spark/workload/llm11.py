@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import corpus_key, t
 
 
 def x19_knn_join_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +105,7 @@ def s12_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not emb.take(1):
         return spark.createDataFrame([], "query_id long, anchor_found boolean")
     p = ivf_params(emb.count())
-    root = _S12_STORES.get(sf_dir)
+    root = _S12_STORES.get(corpus_key(sf_dir))
     if root is None:
         tmp = tempfile.mkdtemp(prefix="poe_s12_")
         root = tmp + "/ivf"
@@ -133,7 +133,7 @@ def s12_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 "s12: streaming ingest did not finish within 300s"
             )
-        _S12_STORES[sf_dir] = root
+        _S12_STORES[corpus_key(sf_dir)] = root
     anchors = (
         emb.filter(F.col("vec_id").isin(*_S12_ANCHOR_SRCS))
         .select(
@@ -380,7 +380,7 @@ def x20_filtered_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ivf_params(emb.count())
     import tempfile
 
-    root = _X20_STORES.get(sf_dir)
+    root = _X20_STORES.get(corpus_key(sf_dir))
     if root is None:
         root = tempfile.mkdtemp(prefix="poe_x20_") + "/ivf"
         build_ivf_store(
@@ -390,7 +390,7 @@ def x20_filtered_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             attr_cols=("label",),
         )
         append_to_ivf_store(emb.filter(F.col("vec_id") % 10 == 7), root)
-        _X20_STORES[sf_dir] = root
+        _X20_STORES[corpus_key(sf_dir)] = root
     queries = (
         emb.filter(F.col("vec_id").isin(2, 4, 8))
         .select(F.col("vec_id").alias("query_id"), "embedding")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import stream_state_partitions, t
+from python_openetl_spark.workload.util import corpus_key, stream_state_partitions, t
 
 
 def d55_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,11 +77,11 @@ def x21_store_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ivf_params(emb.count())
     import tempfile
 
-    root = _X21_STORES.get(sf_dir)
+    root = _X21_STORES.get(corpus_key(sf_dir))
     if root is None:
         root = tempfile.mkdtemp(prefix="poe_x21_") + "/ivf"
         build_ivf_store(emb, root, nlist=p["nlist"])
-        _X21_STORES[sf_dir] = root
+        _X21_STORES[corpus_key(sf_dir)] = root
     queries = (
         emb.filter(F.col("vec_id").isin(*_X21_QUERY_IDS))
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -140,7 +140,7 @@ def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
     )
-    staged = _S13_STAGED.get(sf_dir)
+    staged = _S13_STAGED.get(corpus_key(sf_dir))
     if staged is None:
         tmp = tempfile.mkdtemp(prefix="poe_s13_")
         staged = (
@@ -153,7 +153,7 @@ def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
                 order_col="c_ts", shuffle_time_order=False,
             ),
         )
-        _S13_STAGED[sf_dir] = staged
+        _S13_STAGED[corpus_key(sf_dir)] = staged
     p_path, c_path = staged
     ps = read_file_stream(spark, p_path, purchases.schema).withWatermark(
         "p_ts", "2 hours"
@@ -170,7 +170,12 @@ def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     name = "poe_s13_join"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(4)))
+    # state volume = both sides' arrivals per micro-batch (each feeds
+    # the same join's state store)
+    from python_openetl_spark.streaming.sources import replay_rows_per_batch
+
+    rpb = replay_rows_per_batch(p_path) + replay_rows_per_batch(c_path)
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(rpb)))
     try:
         q = (
             joined.writeStream.format("memory")
@@ -356,11 +361,11 @@ def x22_store_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ivf_params(emb.count())
     import tempfile
 
-    root = _X22_STORES.get(sf_dir)
+    root = _X22_STORES.get(corpus_key(sf_dir))
     if root is None:
         root = tempfile.mkdtemp(prefix="poe_x22_") + "/ivf"
         build_ivf_store(emb, root, nlist=p["nlist"], attr_cols=("label",))
-        _X22_STORES[sf_dir] = root
+        _X22_STORES[corpus_key(sf_dir)] = root
     queries = emb.filter(F.col("vec_id") % 30 == 2).select(
         (F.col("vec_id") + 5_000_000).alias("query_id"), "embedding"
     )

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.workload.util import stream_state_partitions, t
+from python_openetl_spark.operators.materialize import pin
+from python_openetl_spark.workload.util import corpus_key, stream_state_partitions, t
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -64,7 +65,7 @@ def x23_store_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     import tempfile
 
-    memo = _X23_STORES.get(sf_dir)
+    memo = _X23_STORES.get(corpus_key(sf_dir))
     if memo is None:
         # nlist is memoized WITH the store root: the count() that sizes
         # it is build-time infrastructure, not per-probe cost
@@ -73,7 +74,7 @@ def x23_store_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_store(emb, root, nlist=nlist)
         delete_from_ivf_store(spark, root, where="vec_id % 10 = 3")
         memo = (root, nlist)
-        _X23_STORES[sf_dir] = memo
+        _X23_STORES[corpus_key(sf_dir)] = memo
     root, nlist = memo
     queries = (
         emb.filter(F.col("vec_id").isin(5, 10, 20))
@@ -236,7 +237,7 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
     )
-    staged = _S14_STAGED.get(sf_dir)
+    staged = _S14_STAGED.get(corpus_key(sf_dir))
     if staged is None:
         tmp = tempfile.mkdtemp(prefix="poe_s14_")
         p_path = stage_replay_dir(
@@ -267,7 +268,7 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             sent_ts.alias("c_ts"),
         ).coalesce(1).write.parquet(c_path + "/chunk=3")
         staged = (p_path, c_path)
-        _S14_STAGED[sf_dir] = staged
+        _S14_STAGED[corpus_key(sf_dir)] = staged
     p_path, c_path = staged
     ps = read_file_stream(spark, p_path, purchases.schema).withWatermark(
         "p_ts", "2 hours"
@@ -284,7 +285,11 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "poe_s14_join"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(4)))
+    # state volume = both sides' arrivals per micro-batch
+    from python_openetl_spark.streaming.sources import replay_rows_per_batch
+
+    rpb = replay_rows_per_batch(p_path) + replay_rows_per_batch(c_path)
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(rpb)))
     try:
         q = (
             joined.writeStream.format("memory")
@@ -416,7 +421,7 @@ def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_start long, user_id long, n_events long, total_value double",
         )
     base = ev.select("user_id", "ts", "value")
-    staged = _S15_STAGED.get(sf_dir)
+    staged = _S15_STAGED.get(corpus_key(sf_dir))
     if staged is None:
         tmp = tempfile.mkdtemp(prefix="poe_s15_")
         staged = stage_replay_dir(
@@ -431,7 +436,7 @@ def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros(F.lit(int(far))).alias("ts"),
             F.lit(0.0).alias("value"),
         ).coalesce(1).write.parquet(staged + "/chunk=3")
-        _S15_STAGED[sf_dir] = staged
+        _S15_STAGED[corpus_key(sf_dir)] = staged
     stream = read_file_stream(spark, staged, base.schema).withWatermark(
         "ts", "2 hours"
     )
@@ -454,7 +459,12 @@ def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = "poe_s15_sessions"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(4)))
+    from python_openetl_spark.streaming.sources import replay_rows_per_batch
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(replay_rows_per_batch(staged))),
+    )
     try:
         q = (
             sess.writeStream.format("memory")
@@ -526,7 +536,7 @@ def k17_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(JsonlDataSource)
     except Exception:
         pass  # already registered in this session
-    path = _K17_STAGED.get(sf_dir)
+    path = _K17_STAGED.get(corpus_key(sf_dir))
     if path is None:
         rows = (
             t(spark, sf_dir, "documents")
@@ -543,7 +553,7 @@ def k17_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     + "\n"
                 )
-        _K17_STAGED[sf_dir] = path
+        _K17_STAGED[corpus_key(sf_dir)] = path
     import os
 
     tb = max(1024, os.path.getsize(path) // 24)  # force ~24 splits
@@ -648,8 +658,8 @@ def e10_ccnet_quality_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         paragraph_dedup(docs, para_tokens=12)
         .filter(F.col("n_kept") >= 1)
         .select("doc_id", F.col("text_dedup").alias("text"))
-        .localCheckpoint(eager=True)
     )
+    dd = pin(dd)
     scored = unigram_logprob_score(dd)
     terc = global_ntile(
         scored.select("doc_id", "n_tokens", "avg_neglogp"),
@@ -763,7 +773,7 @@ def s16_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     # reuse k17's staged file (stage it if k17 hasn't run yet)
     k17_python_datasource_scan(spark, sf_dir)  # ensures _K17_STAGED
-    path = _K17_STAGED[sf_dir]
+    path = _K17_STAGED[corpus_key(sf_dir)]
     size = os.path.getsize(path)
     stream = (
         spark.readStream.format("openetl_jsonl")

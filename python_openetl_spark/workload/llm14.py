@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import corpus_key, t
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -144,7 +144,7 @@ def x24_store_update_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     import tempfile
 
-    memo = _X24_STORES.get(sf_dir)
+    memo = _X24_STORES.get(corpus_key(sf_dir))
     if memo is None:
         # nlist memoized WITH the store root (x23 rule: the sizing
         # count() is build-time infrastructure, not per-probe cost)
@@ -157,7 +157,7 @@ def x24_store_update_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         update_ivf_store(batch, root)
         memo = (root, nlist)
-        _X24_STORES[sf_dir] = memo
+        _X24_STORES[corpus_key(sf_dir)] = memo
     root, nlist = memo
     queries = (
         emb.filter(F.col("vec_id").isin(5, 10, 20))

@@ -34,24 +34,30 @@ ORACLE: dict = {}
 #: rerank feature weights (exact shortest-repr doubles on both parsers)
 _W_LEX, _W_COS, _W_LEN = 0.5, 0.3, 0.2
 
-#: materialized tower top-k (pandas) keyed by fixture dir — x27
-#: evaluates x26's pipeline, so both rows consume the IDENTICAL
-#: lexical/dense towers over the same immutable corpus; rebuilding
+#: materialized tower top-k (pandas) keyed by (fixture dir, corpus
+#: fingerprint) — x27 evaluates x26's pipeline, so both rows consume
+#: the IDENTICAL lexical/dense towers over the same corpus; rebuilding
 #: them per row made the pair the two heaviest non-streaming rows in
 #: the suite (r13 verdict #4: share, the way _X29_STORES memoizes its
-#: store). Pandas (driver-local, queries x k rows — bm25 already
-#:  requires a broadcastable query set) so the cache is session-proof:
-#: each call re-creates the Spark frame on ITS session.
+#: store). The fingerprint half of the key (util.corpus_key: per-file
+#: size+mtime) makes a corpus mutated in place MISS the memo and
+#: recompute instead of serving stale towers (r14 verdict #7). Pandas
+#: (driver-local, queries x k rows — bm25 already requires a
+#: broadcastable query set) so the cache is session-proof: each call
+#: re-creates the Spark frame on ITS session.
 _TOWERS: dict = {}
 
 
 def _shared_towers(spark: SparkSession, sf_dir: str):
     """(lexical_pdf, dense_pdf): BM25 top-10 and cosine top-10 towers
-    over the x10 query set, computed once per fixture dir."""
+    over the x10 query set, computed once per (fixture dir,
+    corpus state)."""
     from python_openetl_spark.operators import similarity
     from python_openetl_spark.operators.retrieval import bm25_topk
+    from python_openetl_spark.workload.util import corpus_key
 
-    cached = _TOWERS.get(sf_dir)
+    key = corpus_key(sf_dir)
+    cached = _TOWERS.get(key)
     if cached is None:
         docs = t(spark, sf_dir, "documents")
         emb = t(spark, sf_dir, "embeddings")
@@ -75,7 +81,7 @@ def _shared_towers(spark: SparkSession, sf_dir: str):
             .toPandas()
         )
         cached = (lexical, dense)
-        _TOWERS[sf_dir] = cached
+        _TOWERS[key] = cached
     return cached
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm3 import _TOKS
 from python_openetl_spark.workload.llm6 import _K, _Q_LEN, _Q_MOD, _derived_queries
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import corpus_key, t
 
 #: batch/delete slices: every 5th doc is EDITED and re-ingested under
 #: its original id (the d36 device — truncation sheds terms, planted
@@ -54,7 +54,7 @@ def _x28_store(spark: SparkSession, sf_dir: str) -> str:
         delete_from_postings_store,
     )
 
-    root = _X28_STORES.get(sf_dir)
+    root = _X28_STORES.get(corpus_key(sf_dir))
     if root is None:
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
         root = tempfile.mkdtemp(prefix="poe_x28_") + "/postings"
@@ -63,7 +63,7 @@ def _x28_store(spark: SparkSession, sf_dir: str) -> str:
         delete_from_postings_store(
             spark, root, where=f"doc_id % {_DEL_MOD} = 0"
         )
-        _X28_STORES[sf_dir] = root
+        _X28_STORES[corpus_key(sf_dir)] = root
     return root
 
 
@@ -98,12 +98,12 @@ def _x29_store(spark: SparkSession, sf_dir: str) -> str:
         build_positional_postings_store,
     )
 
-    root = _X29_STORES.get(sf_dir)
+    root = _X29_STORES.get(corpus_key(sf_dir))
     if root is None:
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
         root = tempfile.mkdtemp(prefix="poe_x29_") + "/positional"
         build_positional_postings_store(docs, root)
-        _X29_STORES[sf_dir] = root
+        _X29_STORES[corpus_key(sf_dir)] = root
     return root
 
 

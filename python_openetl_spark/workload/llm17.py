@@ -29,7 +29,7 @@ from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm3 import _TOKS
 from python_openetl_spark.workload.llm6 import _K, _Q_LEN, _Q_MOD, _derived_queries
 from python_openetl_spark.workload.llm16 import _PH_LEN, _PH_START, _x29_store
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import corpus_key, t
 
 #: m24 CDC slices (disjoint by construction — the batch is unique on
 #: doc_id, merge.apply_cdc's per-key-compacted contract): every 7th
@@ -82,13 +82,13 @@ def _m24_store(spark: SparkSession, sf_dir: str) -> str:
         build_postings_store,
     )
 
-    root = _M24_STORES.get(sf_dir)
+    root = _M24_STORES.get(corpus_key(sf_dir))
     if root is None:
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
         root = tempfile.mkdtemp(prefix="poe_m24_") + "/postings"
         build_postings_store(docs, root)
         apply_cdc_to_postings_store(_m24_cdc_batch(docs), root)
-        _M24_STORES[sf_dir] = root
+        _M24_STORES[corpus_key(sf_dir)] = root
     return root
 
 

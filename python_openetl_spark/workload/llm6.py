@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.operators.retrieval import bm25_topk
 from python_openetl_spark.workload.llm3 import _TOKS
+from python_openetl_spark.operators.materialize import pin
 from python_openetl_spark.workload.util import t
 
 #: every Nth document seeds a query
@@ -157,7 +158,8 @@ def e04_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint covers only the dedup stage, not the final join)
     prepared = prep.prepare_corpus(
         d.filter(F.col("doc_id") % 50 != 0), d.filter(F.col("doc_id") % 50 == 0)
-    ).localCheckpoint(eager=True)
+    )
+    prepared = pin(prepared)
     chunks = chunk_documents(
         prepared.select("doc_id", F.col("text_redacted").alias("text")),
         chunk_tokens=32,

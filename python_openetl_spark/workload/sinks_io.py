@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_openetl_spark.operators.materialize import pin
 from python_openetl_spark.workload.util import t
 
 
@@ -341,9 +342,9 @@ def k12_registry_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME slice feeds five independent sink writes: pin it once so
     # each write reads the materialized rows instead of re-running the
     # source scan+projection per sink (guide §1.2)
-    o = t(spark, sf_dir, "orders").select(
+    o = pin(t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    ).localCheckpoint(eager=True)
+    ))
     derby = JdbcSource(
         url="jdbc:derby:memory:poek12;create=true",
         driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",

@@ -19,7 +19,8 @@ from python_openetl_spark.streaming.joins import (
     interval_join,
     interval_join_outer,
 )
-from python_openetl_spark.workload.util import stream_state_partitions, t
+from python_openetl_spark.operators.materialize import pin
+from python_openetl_spark.workload.util import corpus_key, stream_state_partitions, t
 
 
 def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,8 +261,8 @@ def s10_stream_versioned_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("ts"),
             F.sum(F.col("value").cast("decimal(24,6)")).cast("double").alias("v"),
         )
-        .localCheckpoint(eager=True)
     )
+    b0 = pin(b0)  # delta-sized rollup, consumed by 3 derived batches
     b1 = b0.filter(F.col("id") % 3 == 0).select(
         "id",
         (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
@@ -338,20 +339,29 @@ def s11_stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "user_id long, n_events long, last_ts_us long"
         )
-    path = _S11_STAGED.get(sf_dir)
+    path = _S11_STAGED.get(corpus_key(sf_dir))
     if path is None:
         tmp = tempfile.mkdtemp(prefix="poe_s11_")
         path = stage_replay_dir(ev, tmp + "/replay", chunks=3)
-        _S11_STAGED[sf_dir] = path
+        _S11_STAGED[corpus_key(sf_dir)] = path
     stream = read_file_stream(spark, path, ev.schema)
     name = "poe_s11_state"
-    # state-partition sizing (the s13/s14 measurement: stateful
-    # micro-batch cost is per-partition per-batch): pin shuffle
-    # partitions to 8 around the stream and restore after — a
-    # production job sizes this to state volume, not to the session's
-    # batch-shuffle setting
+    # state-partition sizing derived from the staged replay volume
+    # (python_state: applyInPandasWithState pays a Python-worker
+    # round-trip per partition-batch, so it targets smaller
+    # rows/partition than the JVM stateful rows); pinned around the
+    # stream and restored after
+    from python_openetl_spark.streaming.sources import replay_rows_per_batch
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(stream_state_partitions(8)))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(
+            stream_state_partitions(
+                replay_rows_per_batch(path), python_state=True
+            )
+        ),
+    )
     try:
         q = (
             running_user_totals(stream)

@@ -14,21 +14,67 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def stream_state_partitions(default: int) -> int:
-    """State-store partition count for the replayed-stream rows.
+def stream_state_partitions(
+    rows_per_batch: float, *, python_state: bool = False
+) -> int:
+    """State-store partition count DERIVED from replay volume.
 
     Stateful micro-batch cost is per-partition per-batch (each
     partition of each stateful operator commits a state-store delta
-    every batch), so the right setting tracks STATE VOLUME, not the
-    session's batch-shuffle parallelism — at fixture state sizes the
-    measurements are 12.5 s at 32 partitions vs 3.9 s at 8 vs 3.0 s at
-    4 for the identical s13 result, while the pandas-state row (s11)
-    prefers 8 (its per-batch cost is Python-worker-bound, which
-    parallelism amortizes). Production deployments size via
-    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``; each row passes the
-    default its own state shape measured best."""
+    every batch), so the setting tracks STATE VOLUME — rows arriving
+    per micro-batch, estimated from the staged replay manifest via
+    :func:`streaming.sources.replay_rows_per_batch` — not the
+    session's batch-shuffle parallelism. JVM stateful operators
+    (stream-stream joins, session windows) target ~8k rows per
+    partition per batch: below that the fixed commit cost per
+    partition dominates (measured on the replayed fixtures: the
+    identical s13 result costs 12.5/3.9/3.0 s at 32/8/4 partitions).
+    Python-state operators (``applyInPandasWithState``) halve the
+    target to ~4k: each partition-batch pays a Python-worker
+    round-trip whose per-row cost parallelism amortizes (s11 measured
+    best at 8). Rounded to a power of two, floored at 4 (minimum
+    commit parallelism), capped at the session's default parallelism
+    so a cluster-sized replay scales partitions up with state volume
+    instead of pinning a fixture-sized constant.
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` overrides for production
+    tuning."""
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-    return max(1, int(env)) if env else default
+    if env:
+        return max(1, int(env))
+    import math
+
+    from pyspark.sql import SparkSession
+
+    target = 4096 if python_state else 8192
+    raw = max(1.0, float(rows_per_batch) / target)
+    n = 2 ** round(math.log2(raw))
+    spark = SparkSession.getActiveSession()
+    cap = spark.sparkContext.defaultParallelism if spark is not None else 32
+    return int(min(max(4, n), max(4, cap)))
+
+
+def corpus_key(sf_dir: str) -> tuple:
+    """Memo key for per-fixture-dir caches (staged replay inputs,
+    vector/postings stores, shared tower top-k): the dir path PLUS a
+    fingerprint of its current file state (name, size, mtime_ns per
+    file, recursing into directory-backed tables) — the same idea as a
+    store manifest. A corpus mutated in place therefore MISSES the
+    memo and recomputes instead of serving stale derived state; the
+    immutable bench fixtures fingerprint identically every call, so
+    the memo still hits. Driver-side ``os.stat`` only — no Spark job."""
+    entries: list[tuple[str, int, int]] = []
+    try:
+        for root, dirs, files in os.walk(sf_dir):
+            dirs.sort()
+            for fname in sorted(files):
+                p = os.path.join(root, fname)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, sf_dir), st.st_size, st.st_mtime_ns)
+                )
+    except OSError:
+        return (sf_dir,)
+    return (sf_dir, tuple(entries))
 
 
 def dsum(col: Column | str, scale: int = 6, precision: int = 24) -> Column:

@@ -144,6 +144,39 @@ def test_ingest_tarball(spark, tmp_path):
     assert orgs[0]["founded_at"] is not None and orgs[1]["founded_at"] is None
 
 
+def test_ingest_tarball_colliding_member_names_last_wins(spark, tmp_path):
+    # Two members that derive the SAME table name (2024/users.csv vs
+    # 2025/users.csv) must not race the pool into concurrent overwrite()
+    # calls on one destination: they dedupe to the last walk-order
+    # occurrence (deterministic: dirs sorted), matching the sequential
+    # loop's last-wins outcome.
+    raw = tmp_path / "raw"
+    for year, rows in (
+        ("2024", [("id", "val"), (1, "old")]),
+        ("2025", [("id", "val"), (1, "new"), (2, "new2")]),
+    ):
+        d = raw / year
+        d.mkdir(parents=True)
+        with open(d / "users.csv", "w", newline="") as f:
+            csv.writer(f).writerows(rows)
+    tar_path = tmp_path / "bulk.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        for year in ("2024", "2025"):
+            tf.add(raw / year / "users.csv", arcname=f"{year}/users.csv")
+
+    tables = ingest_tarball(spark, str(tar_path), str(tmp_path / "out"))
+    assert set(tables) == {"cb_users"}
+    got = tables["cb_users"].read(spark).orderBy("id").collect()
+    # 2025 sorts after 2024 in walk order -> its rows win
+    assert [(r["id"], r["val"]) for r in got] == [(1, "new"), (2, "new2")]
+    # no .bak / staging leftovers from a racing swap
+    leftovers = [
+        p for p in (tmp_path / "out").rglob("*")
+        if ".bak" in p.name or ".staging" in p.name
+    ]
+    assert leftovers == []
+
+
 def test_parquet_table_overwrite_empty_partitioned_keeps_schema(spark, tmp_path):
     """A 0-row partitioned publish must still leave a readable table:
     Spark's partitioned writer emits no data files for empty input, so

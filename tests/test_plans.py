@@ -558,3 +558,29 @@ def test_bloom_prune_empty_manifest_returns_no_files(spark):
     assert bloom_prune_files(man, "k", 1) == []
     out = bloom_pruned_read(spark, man, "k", 1, table_path=d)
     assert out.count() == 0 and set(out.columns) == {"k", "v"}
+
+
+def test_pin_reliable_checkpoint_policy(spark, tmp_path, monkeypatch):
+    # materialize.py scale-safety policy: default pin is localCheckpoint
+    # (delta-sized frames, fail-fast batch); SPARK_GRAFT_RELIABLE_CHECKPOINT=1
+    # flips every pin to reliable Dataset.checkpoint for cluster jobs that
+    # must survive executor loss (r14 verdict #6)
+    import pytest as _pytest
+
+    from python_openetl_spark.operators.materialize import pin
+
+    df = spark.range(10)
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", raising=False)
+    assert pin(df).count() == 10  # local default: no checkpoint dir needed
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        with _pytest.raises(ValueError, match="checkpoint dir"):
+            pin(df)  # reliable mode without a dir must fail loudly
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    out = pin(df)
+    assert out.count() == 10
+    # reliable path actually wrote RDD checkpoint files
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()

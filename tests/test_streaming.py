@@ -1019,3 +1019,30 @@ def test_join_view_sink_from_real_stream(spark, tmp_path):
     assert got == want
     # mult>1 rows really exist (duplicate B rows)
     assert any(r[-1] == 2 for r in got)
+
+
+def test_stream_state_partitions_derived_from_replay_volume(monkeypatch):
+    # sizing tracks state volume (rows per micro-batch), not a constant:
+    # JVM stateful rows target ~8k rows/partition/batch (floor 4),
+    # python-state rows ~4k; env override wins (r14 verdict #4)
+    from python_openetl_spark.workload.util import stream_state_partitions
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", raising=False)
+    assert stream_state_partitions(13_316) == 4      # s13 shape @ sf0.1
+    assert stream_state_partitions(25_000) == 4      # s15 shape @ sf0.1
+    assert stream_state_partitions(60_000) == 8      # scales up with volume
+    assert stream_state_partitions(33_333, python_state=True) == 8  # s11
+    assert stream_state_partitions(0) == 4           # floor
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "16")
+    assert stream_state_partitions(33_333) == 16
+
+
+def test_replay_rows_per_batch_reads_staged_manifest(spark, tmp_path):
+    from python_openetl_spark.streaming.sources import replay_rows_per_batch
+
+    df = spark.range(90).select(
+        F.col("id").alias("event_id"), F.col("id").alias("k")
+    )
+    path = stage_replay_dir(df, str(tmp_path / "replay"), chunks=3)
+    # 3 chunk files, 90 rows total -> 30 rows per micro-batch
+    assert replay_rows_per_batch(path) == 30.0

@@ -48,3 +48,42 @@ def test_approx_aggs_within_error_bounds(spark):
         assert row["n_orders"] == exact[status]["n"]
         assert row["exact_customers"] == exact[status]["nd"]
         assert row["ndv_ok"] and row["p25_ok"] and row["p50_ok"] and row["p75_ok"]
+
+
+def test_corpus_key_fingerprints_fixture_state(tmp_path):
+    # memo keys must change when the corpus is mutated in place
+    # (r14 verdict #7: sf_dir alone serves stale derived state)
+    import os
+    import shutil
+
+    from python_openetl_spark.workload.util import corpus_key
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "documents.parquet")
+    k1 = corpus_key(str(d))
+    assert corpus_key(str(d)) == k1  # immutable dir -> stable key
+    os.utime(d / "documents.parquet")  # touch: content-state changed
+    assert corpus_key(str(d)) != k1
+
+
+def test_shared_towers_memo_misses_on_mutated_corpus(spark, tmp_path):
+    # a corpus mutated in place must MISS the _TOWERS memo and
+    # recompute rather than serve stale towers
+    import os
+    import shutil
+
+    from python_openetl_spark.workload import llm15
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for name in ("documents", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{name}.parquet", d / f"{name}.parquet")
+    before = len(llm15._TOWERS)
+    llm15._shared_towers(spark, str(d))
+    assert len(llm15._TOWERS) == before + 1
+    llm15._shared_towers(spark, str(d))  # unchanged corpus -> memo hit
+    assert len(llm15._TOWERS) == before + 1
+    os.utime(d / "documents.parquet")  # mutate in place
+    llm15._shared_towers(spark, str(d))
+    assert len(llm15._TOWERS) == before + 2  # miss -> recomputed
