@@ -398,9 +398,16 @@ def store_attr_cols(
 
 
 def _read_centroids(spark: SparkSession, root: str) -> tuple[np.ndarray, np.ndarray]:
-    rows = spark.read.parquet(os.path.join(root, _CENTROIDS)).collect()
-    cells = np.array([r["cell"] for r in rows], dtype=np.int32)
-    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    # nlist rows on the driver: a pyarrow read of the tiny centroids
+    # file costs no Spark job/scan-planning round-trip, where the
+    # previous spark.read...collect() scheduled one per probe call
+    # (guide §5: the driver should do almost no data work — and this
+    # IS almost no data). Same bytes, read fresh every call.
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, _CENTROIDS))
+    cells = tbl.column("cell").to_numpy().astype(np.int32)
+    cmat = np.array(tbl.column("centroid").to_pylist(), dtype=np.float64)
     order = np.argsort(cells)
     cmat = cmat[order]
     return cells[order], cmat / np.linalg.norm(cmat, axis=1, keepdims=True)

@@ -82,12 +82,17 @@ def _write_codebooks(spark: SparkSession, idx_dir: str, books: np.ndarray) -> No
 
 
 def _read_codebooks(spark: SparkSession, idx_dir: str) -> np.ndarray:
-    rows = spark.read.parquet(os.path.join(idx_dir, _CODEBOOKS)).collect()
-    m = max(r["sub"] for r in rows) + 1
-    ksub = max(r["cell"] for r in rows) + 1
-    dsub = len(rows[0]["centroid"])
+    # m*ksub rows on the driver: pyarrow instead of a Spark
+    # read+collect job per probe (same rationale as
+    # ivf_store._read_centroids — guide §5, tiny fixed-size metadata).
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(idx_dir, _CODEBOOKS)).to_pylist()
+    m = max(r["sub"] for r in tbl) + 1
+    ksub = max(r["cell"] for r in tbl) + 1
+    dsub = len(tbl[0]["centroid"])
     books = np.zeros((m, ksub, dsub))
-    for r in rows:
+    for r in tbl:
         books[r["sub"], r["cell"]] = r["centroid"]
     return books
 

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import corpus_key, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, t
 
 _X14_QUERY_IDS = (2, 4, 8)
 
@@ -161,7 +161,7 @@ def x15_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):  # degenerate corpus: nothing to index
+    if not nonempty(sf_dir, "embeddings"):  # degenerate corpus: nothing to index
         return spark.createDataFrame([], "query_id long, k int, recall_ok boolean")
     p = ivf_params(emb.count())
     root = _x15_store(spark, sf_dir, p["nlist"])
@@ -220,7 +220,7 @@ def x15p_ivf_store_production_probe(spark: SparkSession, sf_dir: str) -> DataFra
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, anchor_found boolean")
     p = ivf_params(emb.count())
     root = _x15_store(spark, sf_dir, p["nlist"])
@@ -295,7 +295,7 @@ def x17_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, anchor_found boolean")
     anchors = emb.filter(F.col("vec_id").isin(3, 23, 43)).select(
         (F.col("vec_id") + 2_000_000).cast("long").alias("query_id"), "embedding"
@@ -352,7 +352,7 @@ def x18_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params, pq_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, k int, recall_ok boolean")
     n = emb.count()
     dim = len(emb.select("embedding").first()[0])

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import corpus_key, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, t
 
 
 def x19_knn_join_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,7 +102,7 @@ def s12_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, anchor_found boolean")
     p = ivf_params(emb.count())
     root = _S12_STORES.get(corpus_key(sf_dir))
@@ -373,7 +373,7 @@ def x20_filtered_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )

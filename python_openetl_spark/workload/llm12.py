@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import corpus_key, stream_state_partitions, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t
 
 
 def d55_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,7 +70,7 @@ def x21_store_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double"
         )
@@ -127,7 +127,7 @@ def s13_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     ev = t(spark, sf_dir, "events")
-    if not ev.take(1):
+    if not nonempty(sf_dir, "events"):
         return spark.createDataFrame(
             [],
             "p_id long, user_id long, purchase_us long, c_id long, click_us long",
@@ -354,7 +354,7 @@ def x22_store_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.operators.materialize import pin
-from python_openetl_spark.workload.util import corpus_key, stream_state_partitions, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -59,7 +59,7 @@ def x23_store_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
@@ -224,7 +224,7 @@ def s14_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events")
-    if not ev.take(1):
+    if not nonempty(sf_dir, "events"):
         return spark.createDataFrame(
             [],
             "p_id long, user_id long, purchase_us long, c_id long, click_us long",
@@ -415,7 +415,7 @@ def s15_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = t(spark, sf_dir, "events")
-    if not ev.take(1):
+    if not nonempty(sf_dir, "events"):
         return spark.createDataFrame(
             [],
             "session_start long, user_id long, n_events long, total_value double",

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.workload.util import corpus_key, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, t
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -138,7 +138,7 @@ def x24_store_update_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
@@ -556,7 +556,7 @@ def x25_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.operators.tuning import ivf_params
 
     emb = t(spark, sf_dir, "embeddings")
-    if not emb.take(1):
+    if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame(
             [],
             "query_id long, exact_k long, top1_id long, full_recall double, "

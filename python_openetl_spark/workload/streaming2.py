@@ -20,7 +20,7 @@ from python_openetl_spark.streaming.joins import (
     interval_join_outer,
 )
 from python_openetl_spark.operators.materialize import pin
-from python_openetl_spark.workload.util import corpus_key, stream_state_partitions, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t
 
 
 def s05_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +335,7 @@ def s11_stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_openetl_spark.streaming.stateful import running_user_totals
 
     ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
-    if not ev.take(1):
+    if not nonempty(sf_dir, "events"):
         return spark.createDataFrame(
             [], "user_id long, n_events long, last_ts_us long"
         )

@@ -53,6 +53,37 @@ def stream_state_partitions(
     return int(min(max(4, n), max(4, cap)))
 
 
+def nonempty(sf_dir: str, name: str) -> bool:
+    """Degenerate-corpus guard: is the fixture table non-empty?
+
+    Parquet footers record exact row counts, so the check is a
+    driver-side metadata read (one footer per part-file, no Spark job)
+    — where the previous ``df.take(1)`` scheduled a scan job per query
+    call just to decide "not empty" (guide §5: the driver should do
+    almost no data work, and row-count metadata is no data at all).
+    Cost is O(part files), independent of table size, so it holds at
+    any scale. Falls back to a Spark ``take(1)`` when the footers
+    cannot be read (exotic store layout, permissions)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        md = pq.ParquetFile(os.path.join(root, fname)).metadata
+                        if md.num_rows > 0:
+                            return True
+            return False
+        return pq.ParquetFile(path).metadata.num_rows > 0
+    except Exception:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        return bool(load_table(spark, sf_dir, name).take(1))
+
+
 def corpus_key(sf_dir: str) -> tuple:
     """Memo key for per-fixture-dir caches (staged replay inputs,
     vector/postings stores, shared tower top-k): the dir path PLUS a
