@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from python_openetl_spark.functions.text import LANG_STOPWORDS, token_hash60, tokens
 from python_openetl_spark.operators import dedup, similarity, textops
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import t, table_rows
 
 # ---------------------------------------------------------------- documents --
 
@@ -169,7 +169,7 @@ def x05_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    approx = similarity.ivf_topk(emb, queries.toPandas(), k=5, **ivf_params(emb.count()))
+    approx = similarity.ivf_topk(emb, queries.toPandas(), k=5, **ivf_params(table_rows(sf_dir, "embeddings")))
     hits = (
         approx.select("query_id", "vec_id")
         .join(exact, ["query_id", "vec_id"])

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import corpus_key, nonempty, t
+from python_openetl_spark.workload.util import corpus_key, embedding_dim, nonempty, t, table_rows
 
 _X14_QUERY_IDS = (2, 4, 8)
 
@@ -163,7 +163,7 @@ def x15_incremental_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     if not nonempty(sf_dir, "embeddings"):  # degenerate corpus: nothing to index
         return spark.createDataFrame([], "query_id long, k int, recall_ok boolean")
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     root = _x15_store(spark, sf_dir, p["nlist"])
     queries = _x15_queries(spark, sf_dir)
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
@@ -222,7 +222,7 @@ def x15p_ivf_store_production_probe(spark: SparkSession, sf_dir: str) -> DataFra
     emb = t(spark, sf_dir, "embeddings")
     if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, anchor_found boolean")
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     root = _x15_store(spark, sf_dir, p["nlist"])
     anchors = emb.filter(F.col("vec_id").isin(1, 5, 9, 7, 17)).select(
         (F.col("vec_id") + 1_000_000).cast("long").alias("query_id"), "embedding"
@@ -301,7 +301,7 @@ def x17_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 2_000_000).cast("long").alias("query_id"), "embedding"
     )
     queries = _x16_queries(spark, sf_dir).unionByName(anchors)
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     res = ivf_knn_join(
         emb,
         queries,
@@ -354,8 +354,8 @@ def x18_ivfpq_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, k int, recall_ok boolean")
-    n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
+    n = table_rows(sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
     ip, pp = ivf_params(n), pq_params(n, dim)
     root = _X18_STORES.get(corpus_key(sf_dir))
     if root is None:

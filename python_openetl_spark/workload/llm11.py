@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import corpus_key, nonempty, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, t, table_rows
 
 
 def x19_knn_join_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +104,7 @@ def s12_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     if not nonempty(sf_dir, "embeddings"):
         return spark.createDataFrame([], "query_id long, anchor_found boolean")
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     root = _S12_STORES.get(corpus_key(sf_dir))
     if root is None:
         tmp = tempfile.mkdtemp(prefix="poe_s12_")
@@ -377,7 +377,7 @@ def x20_filtered_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     import tempfile
 
     root = _X20_STORES.get(corpus_key(sf_dir))

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.workload.llm import _TOKS_SQL
-from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t, table_rows
 
 
 def d55_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +74,7 @@ def x21_store_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double"
         )
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     import tempfile
 
     root = _X21_STORES.get(corpus_key(sf_dir))
@@ -358,7 +358,7 @@ def x22_store_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, cos_sim double, rank int"
         )
-    p = ivf_params(emb.count())
+    p = ivf_params(table_rows(sf_dir, "embeddings"))
     import tempfile
 
     root = _X22_STORES.get(corpus_key(sf_dir))

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_openetl_spark.operators.materialize import pin
-from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t
+from python_openetl_spark.workload.util import corpus_key, nonempty, stream_state_partitions, t, table_rows
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -69,7 +69,7 @@ def x23_store_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo is None:
         # nlist is memoized WITH the store root: the count() that sizes
         # it is build-time infrastructure, not per-probe cost
-        nlist = ivf_params(emb.count())["nlist"]
+        nlist = ivf_params(table_rows(sf_dir, "embeddings"))["nlist"]
         root = tempfile.mkdtemp(prefix="poe_x23_") + "/ivf"
         build_ivf_store(emb, root, nlist=nlist)
         delete_from_ivf_store(spark, root, where="vec_id % 10 = 3")

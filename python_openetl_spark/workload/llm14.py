@@ -48,7 +48,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_openetl_spark.workload.util import corpus_key, nonempty, t
+from python_openetl_spark.operators.materialize import pin
+from python_openetl_spark.workload.util import corpus_key, nonempty, t, table_rows
 
 QUERIES: dict = {}
 ORACLE: dict = {}
@@ -148,7 +149,7 @@ def x24_store_update_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo is None:
         # nlist memoized WITH the store root (x23 rule: the sizing
         # count() is build-time infrastructure, not per-probe cost)
-        nlist = ivf_params(emb.count())["nlist"]
+        nlist = ivf_params(table_rows(sf_dir, "embeddings"))["nlist"]
         root = tempfile.mkdtemp(prefix="poe_x24_") + "/ivf"
         build_ivf_store(emb, root, nlist=nlist)
         batch = emb.filter(F.col("vec_id") % 10 == 4).select(
@@ -312,7 +313,12 @@ def k19_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = ParquetTable(tempfile.mkdtemp(prefix="poe_k19_") + "/orders")
     table.overwrite(src.repartition(16, "o_custkey"))
-    man = build_bloom_manifest(spark, table.path, "o_custkey")
+    # One row per file (16 total): pin it, because every probe below
+    # drives TWO collect jobs against the manifest (geometry check +
+    # file filter) — unpinned, the 3-probe loop recomputed the full
+    # scan+bloom aggregate 6x (guide §5 compute-once; delta-sized
+    # frame, localCheckpoint per the materialize policy).
+    man = pin(build_bloom_manifest(spark, table.path, "o_custkey"))
     out = None
     for ck in (1, 7, 42):
         hit = bloom_pruned_read(
@@ -562,7 +568,7 @@ def x25_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id long, exact_k long, top1_id long, full_recall double, "
             "monotone_ok boolean",
         )
-    nlist = ivf_params(emb.count())["nlist"]
+    nlist = ivf_params(table_rows(sf_dir, "embeddings"))["nlist"]
     queries = (
         emb.filter(F.col("vec_id") % 50 == 7)
         .select((F.col("vec_id") + 3_000_000).alias("query_id"), "embedding")

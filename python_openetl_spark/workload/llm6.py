@@ -27,7 +27,7 @@ from python_openetl_spark.functions.text import tokens
 from python_openetl_spark.operators.retrieval import bm25_topk
 from python_openetl_spark.workload.llm3 import _TOKS
 from python_openetl_spark.operators.materialize import pin
-from python_openetl_spark.workload.util import t
+from python_openetl_spark.workload.util import embedding_dim, t, table_rows
 
 #: every Nth document seeds a query
 _Q_MOD = 211
@@ -75,8 +75,8 @@ def x09_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
-    n = emb.count()
-    dim = len(emb.select("embedding").first()[0])
+    n = table_rows(sf_dir, "embeddings")
+    dim = embedding_dim(sf_dir)
     approx = ivf_pq_topk(
         emb, queries.toPandas(), k=5, **ivf_params(n), **pq_params(n, dim)
     )

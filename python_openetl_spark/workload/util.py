@@ -84,6 +84,72 @@ def nonempty(sf_dir: str, name: str) -> bool:
         return bool(load_table(spark, sf_dir, name).take(1))
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact fixture-table row count from parquet footers.
+
+    Footers record exact per-file row counts, so this equals
+    ``load_table(...).count()`` (load_table normalizes column types but
+    never drops rows) at the cost of a driver-side metadata read instead
+    of a per-call Spark count job. Used by the ANN probe queries whose
+    index parameters derive from corpus size (``ivf_params(n)``) — each
+    previously scheduled a full count scan per call (guide §5: row-count
+    metadata is not data work). Falls back to a Spark count when the
+    footers cannot be read."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fname in files:
+                    if fname.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, fname)
+                        ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        return load_table(spark, sf_dir, name).count()
+
+
+def embedding_dim(sf_dir: str, name: str = "embeddings") -> int:
+    """Vector dimensionality from the first stored row, via a pyarrow
+    single-batch read (one page decode, no Spark job) — the companion of
+    :func:`table_rows` for the ANN probes that size PQ/IVF parameters
+    from ``(n, dim)``. Falls back to a Spark ``first()``."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        files = []
+        if os.path.isdir(path):
+            for root, _dirs, fnames in os.walk(path):
+                files.extend(
+                    os.path.join(root, f) for f in fnames if f.endswith(".parquet")
+                )
+            files.sort()
+        else:
+            files = [path]
+        for f in files:
+            pf = pq.ParquetFile(f)
+            if pf.metadata.num_rows == 0:
+                continue
+            batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+            return len(batch.column("embedding")[0].as_py())
+        raise ValueError(f"no rows in {path}")
+    except Exception:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        return len(
+            load_table(spark, sf_dir, name).select("embedding").first()[0]
+        )
+
+
 def corpus_key(sf_dir: str) -> tuple:
     """Memo key for per-fixture-dir caches (staged replay inputs,
     vector/postings stores, shared tower top-k): the dir path PLUS a

@@ -30,6 +30,10 @@ import pytest
 from python_openetl_spark.testing import assert_frames_match
 from python_openetl_spark.workload import all_oracles, all_queries
 
+# Whole-workload robustness soak (~12 min): slow tier, run by the full
+# suite (`pytest -m ""`) and the end-of-round cadence, not the fast gate.
+pytestmark = pytest.mark.slow
+
 QUERIES = all_queries()
 ORACLE = all_oracles()
 
